@@ -1,0 +1,84 @@
+"""Sources & sinks.
+
+The reference's only "source" is an in-memory seeded generator
+(/root/reference/src/data.rs:191-241) and it has no sinks; the dependency
+surface (DataFusion 19, Cargo.toml:10) reads parquet/csv/json and writes the
+same. Spark covers all of those natively — this module is thin plumbing plus
+the test-table loaders for /root/testdata/sf*/.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Column pruning + predicate pushdown reach the
+    parquet scan because this is a plain DataFrame reader (no collect)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [table(spark, sf_dir, n) for n in names]
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register the test tables as temp views for the SQL frontend."""
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- generic readers (DataFusion-19 scan surface -> Spark built-ins) -------
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "false", **options}
+    reader = spark.read.options(**opts)
+    return reader.schema(schema).csv(path) if schema else reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read.options(**options)
+    return reader.schema(schema).json(path) if schema else reader.json(path)
+
+
+# --- sinks ------------------------------------------------------------------
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_noop(df: DataFrame) -> None:
+    """Force full execution without materializing output — the bench sink."""
+    df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,82 @@
+"""Operator/query registry — the single source of truth.
+
+Every operator claimed in SURVEY.md §2 gets a named entry here:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where ANSI SQL can
+express it) an equivalent DuckDB oracle query. ``__spark_entry__.py``,
+``tests/``, and ``bench.py`` all read this registry, so an operator is
+"done" exactly when it appears here and its differential test is green.
+
+Conventions (driver contract — see /root/repo/__spark_entry__.py docstring):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * float aggregates are rounded in BOTH engines (double accumulation order
+    differs across engines; rounding makes the value-hash stable);
+  * timestamps in output are rendered to 'yyyy-MM-dd HH:mm:ss' strings in
+    BOTH engines (session tz = UTC);
+  * arrays/structs in output are flattened or joined to strings.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "Query"] = {}
+
+_MODULES = (
+    "tpch",
+    "relational",
+    "aggregates",
+    "windows",
+    "scalars",
+    "sqlfrontend",
+    "events",
+    "sortbench",
+    "llm_dedup",
+    "llm_similarity",
+    "llm_text",
+    "multimodal",
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver runs rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, tuple(tags), (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _MODULES:
+        importlib.import_module(f"experiments_datafusion_spark.queries.{mod}")
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
