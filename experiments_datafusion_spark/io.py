@@ -31,8 +31,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Column pruning + predicate pushdown reach the
-    parquet scan because this is a plain DataFrame reader (no collect)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    parquet scan because this is a plain DataFrame reader (no collect).
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as
+    long (nanosAsLong conf, set in session.RUNTIME_CONF) and we truncate to
+    a microsecond timestamp — same truncation DuckDB applies."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

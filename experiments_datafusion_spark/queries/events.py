@@ -1,1 +1,131 @@
-"""Placeholder — populated in a later slice."""
+"""Event-table queries: tumbling/sliding/session windows, stream dedup —
+batch execution of the shared pipelines in streaming/pipelines.py, each with
+a pure-SQL oracle (time_bucket / gaps-and-islands)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+from experiments_datafusion_spark.streaming import pipelines
+
+
+@register(
+    "ev_tumbling",
+    tags=("events", "window"),
+    oracle="""
+SELECT
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  count(*)             AS n,
+  round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (same code path as the streaming
+    pipeline)."""
+    return pipelines.tumbling_counts(table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "ev_sliding",
+    tags=("events", "window"),
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w, event_type
+  FROM events
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows: every event falls into two windows; the
+    oracle materializes the two window starts explicitly."""
+    return pipelines.sliding_counts(table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "ev_session",
+    tags=("events", "window", "session"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '10 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+)
+SELECT
+  user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S')                        AS session_start,
+  strftime(max(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+  count(*)                                                       AS n_events,
+  round(sum(value), 2)                                           AS session_value
+FROM islands
+GROUP BY user_id, sess_id
+""",
+)
+def ev_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user. Spark: session_window;
+    oracle: classic gaps-and-islands (lag -> break flag -> running sum ->
+    group). Session end = last event + gap, matching Spark's definition."""
+    return pipelines.sessionize(table(spark, sf_dir, "events"), "10 minutes")
+
+
+@register(
+    "ev_dedup",
+    tags=("events", "dedup"),
+    oracle="""
+SELECT count(*) AS n_unique FROM (SELECT DISTINCT event_id FROM events)
+""",
+)
+def ev_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event dedup by id (streaming twin: dropDuplicatesWithinWatermark)."""
+    deduped = pipelines.dedup_events(table(spark, sf_dir, "events"))
+    return deduped.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    "ev_daily_stats",
+    tags=("events", "json"),
+    oracle="""
+SELECT
+  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type,
+  count(*)                                    AS n,
+  round(avg(CAST(props->>'$.k' AS INT)), 4)   AS avg_k,
+  count(DISTINCT user_id)                     AS uniq_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ev_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup with JSON prop extraction and distinct users."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+    )

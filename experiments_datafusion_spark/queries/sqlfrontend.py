@@ -1,1 +1,130 @@
-"""Placeholder — populated in a later slice."""
+"""SQL frontend: CTEs, subqueries (scalar / IN / EXISTS / correlated),
+views — run through ``spark.sql`` over temp views so the text-SQL path
+(parser -> Catalyst) is exercised, not just the DataFrame DSL
+(SURVEY.md §2B rows: Subqueries, CTEs/views)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from experiments_datafusion_spark.io import register_views
+from experiments_datafusion_spark.queries import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str, tables=None) -> DataFrame:
+    register_views(spark, sf_dir, tables or ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(sql)
+
+
+_SCALAR_SUBQ = """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("subq_scalar", tags=("sql", "subquery"), oracle=_SCALAR_SUBQ)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate."""
+    return _sql(spark, sf_dir, _SCALAR_SUBQ)
+
+
+_IN_SUBQ = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+)
+"""
+
+
+@register("subq_in", tags=("sql", "subquery"), oracle=_IN_SUBQ)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (rewritten to semi join by Catalyst)."""
+    return _sql(spark, sf_dir, _IN_SUBQ)
+
+
+_CORR_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+)
+"""
+
+
+@register("subq_exists", tags=("sql", "subquery"), oracle=_CORR_EXISTS)
+def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS (decorrelated to semi + anti joins)."""
+    return _sql(spark, sf_dir, _CORR_EXISTS)
+
+
+_CORR_SCALAR = """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("subq_correlated_scalar", tags=("sql", "subquery"), oracle=_CORR_SCALAR)
+def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-group average comparison)."""
+    return _sql(spark, sf_dir, _CORR_SCALAR)
+
+
+_CTE = """
+WITH cust_orders AS (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c.c_custkey, c.c_name, co.n_orders, round(co.spend, 2) AS spend
+  FROM customer c JOIN cust_orders co ON c.c_custkey = co.o_custkey
+)
+SELECT * FROM ranked WHERE n_orders >= 3
+"""
+
+
+@register("cte_chain", tags=("sql", "cte"), oracle=_CTE)
+def cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs feeding a join."""
+    return _sql(spark, sf_dir, _CTE)
+
+
+_VIEW_SQL = """
+SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+FROM cust_with_nation
+GROUP BY n_name
+"""
+
+
+@register(
+    "view_logical",
+    tags=("sql", "view"),
+    oracle="""
+WITH cust_with_nation AS (
+  SELECT c.*, n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+FROM cust_with_nation
+GROUP BY n_name
+""",
+)
+def view_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical view: a derived temp view queried by a second statement."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW cust_with_nation AS
+        SELECT c.*, n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """
+    )
+    return spark.sql(_VIEW_SQL)

@@ -1,1 +1,190 @@
-"""Placeholder — populated in a later slice."""
+"""Window-function surface (SURVEY.md §2B rows: Window ranking / analytic /
+aggregates+frames).
+
+Every window ORDER BY includes a unique tiebreaker column so ranking output
+is deterministic and cross-engine comparable. Frames are always pinned
+explicitly (Spark's default frame for last/nth differs from the unbounded
+frame users expect)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+
+
+@register(
+    "win_ranking",
+    tags=("window",),
+    oracle="""
+SELECT
+  l_returnflag,
+  l_orderkey,
+  l_linenumber,
+  row_number()   OVER w AS rn,
+  rank()         OVER w AS rnk,
+  dense_rank()   OVER w AS drnk,
+  round(percent_rank() OVER w, 6) AS prnk,
+  ntile(4)       OVER w AS quartile,
+  round(cume_dist() OVER w, 6)    AS cdist
+FROM lineitem
+WHERE l_orderkey < 2000
+WINDOW w AS (
+  PARTITION BY l_returnflag
+  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+)
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: row_number/rank/dense_rank/percent_rank/ntile/
+    cume_dist over a deterministic (tiebroken) order."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    tags=("window",),
+    oracle="""
+SELECT
+  user_id,
+  event_id,
+  event_type,
+  lag(event_type)        OVER w AS prev_type,
+  lead(event_type)       OVER w AS next_type,
+  lag(event_type, 2, 'none') OVER w AS prev2_type,
+  round(value - lag(value, 1, 0.0) OVER w, 4) AS delta_value
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead with offsets and defaults (sessionized per user)."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+        F.round(F.col("value") - F.lag("value", 1, 0.0).over(w), 4).alias("delta_value"),
+    )
+
+
+@register(
+    "win_rows_frame",
+    tags=("window", "frame"),
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+  round(avg(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)         AS moving_avg4,
+  count(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)             AS neighbors
+FROM orders
+WHERE o_custkey < 50
+""",
+)
+def win_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total, moving average, centered count."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    base = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(base.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(base.rowsBetween(-3, 0)), 4).alias("moving_avg4"),
+        F.count(F.lit(1)).over(base.rowsBetween(-1, 1)).alias("neighbors"),
+    )
+
+
+@register(
+    "win_range_frame",
+    tags=("window", "frame"),
+    oracle="""
+SELECT
+  o_orderkey,
+  round(o_totalprice, 2) AS totalprice,
+  count(*) OVER (
+    ORDER BY o_totalprice
+    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k,
+  round(sum(o_totalprice) OVER (
+    ORDER BY o_totalprice
+    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 2) AS sum_band
+FROM orders
+WHERE o_orderkey < 3000
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames over a numeric ordering column (value-based windows)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
+    w = Window.orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.count(F.lit(1)).over(w.rangeBetween(-1000, 0)).alias("n_within_1k"),
+        F.round(F.sum("o_totalprice").over(w.rangeBetween(-1000, 1000)), 2).alias("sum_band"),
+    )
+
+
+@register(
+    "win_first_last_nth",
+    tags=("window",),
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  first_value(l_partkey) OVER w AS first_part,
+  last_value(l_partkey)  OVER w AS last_part,
+  nth_value(l_partkey, 2) OVER w AS second_part
+FROM lineitem
+WHERE l_orderkey < 1000
+WINDOW w AS (
+  PARTITION BY l_orderkey ORDER BY l_linenumber
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value with an explicit full-partition frame (Spark's
+    default frame would make last_value = current row — pinned per
+    SURVEY.md §7 determinism rule)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+        F.nth_value("l_partkey", 2).over(w).alias("second_part"),
+    )

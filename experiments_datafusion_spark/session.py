@@ -21,6 +21,9 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos timestamp,
+    # so read as long and convert in io.table() (micros, floor-truncated).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

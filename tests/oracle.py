@@ -58,6 +58,16 @@ def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame, name: str = "")
         f"{name}: columns {sorted(actual.columns)} != oracle {sorted(expected.columns)}"
     )
     a, e = _normalize(actual), _normalize(expected)
+
+    def kind(s):
+        k = s.dtype.kind
+        return {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "o")
+
+    for c in a.columns:
+        assert kind(a[c]) == kind(e[c]), (
+            f"{name}: column {c} dtype kind {a[c].dtype} != oracle {e[c].dtype} "
+            "(driver schema check would fail)"
+        )
     for c in a.columns:
         av, ev = a[c], e[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(ev):

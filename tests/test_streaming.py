@@ -1,0 +1,70 @@
+"""Structured Streaming execution of the shared pipelines: replay the events
+parquet through readStream (availableNow trigger) and check the result agrees
+with the batch execution of the SAME pipeline function (SURVEY.md §7 slice 5).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from experiments_datafusion_spark.io import table as load_table
+from experiments_datafusion_spark.streaming import pipelines
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _stream_source(spark, events_stream_dir, sf_dir):
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = spark.readStream.schema(raw_schema).parquet(events_stream_dir)
+    if dict(src.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) read as long
+        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return src
+
+
+def _run_to_memory(out, name, mode):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _norm(df):
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize(
+    "fn,mode",
+    [
+        (lambda df: pipelines.tumbling_counts(df, "1 hour"), "complete"),
+        (lambda df: pipelines.sliding_counts(df, "1 hour", "30 minutes"), "complete"),
+        (lambda df: pipelines.sessionize(df, "10 minutes"), "complete"),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_matches_batch(spark, sf_dir, events_stream_dir, fn, mode, request):
+    name = f"sink_{request.node.callspec.id}"
+    out = fn(_stream_source(spark, events_stream_dir, sf_dir))
+    _run_to_memory(out, name, mode)
+    streamed = spark.table(name)
+    batch = fn(load_table(spark, sf_dir, "events"))
+    assert _norm(streamed) == _norm(batch)
+
+
+def test_stream_dedup_runs(spark, sf_dir, events_stream_dir):
+    out = pipelines.dedup_events(_stream_source(spark, events_stream_dir, sf_dir))
+    _run_to_memory(out, "sink_dedup", "append")
+    n_stream = spark.table("sink_dedup").count()
+    n_batch = pipelines.dedup_events(load_table(spark, sf_dir, "events")).count()
+    assert n_stream == n_batch
