@@ -1,0 +1,115 @@
+"""Benchmark driver: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "suite_time", "value": <sum of per-query means>, "unit": "sec",
+   "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+
+Also reproduces the reference's own benchmark (runall.sh:1-8 sweep shape —
+multi-column sort of the four workload schemas) at 100k rows, timed the same
+way (BASELINE.md protocol: steady-state means after warm-up; execution is
+forced with a noop sink so nothing is collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from experiments_datafusion_spark import generators  # noqa: E402
+from experiments_datafusion_spark.operators import sort as sort_ops  # noqa: E402
+from experiments_datafusion_spark.queries import all_queries  # noqa: E402
+from experiments_datafusion_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+
+# Representative coverage: scan/filter/agg, joins, sort/topk, windows,
+# grouping, event-time, dedup (exact + LSH + jaccard), similarity, text.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "sort_multicol",
+    "topk",
+    "agg_stats",
+    "grouping_cube",
+    "win_ranking",
+    "ev_tumbling",
+    "ev_session",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality",
+]
+
+REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_df(build, iters: int = ITERS, warmup: int = WARMUP) -> float:
+    for _ in range(warmup):
+        force(build())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        force(build())
+        times.append(time.perf_counter() - t0)
+    return sum(times) / len(times)
+
+
+def main() -> None:
+    spark = get_spark("edfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    results: dict[str, float] = {}
+
+    for name in HEADLINE:
+        q = registry[name]
+        results[name] = round(time_df(lambda: q.fn(spark, SF_DIR)), 4)
+
+    # reference-parity sort bench: the four workload cases at 100k rows
+    for case in generators.CASES:
+        def build(case=case):
+            return sort_ops.sort_batch(
+                generators.generate_batch(spark, case, REF_SORT_ROWS)
+            )
+
+        results[f"refsort_{case.replace('-', '_')}"] = round(time_df(build), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "suite_time",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_val,
+                "iters": ITERS,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

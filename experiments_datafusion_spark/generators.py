@@ -1,0 +1,121 @@
+"""Seed-deterministic rebuilds of the reference's four sort-benchmark
+workloads (FIXTURES.md §B; generation rules at /root/reference/src/data.rs).
+
+Spark-first translation: `spark.range(n)` + seeded column expressions, all
+JVM-side (F.rand(seed), hash-derived strings) — no driver-side data
+generation, so a 100k-row batch and a 10B-row batch build the same way,
+partitioned across the cluster.
+
+Reference semantics reproduced:
+  * utf8_low  — uniform over 100 fixed strings "value0".."value99"
+                (data.rs:211-224)
+  * utf8_high — 20-char alphabetic, ~no duplicates (data.rs:227-241); here a
+                deterministic surrogate: md5(id) hex -> digits remapped to
+                letters g..p, first 20 chars
+  * i64       — uniform in [0, row_count), ≈1/3 repeats (data.rs:199-203)
+  * f64       — the i64 distribution cast to double (data.rs:206-208)
+  * dict(i32,utf8) — utf8_low cardinality; dictionary encoding is physical,
+                not logical, in Spark (SURVEY.md §1.2)
+Each multi-column batch is pre-sorted ascending by all columns left-to-right
+(data.rs:67/98/137/164) when ``presorted=True``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+DATA_SEED = 42  # data.rs:193
+SPLIT_SEED = 1337  # data.rs:247
+
+CASES = ("utf8-tuple", "mixed-tuple", "dictionary-tuple", "mixed-dictionary-tuple")
+
+
+def _utf8_low(seed: int):
+    return F.concat(F.lit("value"), F.floor(F.rand(seed) * 100).cast("int").cast("string"))
+
+
+def _utf8_high(seed: int):
+    # alphabetic-only 20-char surrogate; salt with seed to decorrelate columns
+    hexstr = F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{seed}")))
+    return F.translate(F.substring(hexstr, 1, 20), "0123456789", "ghijklmnop")
+
+
+def _i64(seed: int, n: int):
+    return F.floor(F.rand(seed) * n).cast("long")
+
+
+def _f64(seed: int, n: int):
+    return _i64(seed, n).cast("double")
+
+
+def _finish(df: DataFrame, presorted: bool) -> DataFrame:
+    if presorted:
+        df = df.orderBy(*[F.col(c).asc_nulls_first() for c in df.columns])
+    return df
+
+
+def utf8_tuple(spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False):
+    """Schema of data.rs:56-84: two low-cardinality + one high-cardinality
+    string column."""
+    df = spark.range(n).select(
+        _utf8_low(seed).alias("utf_low1"),
+        _utf8_low(seed + 1).alias("utf_low2"),
+        _utf8_high(seed + 2).alias("utf_high"),
+    )
+    return _finish(df, presorted)
+
+
+def mixed_tuple(spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False):
+    """Schema of data.rs:87-116: f64, utf8_low x2, i64."""
+    df = spark.range(n).select(
+        _f64(seed, n).alias("f64"),
+        _utf8_low(seed + 1).alias("utf_low1"),
+        _utf8_low(seed + 2).alias("utf_low2"),
+        _i64(seed + 3, n).alias("i64"),
+    )
+    return _finish(df, presorted)
+
+
+def dictionary_tuple(spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False):
+    """Schema of data.rs:129-152: three dict(i32,utf8) columns — modeled as
+    low-cardinality strings (cardinality is the workload property, not the
+    physical encoding)."""
+    df = spark.range(n).select(
+        _utf8_low(seed).alias("a"),
+        _utf8_low(seed + 1).alias("b"),
+        _utf8_low(seed + 2).alias("c"),
+    )
+    return _finish(df, presorted)
+
+
+def mixed_dictionary_tuple(
+    spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False
+):
+    """Schema of data.rs:155-182: dict x3 + i64."""
+    df = spark.range(n).select(
+        _utf8_low(seed).alias("a"),
+        _utf8_low(seed + 1).alias("b"),
+        _utf8_low(seed + 2).alias("c"),
+        _i64(seed + 3, n).alias("d"),
+    )
+    return _finish(df, presorted)
+
+
+_BUILDERS = {
+    "utf8-tuple": utf8_tuple,
+    "mixed-tuple": mixed_tuple,
+    "dictionary-tuple": dictionary_tuple,
+    "mixed-dictionary-tuple": mixed_dictionary_tuple,
+}
+
+
+def generate_batch(
+    spark: SparkSession,
+    case: str,
+    n: int,
+    seed: int = DATA_SEED,
+    presorted: bool = False,
+) -> DataFrame:
+    """Case dispatch mirroring `Case::generate_batch` (data.rs:13-29)."""
+    return _BUILDERS[case](spark, n, seed=seed, presorted=presorted)

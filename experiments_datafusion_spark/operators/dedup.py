@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension, SURVEY.md §2B last row): exact, normalized-exact, exact n-gram
+Jaccard, MinHash+LSH, SimHash with banded candidate generation.
+
+Scale design (the point of doing this on Spark):
+  * all-pairs work is NEVER materialized; candidate pairs come from
+    posting-list / band-bucket self-joins that shuffle on the bucket key —
+    the standard MinHash-LSH shape (Broder '97; Leskovec et al., MMDS ch.3);
+  * hashing is a portable md5->int64 recipe (operators/text.py:hash64) so a
+    DuckDB oracle can replay the ENTIRE pipeline bit-for-bit — the LSH
+    output is differential-tested, not just eyeballed;
+  * SimHash banding uses t+1 bands for a Hamming threshold t (pigeonhole:
+    t flips cannot touch all t+1 bands), so banded candidate generation is
+    provably complete vs the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from experiments_datafusion_spark.operators import text as T
+
+# --- MinHash constants (shared with oracle-SQL generation) -----------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+# --- SimHash constants -----------------------------------------------------
+
+SIMHASH_BITS = 48  # hash64 yields 60 bits; 48 keeps 2^b safely in int64
+SIMHASH_HAMMING_T = 3
+SIMHASH_BANDS = SIMHASH_HAMMING_T + 1  # pigeonhole-complete banding
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup keeping any representative (hash-shuffle on the key)."""
+    return df.dropDuplicates(cols)
+
+
+# --- shingle posting lists --------------------------------------------------
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc, distinct shingle) posting rows — the unit all set-similarity
+    ops join on. At 100 TB this is the shuffle-heavy step; it partitions by
+    shingle, which is naturally high-cardinality (no skew)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.col(text_col))).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle are
+    candidates (posting-list self-join grouped on the pair), then
+    |A ∩ B| / (|A| + |B| - |A ∩ B|) filters by threshold."""
+    sh = doc_shingles(df, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))
+    return (
+        common.join(sa, F.col("x") == F.col("sa.doc_id"))
+        .join(sb, F.col("y") == F.col("sb.doc_id"))
+        .where(jac >= threshold)
+        .select("x", "y", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """K=32 minhash values per doc: h_i(s) = (a_i * (hash64(s) mod P) + b_i)
+    mod P, minimized over the doc's shingles. One shuffle (groupBy doc)."""
+    sh = doc_shingles(df, id_col, text_col).withColumn(
+        "h", T.hash64(F.col("shingle")) % MINHASH_P
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+            f"mh{i}"
+        )
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _band_hash(band: int) -> Column:
+    cols = [
+        F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)
+    ]
+    out = cols[0]
+    for c in cols[1:]:
+        out = F.concat(out, F.lit(","), c)
+    return F.md5(out)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup join: band the signature (8 bands x 4 rows),
+    bucket-join on (band, band_hash) for candidates, then verify candidates
+    with EXACT Jaccard. Only candidate pairs pay the verification cost."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = None
+    for j in range(BANDS):
+        part = sig.select(
+            "doc_id", F.lit(j).alias("band"), _band_hash(j).alias("bh")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, 0.0, id_col, text_col).withColumnRenamed("jaccard", "jaccard")
+    return (
+        candidates.join(exact, ["x", "y"])
+        .where(F.col("jaccard") >= threshold)
+        .select("x", "y", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """48-bit SimHash over whitespace tokens (with multiplicity): per bit,
+    sum +1/-1 votes of each token's hash bit; bit set iff the sum is
+    positive (Charikar '02)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.words(F.col(text_col))).alias("w"),
+    ).withColumn("h", T.hash64(F.col("w")))
+    votes = [
+        F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    hamming_t: int = SIMHASH_HAMMING_T,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= t via banded candidate
+    generation: t+1 disjoint bit-chunks; any pair within t flips shares at
+    least one intact chunk (pigeonhole), so the bucket-join is complete —
+    no quadratic scan."""
+    sig = simhash(df, id_col, text_col)
+    chunks = None
+    for j in range(SIMHASH_BANDS):
+        chunk = F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << SIMHASH_BAND_BITS) - 1)
+        )
+        part = sig.select("doc_id", "simhash", F.lit(j).alias("band"), chunk.alias("ck"))
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= hamming_t)
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )

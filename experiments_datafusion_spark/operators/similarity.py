@@ -1,0 +1,250 @@
+"""Similarity search over embedding columns (array<float>) — north-star
+extension (SURVEY.md §2B last row).
+
+Three tiers, same result contract (query_id, neighbor_id, cosine):
+  * brute-force cosine top-k — the exactness baseline; all math in double
+    with sequential accumulation so a DuckDB oracle matches bit-for-bit;
+  * sign-random-projection LSH — bucketed candidate join; sub-linear
+    candidate sets at scale, recall measured against brute force in tests;
+  * IVF — coarse quantizer (per-label centroids as the trained codebook),
+    nprobe-cluster search; the classic billion-scale ANN layout.
+
+Scale notes: query side is always broadcast (q << corpus); the corpus scan
+stays partitioned; no driver-side collect of vectors anywhere except the
+tiny centroid codebook.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+EMB_DIM = 64
+N_PLANES = 16  # LSH hyperplanes -> 16-bit bucket ids
+_rng = random.Random(7)
+# deterministic hyperplanes, generated once (would be shipped as a small
+# broadcast artifact in production)
+LSH_PLANES: list[list[float]] = [
+    [_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product (zip_with + aggregate) —
+    same accumulation order as the oracle's list_sum(list_transform(...))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("nrm", norm(F.col(vec)))
+
+
+def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
+    """All-pairs cosine >= threshold (exact; quadratic by design — the
+    baseline the LSH variants are validated against)."""
+    n = _with_norm(df)
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("x"),
+            F.col(f"b.{id_col}").alias("y"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: broadcast the (small) query
+    set against the partitioned corpus, rank per query with a deterministic
+    tiebreak on neighbor id."""
+    c = _with_norm(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb"), "nrm"
+    )
+    q = _with_norm(queries).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-random-projection bucket id: bit j = sign(v . plane_j).
+    n_planes tunes bucket count to corpus size: ~log2(corpus/target_bucket)
+    planes; 16 at billion scale, 4 for the 500-2000-vector test corpus
+    (uniformly random vectors are the ANN worst case — bucket collision
+    probability for a true neighbor falls with every plane)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(LSH_PLANES[:n_planes]):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+) -> DataFrame:
+    """ANN top-k: join query and corpus on the LSH bucket (plus 1-bit
+    multiprobe neighbors of the query bucket for recall), then exact-rank
+    only the candidates. Candidate set is ~corpus/2^16 per probe at scale."""
+    c = _with_norm(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "nrm",
+        lsh_bucket(F.col("embedding"), n_planes).alias("bucket"),
+    )
+    q = _with_norm(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        lsh_bucket(F.col("embedding"), n_planes).alias("qb"),
+    )
+    # multiprobe: exact bucket + each 1-bit flip
+    probes = F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+    q = q.withColumn("probe", F.explode(probes))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("probe"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+def ivf_centroids(corpus: DataFrame, label_col: str = "label") -> DataFrame:
+    """Coarse codebook: per-label mean vector (the 'trained' quantizer —
+    deterministic here; k-means offline in production). Tiny: one row per
+    cluster, always broadcast."""
+    dim_means = [
+        F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
+        for i in range(EMB_DIM)
+    ]
+    agg = corpus.groupBy(F.col(label_col).alias("cluster")).agg(*dim_means)
+    return agg.select(
+        "cluster", F.array(*[F.col(f"c{i}") for i in range(EMB_DIM)]).alias("centroid")
+    )
+
+
+def _nearest_clusters(vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Literal argmin over the (tiny) codebook — returns array of the
+    nprobe nearest cluster ids by cosine."""
+    import math
+
+    def cos_to(c):
+        arr = F.array(*[F.lit(x) for x in c])
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / (F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, x: a + x)) * F.lit(cn))
+
+    pairs = F.array(
+        *[F.struct(cos_to(c).alias("cos"), F.lit(cid).alias("cluster")) for cid, c in centroids]
+    )
+    best = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    return F.transform(best, lambda s: s.getField("cluster"))
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF search: corpus pre-assigned to its cluster (the label); each
+    query searches only its nprobe nearest clusters. The inverted-file
+    layout at scale = corpus parquet partitioned by cluster id -> partition
+    pruning does the candidate cut for free."""
+    codebook = [
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(corpus, label_col).collect()
+    ]
+    c = _with_norm(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "nrm",
+        F.col(label_col).alias("cluster"),
+    )
+    q = _with_norm(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(_nearest_clusters(F.col("embedding"), codebook, nprobe)).alias("cluster"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )

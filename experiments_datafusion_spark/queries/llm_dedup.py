@@ -1,1 +1,233 @@
-"""Placeholder — populated in a later slice."""
+"""Deduplication queries over the documents table. The MinHash-LSH oracle is
+GENERATED from the same constants as the Spark pipeline (operators/dedup.py)
+so DuckDB replays banding + verification bit-for-bit — the LSH output itself
+is differential-tested. SimHash's banded candidate join is checked against a
+brute-force Hamming oracle (banding completeness by pigeonhole)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.operators import dedup as D
+from experiments_datafusion_spark.queries import register
+
+# ---- shared SQL fragments (mirror operators/text.py + dedup.py) -----------
+
+_WORDS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, len({_WORDS}) - 2), "
+    f"i -> array_to_string(({_WORDS})[i:i+2], ' ')))"
+)
+_H64 = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
+
+_SQL_SHINGLE_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT x, y, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+  FROM common
+  JOIN sizes sa ON x = sa.doc_id
+  JOIN sizes sb ON y = sb.doc_id
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT text, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic representative (min doc_id) — the
+    oracle-checkable form of dropDuplicates(['text'])."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    tags=("llm", "dedup"),
+    oracle="""
+SELECT
+  trim(regexp_replace(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g'),
+       '\\s+', ' ', 'g')) AS norm_text,
+  min(doc_id) AS keeper,
+  count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized text form (case/punct/ws-insensitive)."""
+    from experiments_datafusion_spark.operators import text as T
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(T.normalized(F.col("text")).alias("norm_text")).agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "dedup_jaccard",
+    tags=("llm", "dedup"),
+    oracle=f"""
+WITH {_SQL_SHINGLE_CTE}
+SELECT x, y, jaccard FROM jac WHERE jaccard >= 0.5
+""",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join at threshold 0.5 (posting-list
+    self-join; no quadratic scan)."""
+    return D.jaccard_pairs(table(spark, sf_dir, "documents"), 0.5)
+
+
+def _minhash_oracle() -> str:
+    P, A, B = D.MINHASH_P, D.MINHASH_A, D.MINHASH_B
+    mh_exprs = ",\n    ".join(
+        f"min(({A[i]} * h + {B[i]}) % {P}) AS mh{i}" for i in range(D.NUM_HASHES)
+    )
+    band_selects = []
+    for j in range(D.BANDS):
+        cols = [f"mh{j * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND)]
+        concat = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, md5({concat}) AS bh FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {_H64} % {P} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mh_exprs}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT cand.x, cand.y, jac.jaccard
+FROM cand JOIN jac ON cand.x = jac.x AND cand.y = jac.y
+WHERE jac.jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", tags=("llm", "dedup"), oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (K=32) + LSH (8 bands x 4 rows) near-dup join, candidates
+    verified with exact Jaccard >= 0.5. The DuckDB oracle replays the whole
+    pipeline with identical hash constants."""
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"), 0.5)
+
+
+def _simhash_sql_fragment() -> tuple[str, str]:
+    P_BITS = D.SIMHASH_BITS
+    votes = ",\n    ".join(
+        f"sum(2 * ((h >> {b}) & 1) - 1) AS s{b}" for b in range(P_BITS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(P_BITS)
+    )
+    return votes, terms
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup"),
+    oracle=(
+        lambda votes_terms: f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes_terms[0]}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {votes_terms[1]} AS simhash
+FROM votes
+"""
+    )(_simhash_sql_fragment()),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document (oracle replays the bit votes exactly)."""
+    return D.simhash(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    tags=("llm", "dedup"),
+    oracle=(
+        lambda votes_terms: f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes_terms[0]}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {votes_terms[1]} AS simhash FROM votes)
+SELECT a.doc_id AS x, b.doc_id AS y,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_HAMMING_T}
+"""
+    )(_simhash_sql_fragment()),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole-complete banded
+    join (4 bands x 12 bits); the oracle brute-forces all pairs — matching
+    proves the banding loses nothing."""
+    return D.simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS x, b.vec_id AS y,
+  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) AS cosine
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.45 (test data's max pair is
+    ~0.51). Brute-force by design at this table size; the scale path is the
+    LSH/IVF variants in llm_similarity."""
+    from experiments_datafusion_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(table(spark, sf_dir, "embeddings"), 0.45)

@@ -1,0 +1,95 @@
+"""Property tests for the LLM-pipeline ops that SQL oracles can't fully
+express (SURVEY.md §5.4): ANN recall vs brute force, dedup metamorphic
+properties, LSH candidate soundness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.operators import dedup as D
+from experiments_datafusion_spark.operators import similarity as S
+
+K = 5
+NQ = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def truth(spark, emb):
+    q = emb.where(F.col("vec_id") < NQ)
+    res = S.topk_bruteforce(emb, q, K).collect()
+    return {(r["query_id"], r["neighbor_id"]) for r in res}
+
+
+def _recall(approx_rows, truth):
+    hits = sum(1 for r in approx_rows if (r["query_id"], r["neighbor_id"]) in truth)
+    return hits / len(truth)
+
+
+def test_lsh_recall(spark, emb, truth):
+    q = emb.where(F.col("vec_id") < NQ)
+    approx = S.topk_lsh(emb, q, K, n_planes=4).collect()
+    # uniformly-random embeddings are the LSH worst case: with 4 planes and
+    # 1-bit multiprobe, P[neighbor bucket within 1 bit] ~ p^4 + 4p^3(1-p)
+    # with p = 1 - arccos(cos)/pi ~ 0.6 -> expect ~0.3-0.5 recall
+    assert _recall(approx, truth) >= 0.25
+    # every returned neighbor must be a real corpus vector with rank <= K
+    assert all(1 <= r["rank"] <= K for r in approx)
+
+
+def test_ivf_recall(spark, emb, truth):
+    q = emb.where(F.col("vec_id") < NQ)
+    approx = S.topk_ivf(emb, q, K, nprobe=3).collect()
+    # label-clusters over random vectors: candidates ~ nprobe/10 of corpus,
+    # so recall tracks the candidate fraction (~0.3); real corpora cluster
+    assert _recall(approx, truth) >= 0.2
+    approx_all = S.topk_ivf(emb, q, K, nprobe=10).collect()  # all clusters = exact
+    assert _recall(approx_all, truth) == 1.0
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    once = D.exact_dedup(docs, ["text"])
+    twice = D.exact_dedup(once, ["text"])
+    assert once.count() == twice.count()
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """LSH at 8x4 banding: pairs with very high Jaccard (>=0.9) are ~always
+    candidates (P[miss] = (1-s^4)^8 < 0.3% at s=0.9)."""
+    docs = table(spark, sf_dir, "documents")
+    high = {
+        (r["x"], r["y"])
+        for r in D.jaccard_pairs(docs, 0.9).collect()
+    }
+    lsh = {
+        (r["x"], r["y"])
+        for r in D.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert high, "test data should contain planted near-dups"
+    missed = high - lsh
+    assert len(missed) / len(high) <= 0.1
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    sig = D.simhash(docs)
+    jac = D.jaccard_pairs(docs, 0.95)
+    a, b = sig.alias("a"), sig.alias("b")
+    joined = (
+        jac.join(a, jac.x == F.col("a.doc_id"))
+        .join(b, jac.y == F.col("b.doc_id"))
+        .select(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("ham")
+        )
+        .collect()
+    )
+    assert joined, "expected >=1 pair with jaccard >= 0.95"
+    avg_ham = sum(r["ham"] for r in joined) / len(joined)
+    assert avg_ham <= 8  # 48-bit simhash: near-identical docs stay close
