@@ -29,8 +29,11 @@ from experiments_datafusion_spark.queries import all_queries  # noqa: E402
 from experiments_datafusion_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# 2 warmups: the first run of a query additionally pays Janino whole-stage
+# codegen compilation (tens of seconds for wide generated aggregates);
+# steady-state is what we measure, matching BASELINE.md's protocol.
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
 
 # Representative coverage: scan/filter/agg, joins, sort/topk, windows,
 # grouping, event-time, dedup (exact + LSH + jaccard), similarity, text.
@@ -81,6 +84,8 @@ def main() -> None:
     for name in HEADLINE:
         q = registry[name]
         results[name] = round(time_df(lambda: q.fn(spark, SF_DIR)), 4)
+        print(f"[bench] {name}: {results[name]}s", file=sys.stderr, flush=True)
+        spark.catalog.clearCache()  # drop per-query checkpoint/cache blocks
 
     # reference-parity sort bench: the four workload cases at 100k rows
     for case in generators.CASES:

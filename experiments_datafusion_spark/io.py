@@ -54,6 +54,18 @@ def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition a byte-small but CPU-heavy input across the cluster.
+
+    Small tables (documents: one tiny parquet file) scan as ONE partition,
+    and AQE coalesces by byte size — so hash/regexp-heavy pipelines over
+    them run single-threaded unless explicitly spread. Cheap for small
+    inputs; at 100 TB inputs are already many-partitioned and callers skip
+    this."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 # --- generic readers (DataFusion-19 scan surface -> Spark built-ins) -------
 
 def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:

@@ -21,6 +21,7 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from experiments_datafusion_spark.io import spread
 from experiments_datafusion_spark.operators import text as T
 
 # --- MinHash constants (shared with oracle-SQL generation) -----------------
@@ -50,12 +51,19 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 # --- shingle posting lists --------------------------------------------------
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc, distinct shingle) posting rows — the unit all set-similarity
-    ops join on. At 100 TB this is the shuffle-heavy step; it partitions by
-    shingle, which is naturally high-cardinality (no skew)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.col(text_col))).alias("shingle"),
+    """(doc, distinct hashed shingle) posting rows — the unit all
+    set-similarity ops join on. Shingles are 60-bit hashes, not strings:
+    8-byte join keys shuffle ~4x less than 30-byte text 3-grams and compare
+    in one instruction (collision odds over a 27k-shingle vocab are ~1e-10;
+    MinHash hashes anyway). At 100 TB this is the shuffle-heavy step; it
+    partitions by shingle hash — naturally high-cardinality, no skew."""
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(T.shingles(F.col(text_col))).alias("sh_str"),
+        )
+        .select("doc_id", T.hash64(F.col("sh_str")).alias("shingle"))
     )
 
 
@@ -68,7 +76,10 @@ def jaccard_pairs(
     """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle are
     candidates (posting-list self-join grouped on the pair), then
     |A ∩ B| / (|A| + |B| - |A ∩ B|) filters by threshold."""
-    sh = doc_shingles(df, id_col, text_col)
+    # lazy local checkpoint: the posting list feeds 3+ DAG branches (both
+    # join sides + sizes); checkpointing computes it once instead of per
+    # branch (~16s CPU per evaluation at sf0.1)
+    sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -90,21 +101,22 @@ def jaccard_pairs(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """K=32 minhash values per doc: h_i(s) = (a_i * (hash64(s) mod P) + b_i)
-    mod P, minimized over the doc's shingles. One shuffle (groupBy doc)."""
-    sh = doc_shingles(df, id_col, text_col).withColumn(
-        "h", T.hash64(F.col("shingle")) % MINHASH_P
-    )
+def minhash_signatures_from_postings(sh: DataFrame) -> DataFrame:
+    """K=32 minhash values per doc from (doc_id, shingle-hash) postings:
+    h_i(s) = (a_i * (s mod P) + b_i) mod P, minimized over the doc's
+    shingles. One shuffle (groupBy doc)."""
+    h = F.col("shingle") % MINHASH_P
     mins = [
-        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
-            f"mh{i}"
-        )
+        F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"mh{i}")
         for i in range(NUM_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return minhash_signatures_from_postings(doc_shingles(df, id_col, text_col))
 
 
 def _band_hash(band: int) -> Column:
@@ -117,6 +129,34 @@ def _band_hash(band: int) -> Column:
     return F.md5(out)
 
 
+def _verify_candidates(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs (the whole point of
+    LSH: verification cost is proportional to candidates, not all co-shingle
+    pairs). candidates: (x, y); sh: (doc_id, shingle) posting rows."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        candidates.join(a, candidates.x == F.col("a.doc_id"))
+        .join(
+            b,
+            (candidates.y == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))
+    return (
+        common.join(sa, F.col("x") == F.col("sa.doc_id"))
+        .join(sb, F.col("y") == F.col("sb.doc_id"))
+        .where(jac >= threshold)
+        .select("x", "y", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -124,15 +164,19 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash-LSH near-dup join: band the signature (8 bands x 4 rows),
-    bucket-join on (band, band_hash) for candidates, then verify candidates
-    with EXACT Jaccard. Only candidate pairs pay the verification cost."""
-    sig = minhash_signatures(df, id_col, text_col)
-    bands = None
-    for j in range(BANDS):
-        part = sig.select(
-            "doc_id", F.lit(j).alias("band"), _band_hash(j).alias("bh")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bucket-join on (band, band_hash) for candidates, then verify ONLY the
+    candidates with exact Jaccard.
+
+    Plan shape: signatures computed once, bands emitted in one pass via
+    posexplode (not an 8-way union that would recompute the aggregation);
+    the bucket self-join shuffles on (band, band_hash) — high cardinality,
+    no skew; verification joins candidates back to the posting lists."""
+    sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=False)
+    sig = minhash_signatures_from_postings(sh).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[_band_hash(j) for j in range(BANDS)])).alias("band", "bh"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -145,12 +189,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
         .distinct()
     )
-    exact = jaccard_pairs(df, 0.0, id_col, text_col).withColumnRenamed("jaccard", "jaccard")
-    return (
-        candidates.join(exact, ["x", "y"])
-        .where(F.col("jaccard") >= threshold)
-        .select("x", "y", "jaccard")
-    )
+    return _verify_candidates(candidates, sh, threshold)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -159,7 +198,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """48-bit SimHash over whitespace tokens (with multiplicity): per bit,
     sum +1/-1 votes of each token's hash bit; bit set iff the sum is
     positive (Charikar '02)."""
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.words(F.col(text_col))).alias("w"),
     ).withColumn("h", T.hash64(F.col("w")))
@@ -185,14 +224,17 @@ def simhash_pairs(
     generation: t+1 disjoint bit-chunks; any pair within t flips shares at
     least one intact chunk (pigeonhole), so the bucket-join is complete —
     no quadratic scan."""
-    sig = simhash(df, id_col, text_col)
-    chunks = None
-    for j in range(SIMHASH_BANDS):
-        chunk = F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS).bitwiseAND(
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    chunk_exprs = [
+        F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS).bitwiseAND(
             F.lit((1 << SIMHASH_BAND_BITS) - 1)
         )
-        part = sig.select("doc_id", "simhash", F.lit(j).alias("band"), chunk.alias("ck"))
-        chunks = part if chunks is None else chunks.unionByName(part)
+        for j in range(SIMHASH_BANDS)
+    ]
+    # one pass over the signatures (posexplode), not a t+1-way union
+    chunks = sig.select(
+        "doc_id", "simhash", F.posexplode(F.array(*chunk_exprs)).alias("band", "ck")
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

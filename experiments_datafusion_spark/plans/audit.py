@@ -1,0 +1,66 @@
+"""Plan auditing: machine-checkable assertions about the physical plans
+Catalyst produces — the "is this the plan you'd want at 100 TB" gate
+(SURVEY.md §4: pushdown/pruning/broadcast are free ONLY if the plan is
+declared so they can fire; these helpers prove they fired).
+
+Used by tests/test_plans.py; also handy interactively:
+    from experiments_datafusion_spark.plans.audit import explain_str, audit
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+@dataclass
+class PlanFacts:
+    text: str
+
+    def has(self, *needles: str) -> bool:
+        return all(n in self.text for n in needles)
+
+    @property
+    def n_shuffles(self) -> int:
+        return self.text.count("Exchange hashpartitioning") + self.text.count(
+            "Exchange rangepartitioning"
+        )
+
+    @property
+    def has_pushed_filters(self) -> bool:
+        return "PushedFilters: [" in self.text and "PushedFilters: []" not in self.text
+
+    @property
+    def has_broadcast_join(self) -> bool:
+        return "BroadcastHashJoin" in self.text or "BroadcastNestedLoopJoin" in self.text
+
+    @property
+    def has_whole_stage_codegen(self) -> bool:
+        # formatted mode shows codegen membership as "[codegen id : N]"
+        return "WholeStageCodegen" in self.text or "codegen id" in self.text
+
+    @property
+    def has_python_udf(self) -> bool:
+        return "BatchEvalPython" in self.text or "ArrowEvalPython" in self.text
+
+    def read_schema_columns(self) -> list[list[str]]:
+        """Column lists of every parquet ReadSchema in the plan — the
+        column-pruning evidence."""
+        cols = []
+        for line in self.text.splitlines():
+            line = line.strip()
+            if line.startswith("ReadSchema:"):
+                inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+                cols.append([f.split(":")[0] for f in inner.split(",") if f])
+        return cols
+
+
+def audit(df: DataFrame) -> PlanFacts:
+    return PlanFacts(explain_str(df, "formatted"))

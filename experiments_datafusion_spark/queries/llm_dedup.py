@@ -20,11 +20,12 @@ _SHINGLES = (
     f"list_distinct(list_transform(generate_series(1, len({_WORDS}) - 2), "
     f"i -> array_to_string(({_WORDS})[i:i+2], ' ')))"
 )
-_H64 = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)"
-
 _SQL_SHINGLE_CTE = f"""
+sh_str AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s0 FROM documents
+),
 sh AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+  SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s FROM sh_str
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -110,7 +111,7 @@ def _minhash_oracle() -> str:
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
 WITH {_SQL_SHINGLE_CTE},
-hashed AS (SELECT doc_id, {_H64} % {P} AS h FROM sh),
+hashed AS (SELECT doc_id, s % {P} AS h FROM sh),
 sig AS (
   SELECT doc_id,
     {mh_exprs}

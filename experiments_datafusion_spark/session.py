@@ -24,6 +24,11 @@ RUNTIME_CONF = {
     # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos timestamp,
     # so read as long and convert in io.table() (micros, floor-truncated).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE's default 1MB coalesce floor collapses byte-small but CPU-heavy
+    # shuffles (hashing/regexp pipelines over small tables) to ONE task.
+    # A 16kb floor keeps them parallel; at 100 TB the size-based target
+    # (advisoryPartitionSizeInBytes) dominates and this floor is irrelevant.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16kb",
 }
 
 
@@ -50,6 +55,10 @@ def get_spark(app_name: str = "experiments-datafusion-spark") -> SparkSession:
         # On a real cluster this would be ~2-3x total cores (set via submit).
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # many distinct queries per session -> hundreds of generated classes;
+        # the default 240MB JIT code cache thrashes and later queries run
+        # interpreted/deoptimized (observed 5-10x slowdowns late in session)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
