@@ -30,6 +30,8 @@ _REGISTRY: dict[str, "Query"] = {}
 _MODULES = (
     "tpch",
     "relational",
+    "advanced_joins",
+    "udfs",
     "aggregates",
     "windows",
     "scalars",

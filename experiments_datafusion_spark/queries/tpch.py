@@ -261,3 +261,119 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q18",
+    tags=("agg", "join", "having"),
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS totalprice, qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (Q18 shape): agg -> HAVING -> join back to
+    the dimension side. The heavy agg runs FIRST so only qualifying orders
+    join (semi-join-ish pruning by construction)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            _r(F.col("o_totalprice")).alias("totalprice"),
+            F.round("qty", 2).alias("qty"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume",
+    tags=("join", "agg"),
+    oracle="""
+SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    year(l_shipdate) AS yr,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('FRANCE', 'GERMANY', 'CHINA')
+    AND n2.n_name IN ('FRANCE', 'GERMANY', 'CHINA')
+    AND n1.n_name <> n2.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, yr
+""",
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (Q7 shape): nation-pair revenue by year — two
+    broadcast joins against the same dimension under different roles."""
+    supp = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nations = ("FRANCE", "GERMANY", "CHINA")
+    n1 = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations)).alias("n1")
+    n2 = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations)).alias("n2")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .where(F.col("n1.n_name") != F.col("n2.n_name"))
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q2_maxbal",
+    tags=("subquery", "join"),
+    oracle="""
+SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s_nationkey
+)
+""",
+)
+def tpch_q2_maxbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-max shape: pick the row achieving a per-group max
+    (decorrelated to an agg + join by Catalyst when written in SQL)."""
+    from experiments_datafusion_spark.io import register_views
+
+    register_views(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal = (
+          SELECT max(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = s_nationkey
+        )
+        """
+    )

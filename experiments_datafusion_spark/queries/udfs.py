@@ -1,0 +1,143 @@
+"""User-defined function surface (SURVEY.md §2B UDF/UDAF/UDTF row).
+
+Spark-first guidance applies: UDFs are the slow path, so the engine's own
+operators never use them in hot paths — but the SURFACE must exist for
+users. Coverage: Arrow-vectorized scalar pandas_udf, GROUPED_AGG pandas
+UDAF, applyInPandas (UDTF-ish grouped map), and a row-at-a-time Python UDF
+included deliberately as the anti-pattern reference point. All outputs are
+deterministic, so DuckDB oracles check them like any built-in."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+
+
+@pandas_udf(StringType())
+def _norm_name(s: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: normalize a name (lower, strip digits,
+    collapse spaces) — one Arrow batch per invocation."""
+    return s.str.lower().str.replace(r"[0-9]", "", regex=True).str.replace(
+        r"\s+", " ", regex=True
+    ).str.strip()
+
+
+@pandas_udf(DoubleType())
+def _weighted_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+    return (price * (1.0 - disc)).round(4)
+
+
+@register(
+    "udf_pandas_scalar",
+    tags=("udf",),
+    oracle="""
+SELECT
+  c_custkey,
+  trim(regexp_replace(regexp_replace(lower(c_name), '[0-9]', '', 'g'), '\\s+', ' ', 'g'))
+    AS norm_name,
+  round(c_acctbal * 0.9, 4) AS discounted_bal
+FROM customer
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDFs in a projection."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        _norm_name(F.col("c_name")).alias("norm_name"),
+        _weighted_price(F.col("c_acctbal"), F.lit(0.1)).alias("discounted_bal"),
+    )
+
+
+@pandas_udf(DoubleType())
+def _gini(values: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF: Gini coefficient of order values — a real
+    custom aggregate Spark has no built-in for."""
+    x = values.sort_values().to_numpy()
+    n = len(x)
+    if n == 0 or x.sum() == 0:
+        return 0.0
+    cum = x.cumsum()
+    return float(round((n + 1 - 2 * (cum / cum[-1]).sum()) / n, 6))
+
+
+@register(
+    "udf_grouped_agg",
+    tags=("udf", "agg"),
+    oracle="""
+WITH ordered AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+         count(*)     OVER (PARTITION BY o_orderstatus) AS n,
+         sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(o_totalprice) OVER (PARTITION BY o_orderstatus) AS tot
+  FROM orders
+)
+SELECT o_orderstatus, round((max(n) + 1 - 2 * sum(cum / tot)) / max(n), 6) AS gini
+FROM ordered GROUP BY o_orderstatus
+""",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (Gini) as a GROUPED_AGG pandas UDF; the oracle
+    recomputes it with pure window SQL."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(_gini(F.col("o_totalprice")).alias("gini"))
+
+
+@register(
+    "udf_apply_in_pandas",
+    tags=("udf", "grouped-map"),
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice - mn), 2) AS spend_above_min
+FROM (
+  SELECT o_custkey, o_totalprice,
+         min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn
+  FROM orders
+)
+GROUP BY o_custkey
+""",
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDTF-shaped API): per-customer
+    normalization against the group minimum, one pandas frame per group."""
+    o = table(spark, sf_dir, "orders")
+
+    def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn = pdf["o_totalprice"].min()
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "spend_above_min": [round(float((pdf["o_totalprice"] - mn).sum()), 2)],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        per_customer, schema="o_custkey long, n_orders long, spend_above_min double"
+    )
+
+
+@register(
+    "udf_python_rowwise",
+    tags=("udf", "antipattern"),
+    oracle="""
+SELECT n_nationkey, n_name || '#' || CAST(n_regionkey AS VARCHAR) AS tagged
+FROM nation
+""",
+)
+def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — present for surface completeness and as
+    the documented anti-pattern (10-100x slower than pandas_udf; never used
+    in engine hot paths). Applied only to the 25-row nation table."""
+    tag = F.udf(lambda name, rk: f"{name}#{rk}", StringType())
+    n = table(spark, sf_dir, "nation")
+    return n.select("n_nationkey", tag("n_name", "n_regionkey").alias("tagged"))

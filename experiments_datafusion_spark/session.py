@@ -59,6 +59,7 @@ def get_spark(app_name: str = "experiments-datafusion-spark") -> SparkSession:
         # the default 240MB JIT code cache thrashes and later queries run
         # interpreted/deoptimized (observed 5-10x slowdowns late in session)
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.sql.warehouse.dir", "/tmp/edfs-warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

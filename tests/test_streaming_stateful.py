@@ -1,0 +1,119 @@
+"""Stateful streaming (applyInPandasWithState) + watermark late-data
+semantics (SURVEY.md §7 slice 5 'streaming state + late data')."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from experiments_datafusion_spark.io import table as load_table
+from experiments_datafusion_spark.streaming.stateful import running_user_totals
+
+
+def _src(spark, d, sf_dir):
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = spark.readStream.schema(raw_schema).parquet(str(d))
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return src
+
+
+def test_stateful_running_totals_converges(spark, sf_dir, tmp_path):
+    """Replaying the full events table through the stateful operator must
+    converge to the batch groupBy answer (last update per user)."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    out = running_user_totals(_src(spark, d, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["user_id"]: (r["events_seen"], r["value_sum"])
+        for r in spark.table("sink_stateful").collect()
+    }
+    batch = {
+        r["user_id"]: (r["events_seen"], r["value_sum"])
+        for r in running_user_totals(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert streamed == batch
+
+
+def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark far ahead; batch 2
+    contains only events older than the watermark -> its rows must NOT
+    create new windows in the aggregation output (append mode emits only
+    finalized windows; the late window never appears)."""
+    d = tmp_path / "late"
+    d.mkdir()
+    events = load_table(spark, sf_dir, "events").limit(0)  # schema only
+    schema = events.schema
+
+    recent = spark.createDataFrame(
+        [(1, "2024-02-01 12:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-02-01 13:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    recent.write.mode("overwrite").parquet(str(d / "batch1"))
+
+    src = spark.readStream.schema(recent.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(d / "batch1"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("string").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sink_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # now append the late file and re-run from the same checkpointless source:
+    # a fresh query over both files with maxFilesPerTrigger=1 processes them
+    # as separate micro-batches in order
+    late.write.mode("overwrite").parquet(str(d / "batch2"))
+    merged = tmp_path / "merged"
+    merged.mkdir()
+    for i, sub in enumerate(["batch1", "batch2"]):
+        for f in (d / sub).glob("*.parquet"):
+            # name order fixes processing order (older names first)
+            shutil.copy(f, merged / f"{i}_{f.name}")
+    src2 = spark.readStream.schema(recent.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(merged))
+    agg2 = (
+        src2.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("string").alias("ws"), "n")
+    )
+    q2 = (
+        agg2.writeStream.format("memory")
+        .queryName("sink_late2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    windows = {r["ws"] for r in spark.table("sink_late2").collect()}
+    assert all(not w.startswith("2024-01-01") for w in windows), (
+        f"late 2024-01-01 event created a window despite watermark: {windows}"
+    )
