@@ -395,3 +395,103 @@ def gather_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") % 100 == 1)
         .select("rn", "o_orderkey", "o_orderstatus")
     )
+
+
+@register(
+    "setop_union_distinct",
+    tags=("setop",),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics): union + distinct."""
+    a = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "setop_intersect_all",
+    tags=("setop",),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics: min of multiplicities)."""
+    a = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all",
+    tags=("setop",),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics: multiplicity subtraction)."""
+    a = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "unnest_explode",
+    tags=("array", "udtf"),
+    oracle="""
+SELECT vec_id, ord AS pos, round(CAST(component AS DOUBLE), 5) AS component
+FROM (
+  SELECT vec_id, unnest(embedding) AS component,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+  WHERE vec_id < 20
+)
+""",
+)
+def unnest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST with ordinality (posexplode) — the table-function surface."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "comp")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("comp").cast("double"), 5).alias("component"),
+    )
+
+
+@register(
+    "scalar_decimal",
+    tags=("scalar", "decimal"),
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)              AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS VARCHAR)          AS price_x2,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER () AS VARCHAR) AS total_dec
+FROM orders
+WHERE o_orderkey < 200
+""",
+)
+def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecimalType: exact fixed-point cast, arithmetic, and aggregation
+    (rendered to strings — decimal wire formats differ across engines)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    w = Window.partitionBy()
+    return o.select(
+        "o_orderkey",
+        dec.cast("string").alias("price_dec"),
+        (dec * 2).cast("string").alias("price_x2"),
+        F.sum(dec).over(w).cast("string").alias("total_dec"),
+    )

@@ -36,6 +36,35 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd.  Module-level UDF callables are cloudpickled *by reference*,
+    so workers must import ``experiments_datafusion_spark`` themselves; if the
+    external driver launched from a different directory, sys.path tweaks on
+    the driver side never reach the workers.  ``addPyFile`` does."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    stem = str(Path(tempfile.gettempdir()) / "edfs_pkg")
+    try:
+        zip_path = shutil.make_archive(
+            stem, "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name
+        )
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # best effort; cwd==repo root already works without it
+    _SHIPPED_CONTEXTS.add(key)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONF.items():
@@ -43,6 +72,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build; keep going
+    _ship_package(spark)
     return spark
 
 
