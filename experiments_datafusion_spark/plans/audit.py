@@ -9,6 +9,7 @@ Used by tests/test_plans.py; also handy interactively:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -29,8 +30,21 @@ class PlanFacts:
 
     @property
     def n_shuffles(self) -> int:
-        return self.text.count("Exchange hashpartitioning") + self.text.count(
+        """Shuffle exchanges in the plan.  simple-mode explain inlines the
+        partitioning ("Exchange hashpartitioning(...)"); formatted mode
+        renders the node as "(N) Exchange" with the partitioning on a
+        separate Arguments line — count both spellings."""
+        inline = self.text.count("Exchange hashpartitioning") + self.text.count(
             "Exchange rangepartitioning"
+        )
+        formatted = len(re.findall(r"^\(\d+\) Exchange$", self.text, re.M))
+        return max(inline, formatted)
+
+    @property
+    def n_range_shuffles(self) -> int:
+        """Range-partitioned (global-sort) exchanges, both explain spellings."""
+        return self.text.count("Exchange rangepartitioning") + len(
+            re.findall(r"^Arguments: rangepartitioning", self.text, re.M)
         )
 
     @property
