@@ -495,3 +495,82 @@ def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec * 2).cast("string").alias("price_x2"),
         F.sum(dec).over(w).cast("string").alias("total_dec"),
     )
+
+
+@register(
+    "pivot_status",
+    tags=("agg", "pivot"),
+    oracle="""
+SELECT
+  o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f,
+  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS rev_o,
+  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: wide conditional aggregation.  The pivot values are given
+    explicitly — with an implicit value list Spark must first run a
+    distinct scan to discover them (an extra job at scale)."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    # Spark names multi-agg pivot columns "<value>_<agg alias>"
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_cnt"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P_cnt"), F.lit(0)).alias("cnt_p"),
+        F.coalesce(F.col("F_rev"), F.lit(0.0)).alias("rev_f"),
+        F.coalesce(F.col("O_rev"), F.lit(0.0)).alias("rev_o"),
+        F.coalesce(F.col("P_rev"), F.lit(0.0)).alias("rev_p"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    tags=("pivot",),
+    oracle="""
+SELECT c_custkey, metric, round(val, 2) AS val
+FROM (
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey' AS metric,
+         CAST(c_nationkey AS DOUBLE) AS val FROM customer
+)
+WHERE c_custkey < 200
+""",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide -> long.  DataFrame.unpivot is a zero-shuffle
+    narrow transform (each row expands locally); the oracle spells it as
+    UNION ALL, the relational-algebra equivalent."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    long = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+    return long.select("c_custkey", "metric", F.round("val", 2).alias("val"))
+
+
+@register("table_sample", tags=("sample",))
+def table_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE: seeded Bernoulli sample pushed into the scan (rows-only
+    check — sampling RNG is engine-specific, so no cross-engine oracle;
+    tests assert determinism for a fixed seed and approximate fraction)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -321,3 +321,96 @@ def scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("123").try_cast("int").alias("good_int"),
         (F.col("o_orderkey") % 2 == 0).cast("string").alias("even_str"),
     )
+
+
+@register(
+    "scalar_string2",
+    tags=("scalar",),
+    oracle="""
+SELECT
+  p_partkey,
+  left(p_name, 4)                                   AS name_l4,
+  right(p_name, 3)                                  AS name_r3,
+  chr(65 + p_size % 26)                             AS size_chr,
+  hex(p_brand)                                      AS brand_hex,
+  translate(p_type, 'AEO', 'aeo')                   AS type_tr,
+  ltrim('xx' || p_brand, 'x')                       AS brand_ltrim,
+  rtrim(p_brand || 'zz', 'z')                       AS brand_rtrim,
+  starts_with(p_name, 'small')                      AS is_small,
+  ends_with(p_name, 'bolt')                         AS is_bolt,
+  levenshtein(p_brand, 'Brand#1')                   AS brand_dist,
+  CAST(octet_length(CAST(p_name AS BLOB)) AS INT)   AS name_octets,
+  initcap_sp                                        AS name_title
+FROM (
+  SELECT *,
+         concat(upper(substr(p_name, 1, 1)), substr(p_name, 2)) AS initcap_sp
+  FROM part
+)
+WHERE p_partkey < 500
+""",
+)
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string slab: left/right, chr, hex, translate, char-class
+    trims, prefix/suffix predicates, edit distance, octet_length.
+    (DuckDB 1.0 lacks initcap, so title-casing is spelled out the same
+    way in both engines.)"""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("name_l4"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.expr("char(65 + p_size % 26)").alias("size_chr"),
+        F.hex(F.col("p_brand")).alias("brand_hex"),
+        F.translate(F.col("p_type"), "AEO", "aeo").alias("type_tr"),
+        F.expr("trim(LEADING 'x' FROM concat('xx', p_brand))").alias("brand_ltrim"),
+        F.expr("trim(TRAILING 'z' FROM concat(p_brand, 'zz'))").alias("brand_rtrim"),
+        F.col("p_name").startswith("small").alias("is_small"),
+        F.col("p_name").endswith("bolt").alias("is_bolt"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).alias("brand_dist"),
+        F.octet_length("p_name").alias("name_octets"),
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substr(p_name, 2)")
+        ).alias("name_title"),
+    )
+
+
+@register(
+    "scalar_math2",
+    tags=("scalar",),
+    oracle="""
+SELECT
+  p_partkey,
+  round(atan2(CAST(p_size AS DOUBLE), 10.0), 6)          AS sz_atan2,
+  round(tan(p_retailprice / 1000.0), 6)                  AS pr_tan,
+  round(asin((p_size % 10) / 10.0), 6)                   AS sz_asin,
+  round(acos((p_size % 10) / 10.0), 6)                   AS sz_acos,
+  round(degrees(p_retailprice / 1000.0), 6)              AS pr_deg,
+  round(radians(CAST(p_size AS DOUBLE)), 6)              AS sz_rad,
+  round(cbrt(p_retailprice), 6)                          AS pr_cbrt,
+  CAST(factorial(p_size % 10) AS BIGINT)                 AS sz_fact,
+  round(p_retailprice, -1) + 0.0                         AS pr_round_neg,
+  round(atan(p_retailprice / 500.0), 6)                  AS pr_atan
+FROM part
+WHERE p_partkey < 500
+""",
+)
+def scalar_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second math slab: inverse trig, atan2, angle conversion, cube root,
+    factorial, negative-digit rounding.  `+ 0.0` normalizes IEEE -0.0 the
+    same way in both engines."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    sz = F.col("p_size")
+    pr = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(F.atan2(sz.cast("double"), F.lit(10.0)), 6).alias("sz_atan2"),
+        F.round(F.tan(pr / 1000.0), 6).alias("pr_tan"),
+        F.round(F.asin((sz % 10) / 10.0), 6).alias("sz_asin"),
+        F.round(F.acos((sz % 10) / 10.0), 6).alias("sz_acos"),
+        F.round(F.degrees(pr / 1000.0), 6).alias("pr_deg"),
+        F.round(F.radians(sz.cast("double")), 6).alias("sz_rad"),
+        F.round(F.cbrt(pr), 6).alias("pr_cbrt"),
+        F.factorial(sz % 10).alias("sz_fact"),
+        (F.round(pr, -1) + 0.0).alias("pr_round_neg"),
+        F.round(F.atan(pr / 500.0), 6).alias("pr_atan"),
+    )

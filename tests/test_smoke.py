@@ -18,3 +18,14 @@ def test_queries_oracle_keys_align():
     assert q, "queries() must not be empty"
     missing = set(o) - set(q)
     assert not missing, f"oracle_sql keys not in queries(): {missing}"
+
+
+def test_table_sample_deterministic_and_bounded(spark, sf_dir):
+    from experiments_datafusion_spark.queries import all_queries
+
+    fn = all_queries()["table_sample"].fn
+    n1 = fn(spark, sf_dir).count()
+    n2 = fn(spark, sf_dir).count()
+    total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert n1 == n2  # seeded sample is reproducible
+    assert 0.05 * total < n1 < 0.15 * total  # ~10% Bernoulli
