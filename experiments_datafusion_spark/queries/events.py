@@ -129,3 +129,70 @@ def ev_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("uniq_users"),
         )
     )
+
+
+@register(
+    "ev_enrich_join",
+    tags=("events", "join"),
+    oracle="""
+SELECT
+  e.event_id,
+  e.user_id,
+  e.event_type,
+  round(coalesce(p.lifetime_value, 0.0), 2) AS lifetime_value,
+  coalesce(p.n_past_events, 0)              AS n_past_events
+FROM events e
+LEFT JOIN (
+  SELECT user_id,
+         sum(value) AS lifetime_value,
+         count(*)   AS n_past_events
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+) p USING (user_id)
+""",
+)
+def ev_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch twin: the profile is the
+    per-user purchase history derived from the same table; on a stream the
+    identical pipeline broadcasts this static profile into each
+    micro-batch (tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    profile = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("lifetime_value"),
+            F.count(F.lit(1)).alias("n_past_events"),
+        )
+    )
+    return pipelines.enrich_with_profile(ev, profile)
+
+
+@register(
+    "ev_attribution",
+    tags=("events", "join"),
+    oracle="""
+SELECT
+  c.event_id AS click_id,
+  p.event_id AS purchase_id,
+  p.user_id,
+  round(p.value, 2) AS purchase_value,
+  date_diff('second', c.ts, p.ts) AS secs_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: purchases attributed to
+    same-user clicks within 1 hour.  Streaming execution adds watermarks
+    on both sides so join state is evictable (tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    return pipelines.attribute_purchases(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "1 hour",
+    )

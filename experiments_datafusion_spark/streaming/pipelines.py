@@ -81,3 +81,63 @@ def dedup_events(events: DataFrame) -> DataFrame:
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a (static) per-user
+    profile dimension.  The static side is broadcast — on a stream Spark
+    re-plans it per micro-batch, so the enrichment never shuffles the
+    stream side; this is the standard dimension-enrichment pattern at
+    scale (profile tables are small relative to the event firehose)."""
+    return (
+        events.join(F.broadcast(profile), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.coalesce(F.col("lifetime_value"), F.lit(0.0)), 2).alias(
+                "lifetime_value"
+            ),
+            F.coalesce(F.col("n_past_events"), F.lit(0)).alias("n_past_events"),
+        )
+    )
+
+
+def attribute_purchases(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks
+    by the same user within [click_ts, click_ts + horizon].  On streams
+    both sides carry watermarks, which (with the interval bound) let Spark
+    evict join state — unbounded state is the classic stream-join failure
+    mode at scale.  Inner join, so results emit eagerly."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", "30 minutes")
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", "30 minutes")
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("click_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )

@@ -68,3 +68,44 @@ def test_stream_dedup_runs(spark, sf_dir, events_stream_dir):
     n_stream = spark.table("sink_dedup").count()
     n_batch = pipelines.dedup_events(load_table(spark, sf_dir, "events")).count()
     assert n_stream == n_batch
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static join: the static profile side is a batch DataFrame
+    broadcast into every micro-batch."""
+    ev_batch = load_table(spark, sf_dir, "events")
+    profile = (
+        ev_batch.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("lifetime_value"),
+            F.count(F.lit(1)).alias("n_past_events"),
+        )
+    )
+    out = pipelines.enrich_with_profile(
+        _stream_source(spark, events_stream_dir, sf_dir), profile
+    )
+    _run_to_memory(out, "sink_enrich", "append")
+    assert _norm(spark.table("sink_enrich")) == _norm(
+        pipelines.enrich_with_profile(ev_batch, profile)
+    )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join with watermarks on both sides; inner
+    join results emit eagerly, availableNow drains the replay."""
+    clicks_s = _stream_source(spark, events_stream_dir, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purch_s = _stream_source(spark, events_stream_dir, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    out = pipelines.attribute_purchases(clicks_s, purch_s, "1 hour")
+    _run_to_memory(out, "sink_attr", "append")
+    ev = load_table(spark, sf_dir, "events")
+    batch = pipelines.attribute_purchases(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "1 hour",
+    )
+    assert _norm(spark.table("sink_attr")) == _norm(batch)
