@@ -103,3 +103,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_noop(df: DataFrame) -> None:
     """Force full execution without materializing output — the bench sink."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-line text source (one `value` column) — the raw-corpus entry
+    point for LLM-pipeline ingestion."""
+    return spark.read.text(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan. The spark-avro module is an optional jar; surface a clear
+    error when it isn't on the classpath (this container doesn't bundle it)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: FAILED_READ_FILE / format
+        raise NotImplementedError(
+            "Avro needs the spark-avro package on the session classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from exc

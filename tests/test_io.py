@@ -88,3 +88,35 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
 
 def test_noop_sink_runs(spark, sf_dir):
     io.write_noop(io.table(spark, sf_dir, "region"))
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    src = io.table(spark, sf_dir, "customer")
+    io.write_orc(src, str(tmp_path / "cust_orc"))
+    back = io.read_orc(spark, str(tmp_path / "cust_orc"))
+    assert _rows(back, "c_custkey") == _rows(src, "c_custkey")
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
+    src = io.table(spark, sf_dir, "orders")
+    io.write_orc(src, str(tmp_path / "orders_orc"))
+    df = io.read_orc(spark, str(tmp_path / "orders_orc")).where(
+        F.col("o_orderkey") < 100
+    ).select("o_orderkey")
+    p = audit(df)
+    assert p.has_pushed_filters
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    f = tmp_path / "corpus.txt"
+    f.write_text("alpha\nbeta\ngamma\n")
+    df = io.read_text(spark, str(f))
+    assert df.columns == ["value"]
+    assert df.count() == 3
+
+
+def test_avro_gated_with_clear_error(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        io.read_avro(spark, str(tmp_path / "nothing.avro"))

@@ -150,3 +150,21 @@ def test_formatted_mode_shuffle_counter_sees_exchanges(spark, sf_dir):
     shuffles at minimum when the customer join isn't broadcast)."""
     p = audit(Q["tpch_q13_custdist"].fn(spark, sf_dir))
     assert p.n_shuffles >= 2
+
+
+def test_run_with_metrics_observes_inline(spark, sf_dir):
+    """EXPLAIN ANALYZE analog: runtime row/sum counters ride the main pass
+    via Observation, and the captured post-run plan is the AQE-final one."""
+    from experiments_datafusion_spark.plans.metrics import run_with_metrics
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    agg = li.groupBy("l_returnflag").agg(F.round(F.sum("l_quantity"), 2).alias("q"))
+    got, plan_text = run_with_metrics(
+        agg, {"groups": F.count(F.lit(1)), "qty": F.round(F.sum("q"), 2)}
+    )
+    assert got["groups"] == agg.count() > 0
+    assert got["qty"] > 0
+    # AQE only wraps plans containing exchanges; after execution the
+    # captured text must be the finalized adaptive plan
+    assert "AdaptiveSparkPlan" in plan_text
+    assert "isFinalPlan=true" in plan_text
