@@ -2,9 +2,11 @@
 workloads (FIXTURES.md §B; generation rules at /root/reference/src/data.rs).
 
 Spark-first translation: `spark.range(n)` + seeded column expressions, all
-JVM-side (F.rand(seed), hash-derived strings) — no driver-side data
-generation, so a 100k-row batch and a 10B-row batch build the same way,
-partitioned across the cluster.
+JVM-side (xxhash64-of-id streams, hash-derived strings) — no driver-side
+data generation, so a 100k-row batch and a 10B-row batch build the same way,
+partitioned across the cluster, and the dataset is identical at ANY
+parallelism (partition-invariant determinism, unlike F.rand's per-partition
+seeding).
 
 Reference semantics reproduced:
   * utf8_low  — uniform over 100 fixed strings "value0".."value99"
@@ -31,8 +33,20 @@ SPLIT_SEED = 1337  # data.rs:247
 CASES = ("utf8-tuple", "mixed-tuple", "dictionary-tuple", "mixed-dictionary-tuple")
 
 
+# All value streams derive from (id, seed) via xxhash64, never F.rand:
+# F.rand(seed) seeds PER PARTITION, so output would change with parallelism
+# (SPARK_GRAFT_CPUS, cluster size). Hash-of-id matches the reference's
+# one-fixed-dataset semantics (StdRng::seed_from_u64, data.rs:193) for any
+# partitioning of spark.range(n).
+
+
+def _uniform(seed: int, card: int):
+    """Uniform int in [0, card), a pure function of (id, seed)."""
+    return F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(card))
+
+
 def _utf8_low(seed: int):
-    return F.concat(F.lit("value"), F.floor(F.rand(seed) * 100).cast("int").cast("string"))
+    return F.concat(F.lit("value"), _uniform(seed, 100).cast("int").cast("string"))
 
 
 def _utf8_high(seed: int):
@@ -42,7 +56,7 @@ def _utf8_high(seed: int):
 
 
 def _i64(seed: int, n: int):
-    return F.floor(F.rand(seed) * n).cast("long")
+    return _uniform(seed, n).cast("long")
 
 
 def _f64(seed: int, n: int):

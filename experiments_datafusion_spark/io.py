@@ -40,7 +40,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # `div` = exact bigint division: nanosecond epochs (~1.7e18) exceed
+        # double's 2^53 integer range, so float division could land 1µs off
+        # DuckDB's exact truncation and flip value-hashes near boundaries.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

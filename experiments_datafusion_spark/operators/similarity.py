@@ -123,6 +123,77 @@ def lsh_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
     return bucket
 
 
+def lsh_table_buckets(vec: Column, planes_per_table: int, n_tables: int) -> Column:
+    """Array of bucket ids, one per LSH table (OR-construction): table j
+    uses its own disjoint plane slice LSH_PLANES[j*m:(j+1)*m].  AND within a
+    table (all m bits must match) controls precision; OR across tables
+    controls recall — the standard (m, L) LSH trade (MMDS ch.3)."""
+    m = planes_per_table
+    assert m * n_tables <= len(LSH_PLANES), "not enough precomputed planes"
+    buckets = []
+    for j in range(n_tables):
+        bucket = F.lit(0)
+        for i, plane in enumerate(LSH_PLANES[j * m : (j + 1) * m]):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        buckets.append(bucket)
+    return F.array(*buckets)
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    planes_per_table: int = 2,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH buckets + exact in-bucket verify —
+    the scale path (the quadratic `cosine_pairs` is the recall oracle in
+    tests).  Candidates come from a bucket self-join per table (posexplode,
+    one pass), verified with exact cosine only for candidate pairs.
+
+    (m=2, L=6) reaches recall 1.0 on the uniformly-random test embeddings
+    (measured; random vectors are the ANN worst case).  At billion scale the
+    knobs shift toward m≈16 so buckets stay small; the plan shape — shuffle
+    on (table, bucket), verify ∝ candidates — is unchanged."""
+    tables = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            lsh_table_buckets(F.col("embedding"), planes_per_table, n_tables)
+        ).alias("tbl", "bucket"),
+    )
+    a, b = tables.alias("a"), tables.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+        .distinct()
+    )
+    n = _with_norm(df).select(
+        F.col(id_col).alias("vid"), F.col("embedding").alias("emb"), "nrm"
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    cos = dot(F.col("na.emb"), F.col("nb.emb")) / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        candidates.join(na, F.col("x") == F.col("na.vid"))
+        .join(nb, F.col("y") == F.col("nb.vid"))
+        .where(cos >= threshold)
+        .select("x", "y", F.round(cos, 4).alias("cosine"))
+    )
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

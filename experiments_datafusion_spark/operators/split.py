@@ -17,9 +17,14 @@ from experiments_datafusion_spark.generators import SPLIT_SEED
 
 
 def assign_streams(df: DataFrame, num_streams: int, seed: int = SPLIT_SEED) -> DataFrame:
-    """Uniform-random stream assignment (data.rs:252-261) as a column."""
+    """Uniform stream assignment (data.rs:252-261) as a column.
+
+    Seeded content-hash, not F.rand: rand seeds per partition, so the split
+    would change with parallelism; xxhash64 over the row is uniform across
+    streams AND identical at any partitioning / cluster size."""
     return df.withColumn(
-        "stream", F.floor(F.rand(seed) * num_streams).cast("int")
+        "stream",
+        F.pmod(F.xxhash64(*df.columns, F.lit(seed)), F.lit(num_streams)).cast("int"),
     )
 
 

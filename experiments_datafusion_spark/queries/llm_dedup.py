@@ -34,7 +34,10 @@ common AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT x, y, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+  -- raw (unrounded) jaccard: thresholds below filter on THIS value, exactly
+  -- like the Spark side (operators/dedup.py filters raw, rounds for output);
+  -- rounding before filtering would flip pairs in [t - 5e-5, t).
+  SELECT x, y, c * 1.0 / (sa.n_sh + sb.n_sh - c) AS jaccard_raw
   FROM common
   JOIN sizes sa ON x = sa.doc_id
   JOIN sizes sb ON y = sb.doc_id
@@ -87,7 +90,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
     oracle=f"""
 WITH {_SQL_SHINGLE_CTE}
-SELECT x, y, jaccard FROM jac WHERE jaccard >= 0.5
+SELECT x, y, round(jaccard_raw, 4) AS jaccard FROM jac WHERE jaccard_raw >= 0.5
 """,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,9 +128,9 @@ cand AS (
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
-SELECT cand.x, cand.y, jac.jaccard
+SELECT cand.x, cand.y, round(jac.jaccard_raw, 4) AS jaccard
 FROM cand JOIN jac ON cand.x = jac.x AND cand.y = jac.y
-WHERE jac.jaccard >= 0.5
+WHERE jac.jaccard_raw >= 0.5
 """
 
 
@@ -227,8 +230,74 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.45 (test data's max pair is
-    ~0.51). Brute-force by design at this table size; the scale path is the
-    LSH/IVF variants in llm_similarity."""
+    ~0.51). Brute-force — kept as the exactness/recall BASELINE; the
+    primary scale path is dedup_embedding_lsh below."""
     from experiments_datafusion_spark.operators.similarity import cosine_pairs
 
     return cosine_pairs(table(spark, sf_dir, "embeddings"), 0.45)
+
+
+def _embedding_lsh_oracle(planes_per_table: int = 2, n_tables: int = 6) -> str:
+    """DuckDB replay of embedding_lsh_pairs with the SAME plane constants
+    (operators/similarity.py:LSH_PLANES) — like the MinHash oracle, the LSH
+    output itself is differential-tested, not just the verify step."""
+    from experiments_datafusion_spark.operators.similarity import LSH_PLANES
+
+    m = planes_per_table
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    table_selects = []
+    for j in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(LSH_PLANES[j * m + i])} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(m)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {j} AS tbl, ({bits}) AS bucket FROM embeddings"
+        )
+    buckets_sql = "\n  UNION ALL\n  ".join(table_selects)
+    return f"""
+WITH buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+  FROM buckets a
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT x, y,
+  round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm), 4) AS cosine
+FROM cand
+JOIN norms na ON x = na.vec_id
+JOIN norms nb ON y = nb.vec_id
+WHERE list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm) >= 0.45
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    tags=("llm", "dedup", "similarity"),
+    oracle=_embedding_lsh_oracle(),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-random-projection LSH buckets +
+    exact in-bucket cosine verify — the PRIMARY (scale-safe) embedding dedup
+    path: candidates from bucket self-joins, verification proportional to
+    candidates, never an all-pairs scan. The oracle replays the bucketing
+    with identical plane constants."""
+    from experiments_datafusion_spark.operators.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(table(spark, sf_dir, "embeddings"), 0.45)

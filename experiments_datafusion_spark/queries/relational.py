@@ -387,11 +387,15 @@ SELECT rn, o_orderkey, o_orderstatus FROM (
 def gather_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Take/gather-by-index (reference: Arrow `take`,
     /root/reference/src/lib.rs:56-73): Spark has no positional gather, so
-    attach row_number over a deterministic order and filter on position."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    attach a global index over a deterministic order and filter on position.
+    The index is the two-pass bucketed form (operators/index.py) — every
+    stage parallel, unlike a no-partition Window.orderBy which funnels the
+    whole table through one task."""
+    from experiments_datafusion_spark.operators.index import with_global_index
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     return (
-        o.select("o_orderkey", "o_orderstatus", F.row_number().over(w).alias("rn"))
+        with_global_index(o, "o_orderkey", "rn")
         .where(F.col("rn") % 100 == 1)
         .select("rn", "o_orderkey", "o_orderstatus")
     )

@@ -36,7 +36,7 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -44,9 +44,14 @@ def _ship_package(spark: SparkSession) -> None:
     driver's cwd.  Module-level UDF callables are cloudpickled *by reference*,
     so workers must import ``experiments_datafusion_spark`` themselves; if the
     external driver launched from a different directory, sys.path tweaks on
-    the driver side never reach the workers.  ``addPyFile`` does."""
+    the driver side never reach the workers.  ``addPyFile`` does.
+
+    The archive goes to a per-call private temp dir (never a fixed path:
+    concurrent sessions on this host — driver verify, bench, pytest — would
+    race make_archive against another session's addPyFile fetch), and the
+    memo key is applicationId (stable; id(sc) can be reused after GC)."""
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key in _SHIPPED_CONTEXTS:
         return
     import shutil
@@ -54,7 +59,7 @@ def _ship_package(spark: SparkSession) -> None:
     from pathlib import Path
 
     pkg_dir = Path(__file__).resolve().parent
-    stem = str(Path(tempfile.gettempdir()) / "edfs_pkg")
+    stem = str(Path(tempfile.mkdtemp(prefix="edfs_pkg_")) / "edfs_pkg")
     try:
         zip_path = shutil.make_archive(
             stem, "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name

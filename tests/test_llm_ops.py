@@ -53,6 +53,18 @@ def test_ivf_recall(spark, emb, truth):
     assert _recall(approx_all, truth) == 1.0
 
 
+def test_embedding_lsh_recall_vs_bruteforce(spark, emb):
+    """The primary embedding-dedup path (LSH buckets + in-bucket verify)
+    must recover every brute-force pair on the test corpus at (m=2, L=6) —
+    measured recall 1.0; asserted >= 0.9 to absorb data regeneration."""
+    brute = {(r["x"], r["y"]) for r in S.cosine_pairs(emb, 0.45).collect()}
+    lsh = {(r["x"], r["y"]) for r in S.embedding_lsh_pairs(emb, 0.45).collect()}
+    assert brute, "test data should contain near-dup embedding pairs"
+    assert len(brute & lsh) / len(brute) >= 0.9
+    # soundness: LSH pairs are verified with exact cosine, so lsh ⊆ brute
+    assert lsh <= brute
+
+
 def test_dedup_idempotent(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     once = D.exact_dedup(docs, ["text"])
