@@ -53,11 +53,18 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "text_quality",
 ]
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
+
+# Reference sweep reproduction (runall.sh:1-8 runs START=250..END=100000;
+# main.rs:36-71 emits a DataPoint per batch size; lib.rs:94-160 charts them).
+# A geometric subset keeps the per-round bench fast while still exhibiting
+# the scaling shape; charts land in img/refsort_<case>.svg.
+SWEEP_SIZES = (250, 1_000, 4_000, 16_000, 50_000, 100_000)
 
 
 def force(df) -> None:
@@ -89,16 +96,39 @@ def main() -> None:
         q = registry[name]
         results[name] = round(time_df(lambda: q.fn(spark, SF_DIR)), 4)
         print(f"[bench] {name}: {results[name]}s", file=sys.stderr, flush=True)
-        spark.catalog.clearCache()  # drop per-query checkpoint/cache blocks
+        # NOTE: no clearCache here — unpersisting another query's lazy
+        # localCheckpoint blocks mid-flight raced the executor accumulators
+        # (SparkException noise in BENCH_r01); the ContextCleaner reclaims
+        # unreferenced blocks on its own.
 
-    # reference-parity sort bench: the four workload cases at 100k rows
+    # reference-parity sort bench: the four workload cases, swept over batch
+    # size like runall.sh; the 100k endpoint doubles as the headline number.
+    sweep: dict[str, list[dict[str, float]]] = {}
     for case in generators.CASES:
-        def build(case=case):
-            return sort_ops.sort_batch(
-                generators.generate_batch(spark, case, REF_SORT_ROWS)
-            )
+        def build(case=case, n=REF_SORT_ROWS):
+            return sort_ops.sort_batch(generators.generate_batch(spark, case, n))
 
-        results[f"refsort_{case.replace('-', '_')}"] = round(time_df(build), 4)
+        series = []
+        for n in SWEEP_SIZES:
+            sec = round(time_df(lambda: build(n=n), iters=2, warmup=1), 4)
+            series.append({"n": n, "sec": sec})
+        sweep[case] = series
+        results[f"refsort_{case.replace('-', '_')}"] = series[-1]["sec"]
+        print(f"[bench] refsort {case}: {series}", file=sys.stderr, flush=True)
+
+    try:
+        from experiments_datafusion_spark.charts import render_line_chart
+
+        for case, series in sweep.items():
+            render_line_chart(
+                [(p["n"], p["sec"]) for p in series],
+                title=f"sort runtime vs batch size — {case}",
+                xlabel="rows per batch",
+                ylabel="seconds (min of 2, steady-state)",
+                out_path=REPO / "img" / f"refsort_{case.replace('-', '_')}.svg",
+            )
+    except Exception as exc:  # charts are artifacts, never bench failures
+        print(f"[bench] chart render skipped: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -112,6 +142,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "refsort_sweep": sweep,
                 "sf": sf_val,
                 "iters": ITERS,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),

@@ -76,10 +76,13 @@ def jaccard_pairs(
     """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle are
     candidates (posting-list self-join grouped on the pair), then
     |A ∩ B| / (|A| + |B| - |A ∩ B|) filters by threshold."""
-    # lazy local checkpoint: the posting list feeds 3+ DAG branches (both
+    # EAGER local checkpoint: the posting list feeds 3+ DAG branches (both
     # join sides + sizes); checkpointing computes it once instead of per
-    # branch (~16s CPU per evaluation at sf0.1)
-    sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=False)
+    # branch (~16s CPU per evaluation at sf0.1).  Eager, not lazy: lazy
+    # checkpoints under AQE let two branches race to materialize the same
+    # RDD — the losing stage attempt is canceled and its zombie tasks spam
+    # "non-existent accumulator" errors (the BENCH_r01 noise).
+    sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -171,8 +174,8 @@ def minhash_lsh_pairs(
     posexplode (not an 8-way union that would recompute the aggregation);
     the bucket self-join shuffles on (band, band_hash) — high cardinality,
     no skew; verification joins candidates back to the posting lists."""
-    sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=False)
-    sig = minhash_signatures_from_postings(sh).localCheckpoint(eager=False)
+    sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=True)
+    sig = minhash_signatures_from_postings(sh).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[_band_hash(j) for j in range(BANDS)])).alias("band", "bh"),
@@ -224,7 +227,7 @@ def simhash_pairs(
     generation: t+1 disjoint bit-chunks; any pair within t flips shares at
     least one intact chunk (pigeonhole), so the bucket-join is complete —
     no quadratic scan."""
-    sig = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     chunk_exprs = [
         F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS).bitwiseAND(
             F.lit((1 << SIMHASH_BAND_BITS) - 1)

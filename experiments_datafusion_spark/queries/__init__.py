@@ -45,6 +45,7 @@ _MODULES = (
     "events",          # unverified in r01
     "sortbench",       # unverified in r01 (rows-only by design)
     "multimodal",      # unverified in r01
+    "llm_extras",      # new in r2 (dedup_clusters, text_tfidf)
     "advanced_joins",  # join_asof r01-green; join_salted unverified
     "tpch",            # r01-green (22/22)
     "relational",      # r01-green (27/27 incl. flagship shapes)

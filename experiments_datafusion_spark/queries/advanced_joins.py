@@ -76,3 +76,46 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.round("l_extendedprice", 2).alias("price"),
     )
+
+
+@register(
+    "join_range_bands",
+    tags=("join", "range", "interval"),
+    oracle="""
+WITH bands AS (
+  SELECT 0 AS band, 0.0 AS lo, 1000.0 AS hi UNION ALL
+  SELECT 1, 1000.0, 5000.0 UNION ALL
+  SELECT 2, 5000.0, 20000.0 UNION ALL
+  SELECT 3, 20000.0, 60000.0 UNION ALL
+  SELECT 4, 60000.0, 1e12
+)
+SELECT b.band, count(*) AS n, round(sum(l.l_extendedprice), 2) AS total
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band
+""",
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: assign each fact row to the price band whose
+    [lo, hi) interval contains it, then aggregate per band.  The bands side
+    is tiny and explicitly broadcast, so the range predicate runs as a
+    broadcast nested-loop over 5 rows — the scalable plan for
+    points-in-intervals when the interval table is dimension-sized (for
+    interval-vs-interval at scale, see join_asof's union+window shape)."""
+    bands = spark.createDataFrame(
+        [(0, 0.0, 1000.0), (1, 1000.0, 5000.0), (2, 5000.0, 20000.0),
+         (3, 20000.0, 60000.0), (4, 60000.0, 1e12)],
+        "band int, lo double, hi double",
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )

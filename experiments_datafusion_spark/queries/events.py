@@ -170,6 +170,52 @@ def ev_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_gapfill",
+    tags=("events", "window", "gapfill"),
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('minute', min(ts)) AS mn, date_trunc('minute', max(ts)) AS mx
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL '1 minute')) AS m FROM bounds
+),
+per_min AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.m, '%Y-%m-%d %H:%M:%S') AS minute,
+       coalesce(p.n, 0)          AS n,
+       coalesce(p.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN per_min p USING (m)
+""",
+)
+def ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup with gap fill: per-minute counts over a dense
+    time spine (minutes with no events appear with n=0) — the time-series
+    idiom continuous-aggregate stores ship natively. Spine = sequence()
+    between the table's min/max minute; both sides of the final join are
+    post-aggregation (one row per minute), so the plan stays tiny no matter
+    how large the raw event table is."""
+    ev = table(spark, sf_dir, "events")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("minute", F.min("ts")).alias("mn"),
+            F.date_trunc("minute", F.max("ts")).alias("mx"),
+        )
+        .select(F.explode(F.sequence("mn", "mx", F.expr("interval 1 minute"))).alias("m"))
+    )
+    return spine.join(per_min, "m", "left").select(
+        F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@register(
     "ev_attribution",
     tags=("events", "join"),
     oracle="""

@@ -141,3 +141,41 @@ def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = F.udf(lambda name, rk: f"{name}#{rk}", StringType())
     n = table(spark, sf_dir, "nation")
     return n.select("n_nationkey", tag("n_name", "n_regionkey").alias("tagged"))
+
+
+@register(
+    "udf_python_udtf",
+    tags=("udf", "udtf"),
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS INTEGER) AS pos,
+       unnest(toks) AS token
+FROM (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+  FROM documents WHERE doc_id < 50
+)
+""",
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 `@udtf`): one input row -> many output rows
+    via a lateral join — the first-class form of the table-function surface
+    (applyInPandas/mapInPandas above are the grouped/partition-shaped kin)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class SplitTokens:
+        def eval(self, doc_id, text):
+            import re
+
+            for i, w in enumerate(t for t in re.split(r"\s+", text or "") if t):
+                yield doc_id, i + 1, w
+
+    spark.udtf.register("edfs_split_tokens", SplitTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM documents d, LATERAL edfs_split_tokens(d.doc_id, d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

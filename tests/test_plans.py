@@ -59,6 +59,24 @@ def test_semi_join_planned(spark, sf_dir):
     assert "LeftSemi" in p.text
 
 
+def test_gather_by_index_no_single_partition_funnel(spark, sf_dir):
+    """Regression (round-1 VERDICT scale-killer): the global index must come
+    from the parallel two-pass bucket scheme, never a no-partition window
+    that funnels the whole table through one task."""
+    p = audit(Q["gather_by_index"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p.text
+    # the within-bucket rank shuffles on the bucket key (parallel)
+    assert p.n_shuffles >= 1
+
+
+def test_embedding_lsh_no_cartesian(spark, sf_dir):
+    """The primary embedding-dedup path must be a bucket equi-join, never a
+    cross/theta product like the brute-force baseline."""
+    p = audit(Q["dedup_embedding_lsh"].fn(spark, sf_dir))
+    assert "Cartesian" not in p.text
+    assert "BroadcastNestedLoopJoin" not in p.text
+
+
 def test_scalar_pipeline_is_jvm_only(spark, sf_dir):
     for name in ("scalar_string", "scalar_math", "text_quality", "text_langid"):
         p = audit(Q[name].fn(spark, sf_dir))
