@@ -46,6 +46,7 @@ _MODULES = (
     "sortbench",       # unverified in r01 (rows-only by design)
     "multimodal",      # unverified in r01
     "llm_extras",      # new in r2 (dedup_clusters, text_tfidf)
+    "extras",          # new in r2 (agg_corr_regr, join_bucketed)
     "advanced_joins",  # join_asof r01-green; join_salted unverified
     "tpch",            # r01-green (22/22)
     "relational",      # r01-green (27/27 incl. flagship shapes)

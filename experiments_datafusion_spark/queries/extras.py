@@ -1,0 +1,94 @@
+"""Second-wave relational operators: statistical/regression aggregates and
+the bucketed co-located join — the latter is the canonical 100 TB technique
+this engine leans on (pre-bucketed fact tables join with ZERO shuffle;
+tests/test_plans.py asserts the exchange-free plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+
+
+@register(
+    "agg_corr_regr",
+    tags=("agg", "stats"),
+    oracle="""
+SELECT
+  l_returnflag,
+  round(corr(l_extendedprice, l_quantity), 4)            AS price_qty_corr,
+  round(covar_samp(l_extendedprice, l_quantity) / 1e6, 6) AS covar_samp_m,
+  round(covar_pop(l_extendedprice, l_quantity) / 1e6, 6)  AS covar_pop_m,
+  round(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 4)  AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / linear-regression aggregates (all
+    single-pass partial+final hash aggregation JVM-side). Covariances are
+    scaled to millions before rounding (variance-family magnitudes make raw
+    4-dp rounding a cross-engine boundary hazard)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity") / 1e6, 6).alias("covar_samp_m"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity") / 1e6, 6).alias("covar_pop_m"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+    )
+
+
+_BUCKETS = 8
+_BUCKETED_READY: set[str] = set()
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Materialize `name` as a bucketed+sorted managed table (once per
+    process+sf) and return it.  At 100 TB this write happens once at ingest;
+    every subsequent join on the bucket key is shuffle-free."""
+    sftag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    tbl = f"edfs_b_{name}_{sftag}_{os.getpid()}"
+    if tbl not in _BUCKETED_READY:
+        (
+            table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+        _BUCKETED_READY.add(tbl)
+    return spark.table(tbl)
+
+
+@register(
+    "join_bucketed",
+    tags=("join", "bucketed"),
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, c.c_name, round(o.o_totalprice, 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on pre-bucketed tables: both sides bucketed+sorted 8
+    ways on the join key, so the sort-merge join reads matching buckets
+    directly — NO exchange in the plan (asserted in tests/test_plans.py).
+    The `merge` hint opts out of broadcast to demonstrate the shuffle-free
+    SMJ; at 100 TB bucket counts are sized so each bucket-pair fits an
+    executor core."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    c = _bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .where(F.col("c_acctbal") > 9000)
+        .select(
+            "o_orderkey", "o_custkey", "c_name", F.round("o_totalprice", 2).alias("total")
+        )
+    )

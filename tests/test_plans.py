@@ -69,6 +69,14 @@ def test_gather_by_index_no_single_partition_funnel(spark, sf_dir):
     assert p.n_shuffles >= 1
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located bucketed join: both sides pre-bucketed on the join key ->
+    the sort-merge join must read buckets directly, with no shuffle."""
+    p = audit(Q["join_bucketed"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in p.text
+    assert p.n_shuffles == 0
+
+
 def test_embedding_lsh_no_cartesian(spark, sf_dir):
     """The primary embedding-dedup path must be a bucket equi-join, never a
     cross/theta product like the brute-force baseline."""

@@ -92,10 +92,19 @@ def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
     late.write.mode("overwrite").parquet(str(d / "batch2"))
     merged = tmp_path / "merged"
     merged.mkdir()
+    import os
+    import time as _time
+
+    now = _time.time()
     for i, sub in enumerate(["batch1", "batch2"]):
         for f in (d / sub).glob("*.parquet"):
-            # name order fixes processing order (older names first)
-            shutil.copy(f, merged / f"{i}_{f.name}")
+            dst = merged / f"{i}_{f.name}"
+            shutil.copy(f, dst)
+            # FileStreamSource orders by (mtime, path); copies can land in
+            # the same millisecond, which could admit both files into ONE
+            # micro-batch (the late event then isn't late). Force strictly
+            # increasing mtimes so batch order is deterministic.
+            os.utime(dst, (now + i, now + i))
     src2 = spark.readStream.schema(recent.schema).option(
         "maxFilesPerTrigger", "1"
     ).parquet(str(merged))
