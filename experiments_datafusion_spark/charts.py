@@ -47,6 +47,8 @@ def _nice_ticks(lo: float, hi: float, n: int = 5) -> list[float]:
 def _fmt(v: float) -> str:
     if v == 0:
         return "0"
+    if abs(v) >= 1_000_000:
+        return f"{v / 1_000_000:g}M"
     if abs(v) >= 1000:
         return f"{v / 1000:.0f}k" if v % 1000 == 0 else f"{v / 1000:.1f}k"
     if abs(v) >= 1:
@@ -60,16 +62,26 @@ def render_line_chart(
     xlabel: str,
     ylabel: str,
     out_path: str | Path,
+    log_x: bool | None = None,
 ) -> None:
-    """Write a single-series line chart (runtime vs size) as SVG."""
+    """Write a single-series line chart (runtime vs size) as SVG.
+
+    ``log_x`` defaults to automatic: a geometric sweep spanning more than
+    two decades gets a log x-axis (a linear axis would pile every small
+    size onto the left edge)."""
     pts = sorted(points)
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     x_lo, x_hi = min(xs), max(xs)
+    if log_x is None:
+        log_x = x_lo > 0 and x_hi / x_lo > 100
     y_lo, y_hi = 0.0, max(ys) * 1.08 or 1.0
     pw, ph = W - ML - MR, H - MT - MB
 
     def X(x: float) -> float:
+        if log_x:
+            lo, hi = math.log10(x_lo), math.log10(x_hi)
+            return ML + (math.log10(x) - lo) / (hi - lo or 1) * pw
         return ML + (x - x_lo) / (x_hi - x_lo or 1) * pw
 
     def Y(y: float) -> float:
