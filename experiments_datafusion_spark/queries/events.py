@@ -170,6 +170,103 @@ def ev_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_funnel",
+    tags=("events", "funnel"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS viewed,
+       (SELECT count(*) FROM c) AS then_clicked,
+       (SELECT count(*) FROM p) AS then_purchased
+""",
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click that
+    precedes a purchase.  Each stage is a per-user aggregate joined to the
+    previous stage's anchor time — three hash aggs on user_id (same
+    partitioning reused across stages, no extra shuffles at scale)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("viewed")),
+        c.agg(F.count(F.lit(1)).alias("then_clicked")),
+        p.agg(F.count(F.lit(1)).alias("then_purchased")),
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "ev_retention",
+    tags=("events", "retention"),
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+)
+SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       count(DISTINCT a.user_id) AS active,
+       count(DISTINCT b.user_id) AS retained
+FROM active a
+LEFT JOIN active b ON b.user_id = a.user_id AND b.h = a.h + INTERVAL '1 hour'
+GROUP BY a.h
+""",
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour retention: of the users active in hour h, how many
+    are also active in h+1.  Self-join of the distinct (hour, user) set on
+    (user, adjacent hour) — both sides share the same shuffle key."""
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    nxt = active.select(
+        (F.col("h") - F.expr("interval 1 hour")).alias("h"),
+        F.col("user_id").alias("r_user"),
+    )
+    return (
+        active.join(
+            nxt, (active.user_id == nxt.r_user) & (active.h == nxt.h), "left"
+        )
+        .groupBy(active.h)
+        .agg(
+            F.countDistinct("user_id").alias("active"),
+            F.countDistinct("r_user").alias("retained"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "active",
+            "retained",
+        )
+    )
+
+
+@register(
     "ev_gapfill",
     tags=("events", "window", "gapfill"),
     oracle="""

@@ -32,6 +32,31 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "media_type", "n_bytes", "checksum")
 
 
+@register(
+    "mm_dedup_payload",
+    tags=("llm", "multimodal", "dedup"),
+    oracle="""
+SELECT md5(text) AS checksum,
+       min(doc_id) AS keeper,
+       count(*)    AS n_copies,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+""",
+)
+def mm_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup by content checksum — the first pass of
+    any multimodal ingest (identical images/audio clips collapse before a
+    single byte is decoded).  Group-by on the checksum column only; payload
+    bytes stay unread (column pruning)."""
+    media = M.attach_media(table(spark, sf_dir, "documents"))
+    return media.groupBy("checksum").agg(
+        F.min("media_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+
+
 @register("mm_features", tags=("llm", "multimodal"))
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction via mapInPandas (deterministic fake decode —
