@@ -50,6 +50,8 @@ _MODULES = (
     "advanced_joins",  # join_asof r01-green; join_salted unverified
     "tpch",            # r01-green (22/22)
     "relational",      # r01-green (27/27 incl. flagship shapes)
+    "pipeline",        # new in r2 (curation ops) — appended so the r02
+                       # 50-query window above is not displaced
 )
 
 
