@@ -178,6 +178,58 @@ def test_formatted_mode_shuffle_counter_sees_exchanges(spark, sf_dir):
     assert p.n_shuffles >= 2
 
 
+def test_split_train_test_prunes_and_partial_aggs(spark, sf_dir):
+    """The split is a pure scan-side map: only (doc_id, n_chars) read, one
+    partial+final aggregation, no Python anywhere."""
+    p = audit(Q["split_train_test"].fn(spark, sf_dir))
+    (cols,) = p.read_schema_columns()
+    assert set(cols) == {"doc_id", "n_chars"}
+    assert p.text.count("HashAggregate") >= 2
+    assert not p.has_python_udf
+
+
+def test_histogram_total_is_broadcast_not_window(spark, sf_dir):
+    """The corpus total joins in as a 1-row broadcast — never a global
+    window funneling rows through one task."""
+    for name in ("docs_length_histogram", "docs_heavy_hitters"):
+        p = audit(Q[name].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in p.text, name
+        assert "Window" not in p.text, name
+
+
+def test_anomaly_zscore_stats_broadcast(spark, sf_dir):
+    """Per-type stats come back via broadcast-hash join: the events table
+    is scanned, never shuffled on event_type for the z-score pass."""
+    p = audit(Q["anomaly_zscore"].fn(spark, sf_dir))
+    assert p.has_broadcast_join
+    assert not p.has_python_udf
+
+
+def test_fuzzy_levenshtein_is_bucketed_equi_join(spark, sf_dir):
+    """Candidate generation must be an equi-join on (lang, length band) —
+    bounded-quadratic per bucket — never an all-pairs product."""
+    p = audit(Q["dedup_fuzzy_levenshtein"].fn(spark, sf_dir))
+    assert "Cartesian" not in p.text
+    assert "BroadcastNestedLoopJoin" not in p.text
+
+
+def test_embedding_quantize_zero_shuffle(spark, sf_dir):
+    """Quantization is element-wise: the plan is scan -> project, with no
+    exchange and no Python UDF (higher-order functions stay JVM-side)."""
+    p = audit(Q["embedding_quantize"].fn(spark, sf_dir))
+    assert p.n_shuffles == 0
+    assert not p.has_python_udf
+
+
+def test_pii_redact_is_streaming_map(spark, sf_dir):
+    """Redaction never shuffles and reads only the two needed columns."""
+    p = audit(Q["text_pii_redact"].fn(spark, sf_dir))
+    assert p.n_shuffles == 0
+    assert not p.has_python_udf
+    (cols,) = p.read_schema_columns()
+    assert set(cols) == {"doc_id", "text"}
+
+
 def test_run_with_metrics_observes_inline(spark, sf_dir):
     """EXPLAIN ANALYZE analog: runtime row/sum counters ride the main pass
     via Observation, and the captured post-run plan is the AQE-final one."""
