@@ -489,16 +489,17 @@ WHERE o_orderkey < 200
 )
 def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType: exact fixed-point cast, arithmetic, and aggregation
-    (rendered to strings — decimal wire formats differ across engines)."""
+    (rendered to strings — decimal wire formats differ across engines).
+    The grand total attaches as a 1-row broadcast join rather than an
+    unpartitioned window, so no stage funnels the table into one task."""
     o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
     dec = F.col("o_totalprice").cast("decimal(14,2)")
-    w = Window.partitionBy()
+    total = o.agg(F.sum(dec).cast("string").alias("total_dec"))
     return o.select(
         "o_orderkey",
         dec.cast("string").alias("price_dec"),
         (dec * 2).cast("string").alias("price_x2"),
-        F.sum(dec).over(w).cast("string").alias("total_dec"),
-    )
+    ).crossJoin(F.broadcast(total))
 
 
 @register(

@@ -142,7 +142,14 @@ WHERE o_orderkey < 3000
 """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frames over a numeric ordering column (value-based windows)."""
+    """RANGE frames over a numeric ordering column (value-based windows).
+
+    Scale note: an ORDER BY with no PARTITION BY is inherently a
+    single-partition window in Spark — that single-task stage IS the
+    operator's semantics here (one global value ordering), and the input is
+    pre-filtered small. At 100 TB, express banded neighborhoods with a
+    partitioned window or a range-band join (see ``join_range_bands``)
+    instead of a global RANGE frame."""
     o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
     w = Window.orderBy("o_totalprice")
     return o.select(
