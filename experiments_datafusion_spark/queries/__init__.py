@@ -52,6 +52,8 @@ _MODULES = (
     "relational",      # r01-green (27/27 incl. flagship shapes)
     "pipeline",        # new in r2 (curation ops) — appended so the r02
                        # 50-query window above is not displaced
+    "hygiene",         # new in r2 (contamination, leakage-safe split,
+                       # quality gate, weighted mixing) — appended likewise
 )
 
 

@@ -31,6 +31,26 @@ def _sql_stop_ratio(lang: str, c: str = "text") -> str:
     )
 
 
+def sql_quality(c: str = "text") -> str:
+    """DuckDB replica of operators/text.py:quality_score (same constants,
+    same rounding) — shared by text_quality and the hygiene quality gate."""
+    punct = (
+        f"(CAST(length({c}) - length(regexp_replace({c}, '{T.PUNCT}', '', 'g')) AS DOUBLE)"
+        f" / length({c}))"
+    )
+    digit = (
+        f"(CAST(length({c}) - length(regexp_replace({c}, '{T.DIGIT}', '', 'g')) AS DOUBLE)"
+        f" / length({c}))"
+    )
+    w = _SQL_WORDS.format(c=c)
+    stop = _sql_stop_ratio("en", c)
+    return (
+        f"round(0.4 * least(len({w}) / 100.0, 1.0)"
+        f" + 0.4 * least({stop} * 5.0, 1.0)"
+        f" + 0.2 * (1.0 - least({punct} * 5.0 + {digit} * 2.0, 1.0)), 6)"
+    )
+
+
 @register(
     "text_stats",
     tags=("llm", "text"),

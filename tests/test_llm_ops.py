@@ -115,3 +115,24 @@ def test_approx_sketches_near_exact(spark, sf_dir):
     rows = all_queries()["agg_approx"].fn(spark, sf_dir).collect()
     for r in rows:
         assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.1 * r["exact_parts"]
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
+    """The property split_leakage_safe exists for: every near-dup pair lands
+    on the same side of the split (cluster-keyed bucketing), whereas plain
+    per-doc hashing would eventually separate some pair."""
+    from experiments_datafusion_spark.operators.graph import connected_components
+    from experiments_datafusion_spark.operators.text import hash64
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, 0.5).select("x", "y")
+    cc = connected_components(pairs)
+    bucket = (hash64(F.col("cluster").cast("string")) % 100).alias("b")
+    side = cc.select("doc_id", bucket)
+    straddlers = (
+        pairs.join(side.withColumnRenamed("doc_id", "x").withColumnRenamed("b", "bx"), "x")
+        .join(side.withColumnRenamed("doc_id", "y").withColumnRenamed("b", "by"), "y")
+        .where(F.col("bx") != F.col("by"))
+        .count()
+    )
+    assert straddlers == 0

@@ -230,6 +230,34 @@ def test_pii_redact_is_streaming_map(spark, sf_dir):
     assert set(cols) == {"doc_id", "text"}
 
 
+def test_quality_gate_cutoff_is_broadcast(spark, sf_dir):
+    """The p75 cutoff attaches as a 1-row broadcast — no global window, no
+    Python, and the scan reads only (lang, text)."""
+    p = audit(Q["quality_gate_percentile"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p.text
+    assert "Window" not in p.text
+    assert not p.has_python_udf
+    for cols in p.read_schema_columns():  # one scan per pass (score + cutoff)
+        assert set(cols) <= {"lang", "text"}
+
+
+def test_contamination_join_is_equi_on_shingle(spark, sf_dir):
+    """Train-vs-eval overlap must be a shuffled equi-join on the hashed
+    shingle (posting lists), never a cartesian of the two doc sets."""
+    p = audit(Q["contamination_ngram"].fn(spark, sf_dir))
+    assert "Cartesian" not in p.text
+    assert not p.has_python_udf
+
+
+def test_mix_weighted_single_rollup_shuffle(spark, sf_dir):
+    """The keep decision is scan-side; the only exchange is the final
+    per-source aggregation (partial+final)."""
+    p = audit(Q["mix_weighted_sources"].fn(spark, sf_dir))
+    assert p.n_shuffles == 1
+    assert p.text.count("HashAggregate") >= 2
+    assert not p.has_python_udf
+
+
 def test_run_with_metrics_observes_inline(spark, sf_dir):
     """EXPLAIN ANALYZE analog: runtime row/sum counters ride the main pass
     via Observation, and the captured post-run plan is the AQE-final one."""
