@@ -255,17 +255,25 @@ def ivf_centroids(corpus: DataFrame, label_col: str = "label") -> DataFrame:
 
 def _nearest_clusters(vec: Column, centroids: list[tuple[int, list[float]]], nprobe: int):
     """Literal argmin over the (tiny) codebook — returns array of the
-    nprobe nearest cluster ids by cosine."""
+    nprobe nearest cluster ids by cosine.  The query-to-centroid cosine is
+    rounded to 6dp BEFORE ranking: the DuckDB oracle recomputes centroids
+    with its own avg() (different accumulation order -> last-bit drift), and
+    quantizing both sides keeps the selected cluster set identical.  Ties
+    break on the higher cluster id in both engines (array_sort asc then
+    reverse == ORDER BY cos DESC, cluster DESC)."""
     import math
 
     def cos_to(c):
         arr = F.array(*[F.lit(x) for x in c])
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return F.aggregate(
-            F.zip_with(vec, arr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ) / (F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, x: a + x)) * F.lit(cn))
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec, arr, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) / (F.sqrt(F.aggregate(F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda a, x: a + x)) * F.lit(cn)),
+            6,
+        )
 
     pairs = F.array(
         *[F.struct(cos_to(c).alias("cos"), F.lit(cid).alias("cluster")) for cid, c in centroids]

@@ -1,8 +1,9 @@
-"""Similarity-search queries over the embeddings table. The brute-force
-top-k is oracle-checked (double math, sequential accumulation, deterministic
-tiebreaks); the LSH and IVF variants are the scale paths, validated by
-recall tests against brute force (tests/test_llm_ops.py) and rows-only
-checks in the driver."""
+"""Similarity-search queries over the embeddings table. ALL three tiers are
+oracle-checked — brute force directly, and the LSH / IVF scale paths via
+DuckDB SQL *generated from the same constants* (hyperplanes, probe masks,
+codebook recipe), so the driver replays the full ANN pipelines bit-for-bit
+(the llm_dedup.py pattern). Recall vs brute force is additionally asserted
+in tests/test_llm_ops.py."""
 
 from __future__ import annotations
 
@@ -15,11 +16,114 @@ from experiments_datafusion_spark.queries import register
 
 K = 5
 N_QUERIES = 8  # vec_id < 8 are the query vectors
+LSH_QUERY_PLANES = 4  # planes used by the top-k LSH query (matches topk_lsh default)
+IVF_NPROBE = 3
 
 
 def _corpus_and_queries(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return emb, emb.where(F.col("vec_id") < N_QUERIES)
+
+
+# -- oracle SQL builders: DuckDB replicas of the plan, from the SAME constants
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Sequential-fold double dot product — matches operators/similarity.dot
+    (list_sum and F.aggregate both fold left, verified by the brute-force
+    oracle's hash match)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _sql_plane_lit(plane: list[float]) -> str:
+    # repr() emits the shortest round-tripping decimal; DuckDB parses it to
+    # the identical IEEE double that F.lit ships to the JVM.
+    return "[" + ", ".join(repr(w) for w in plane) + "]"
+
+
+def _sql_lsh_bucket(n_planes: int) -> str:
+    """Replica of operators/similarity.lsh_bucket: bit j = sign(v . plane_j)."""
+    bits = [
+        f"CASE WHEN {_sql_dot('embedding', _sql_plane_lit(plane))} > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j, plane in enumerate(S.LSH_PLANES[:n_planes])
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_oracle() -> str:
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(LSH_QUERY_PLANES)]
+    )
+    return f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+    {_sql_lsh_bucket(LSH_QUERY_PLANES)} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+         unnest([{probes}]) AS probe
+  FROM norms WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+    {_sql_dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm) AS cos_raw
+  FROM probes q JOIN norms c ON c.bucket = q.probe AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _ivf_oracle() -> str:
+    cent = ", ".join(
+        f"avg(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(S.EMB_DIM)
+    )
+    return f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cluster, [{cent}] AS centroid
+  FROM embeddings GROUP BY label
+),
+qc AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_emb, q.nrm AS q_nrm, cent.cluster,
+    round({_sql_dot('q.embedding', 'cent.centroid')}
+          / (q.nrm * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6) AS cos_r
+  FROM norms q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+),
+sel AS (
+  SELECT query_id, q_emb, q_nrm, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, cluster DESC) AS cr
+    FROM qc
+  ) WHERE cr <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT s.query_id, c.vec_id AS neighbor_id,
+    {_sql_dot('s.q_emb', 'c.embedding')} / (s.q_nrm * c.nrm) AS cos_raw
+  FROM sel s JOIN norms c ON c.label = s.cluster AND c.vec_id <> s.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= {K}
+"""
 
 
 @register(
@@ -53,20 +157,24 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_bruteforce(corpus, queries, K)
 
 
-@register("sim_topk_lsh", tags=("llm", "similarity", "ann"))
+@register("sim_topk_lsh", tags=("llm", "similarity", "ann"), oracle=_lsh_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via 16-plane sign-LSH with 1-bit multiprobe. Rows-only for
-    the driver; recall vs brute force asserted in tests."""
+    """ANN top-5 via 4-plane sign-LSH with 1-bit multiprobe. Fully
+    oracle-checked: the DuckDB SQL is generated from the same hyperplane
+    constants, so bucket assignment, probing, and candidate ranking replay
+    identically. Recall vs brute force additionally asserted in tests."""
     corpus, queries = _corpus_and_queries(spark, sf_dir)
-    return S.topk_lsh(corpus, queries, K)
+    return S.topk_lsh(corpus, queries, K, n_planes=LSH_QUERY_PLANES)
 
 
-@register("sim_topk_ivf", tags=("llm", "similarity", "ann"))
+@register("sim_topk_ivf", tags=("llm", "similarity", "ann"), oracle=_ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via IVF (10-cluster codebook, nprobe=3). Rows-only for the
-    driver; recall asserted in tests."""
+    """ANN top-5 via IVF (per-label codebook, nprobe=3). Fully
+    oracle-checked: the oracle rebuilds the codebook with the same per-label
+    mean recipe and replays cluster selection (6dp-quantized cosine, same
+    tiebreak) and in-cluster ranking. Recall asserted in tests."""
     corpus, queries = _corpus_and_queries(spark, sf_dir)
-    return S.topk_ivf(corpus, queries, K, nprobe=3)
+    return S.topk_ivf(corpus, queries, K, nprobe=IVF_NPROBE)
 
 
 @register(
