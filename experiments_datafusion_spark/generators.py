@@ -33,34 +33,51 @@ SPLIT_SEED = 1337  # data.rs:247
 CASES = ("utf8-tuple", "mixed-tuple", "dictionary-tuple", "mixed-dictionary-tuple")
 
 
-# All value streams derive from (id, seed) via xxhash64, never F.rand:
+# All value streams derive from (id, seed) via a hash, never F.rand:
 # F.rand(seed) seeds PER PARTITION, so output would change with parallelism
 # (SPARK_GRAFT_CPUS, cluster size). Hash-of-id matches the reference's
 # one-fixed-dataset semantics (StdRng::seed_from_u64, data.rs:193) for any
 # partitioning of spark.range(n).
+#
+# Two hash flavors, same distribution:
+#   * fast (default): JVM xxhash64 — what bench.py sweeps (10M-row batches);
+#   * portable: the md5-based 60-bit hash64 shared with the dedup/text ops,
+#     replayable in DuckDB SQL (queries/sortbench.py generates the matching
+#     generator CTE), which is what makes the sortbench registry entries
+#     oracle-checkable end to end.
 
 
-def _uniform(seed: int, card: int):
+def _uniform(seed: int, card: int, portable: bool = False):
     """Uniform int in [0, card), a pure function of (id, seed)."""
+    if portable:
+        from experiments_datafusion_spark.operators.text import hash64
+
+        return F.pmod(
+            hash64(F.concat(F.col("id").cast("string"), F.lit(f"#{seed}"))),
+            F.lit(card),
+        )
     return F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(card))
 
 
-def _utf8_low(seed: int):
-    return F.concat(F.lit("value"), _uniform(seed, 100).cast("int").cast("string"))
+def _utf8_low(seed: int, portable: bool = False):
+    return F.concat(
+        F.lit("value"), _uniform(seed, 100, portable).cast("int").cast("string")
+    )
 
 
 def _utf8_high(seed: int):
-    # alphabetic-only 20-char surrogate; salt with seed to decorrelate columns
+    # alphabetic-only 20-char surrogate; salt with seed to decorrelate
+    # columns. md5-based, so already portable to the DuckDB oracle.
     hexstr = F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{seed}")))
     return F.translate(F.substring(hexstr, 1, 20), "0123456789", "ghijklmnop")
 
 
-def _i64(seed: int, n: int):
-    return _uniform(seed, n).cast("long")
+def _i64(seed: int, n: int, portable: bool = False):
+    return _uniform(seed, n, portable).cast("long")
 
 
-def _f64(seed: int, n: int):
-    return _i64(seed, n).cast("double")
+def _f64(seed: int, n: int, portable: bool = False):
+    return _i64(seed, n, portable).cast("double")
 
 
 def _finish(df: DataFrame, presorted: bool) -> DataFrame:
@@ -69,49 +86,71 @@ def _finish(df: DataFrame, presorted: bool) -> DataFrame:
     return df
 
 
-def utf8_tuple(spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False):
+def utf8_tuple(
+    spark: SparkSession,
+    n: int,
+    seed: int = DATA_SEED,
+    presorted: bool = False,
+    portable: bool = False,
+):
     """Schema of data.rs:56-84: two low-cardinality + one high-cardinality
     string column."""
     df = spark.range(n).select(
-        _utf8_low(seed).alias("utf_low1"),
-        _utf8_low(seed + 1).alias("utf_low2"),
+        _utf8_low(seed, portable).alias("utf_low1"),
+        _utf8_low(seed + 1, portable).alias("utf_low2"),
         _utf8_high(seed + 2).alias("utf_high"),
     )
     return _finish(df, presorted)
 
 
-def mixed_tuple(spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False):
+def mixed_tuple(
+    spark: SparkSession,
+    n: int,
+    seed: int = DATA_SEED,
+    presorted: bool = False,
+    portable: bool = False,
+):
     """Schema of data.rs:87-116: f64, utf8_low x2, i64."""
     df = spark.range(n).select(
-        _f64(seed, n).alias("f64"),
-        _utf8_low(seed + 1).alias("utf_low1"),
-        _utf8_low(seed + 2).alias("utf_low2"),
-        _i64(seed + 3, n).alias("i64"),
+        _f64(seed, n, portable).alias("f64"),
+        _utf8_low(seed + 1, portable).alias("utf_low1"),
+        _utf8_low(seed + 2, portable).alias("utf_low2"),
+        _i64(seed + 3, n, portable).alias("i64"),
     )
     return _finish(df, presorted)
 
 
-def dictionary_tuple(spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False):
+def dictionary_tuple(
+    spark: SparkSession,
+    n: int,
+    seed: int = DATA_SEED,
+    presorted: bool = False,
+    portable: bool = False,
+):
     """Schema of data.rs:129-152: three dict(i32,utf8) columns — modeled as
     low-cardinality strings (cardinality is the workload property, not the
     physical encoding)."""
     df = spark.range(n).select(
-        _utf8_low(seed).alias("a"),
-        _utf8_low(seed + 1).alias("b"),
-        _utf8_low(seed + 2).alias("c"),
+        _utf8_low(seed, portable).alias("a"),
+        _utf8_low(seed + 1, portable).alias("b"),
+        _utf8_low(seed + 2, portable).alias("c"),
     )
     return _finish(df, presorted)
 
 
 def mixed_dictionary_tuple(
-    spark: SparkSession, n: int, seed: int = DATA_SEED, presorted: bool = False
+    spark: SparkSession,
+    n: int,
+    seed: int = DATA_SEED,
+    presorted: bool = False,
+    portable: bool = False,
 ):
     """Schema of data.rs:155-182: dict x3 + i64."""
     df = spark.range(n).select(
-        _utf8_low(seed).alias("a"),
-        _utf8_low(seed + 1).alias("b"),
-        _utf8_low(seed + 2).alias("c"),
-        _i64(seed + 3, n).alias("d"),
+        _utf8_low(seed, portable).alias("a"),
+        _utf8_low(seed + 1, portable).alias("b"),
+        _utf8_low(seed + 2, portable).alias("c"),
+        _i64(seed + 3, n, portable).alias("d"),
     )
     return _finish(df, presorted)
 
@@ -130,6 +169,7 @@ def generate_batch(
     n: int,
     seed: int = DATA_SEED,
     presorted: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Case dispatch mirroring `Case::generate_batch` (data.rs:13-29)."""
-    return _BUILDERS[case](spark, n, seed=seed, presorted=presorted)
+    return _BUILDERS[case](spark, n, seed=seed, presorted=presorted, portable=portable)

@@ -28,6 +28,22 @@ def assign_streams(df: DataFrame, num_streams: int, seed: int = SPLIT_SEED) -> D
     )
 
 
+def assign_streams_hash(
+    df: DataFrame, num_streams: int, key, seed: int = SPLIT_SEED
+) -> DataFrame:
+    """Portable stream assignment: md5-based 60-bit hash of a caller-supplied
+    string key column (operators/text.hash64 recipe), so a DuckDB oracle can
+    replay the exact split. Same uniformity and partition-invariance as
+    `assign_streams`; use when the row has a natural string key and
+    cross-engine replay matters more than hash throughput."""
+    from experiments_datafusion_spark.operators.text import hash64
+
+    return df.withColumn(
+        "stream",
+        F.pmod(hash64(F.concat(key, F.lit(f"#{seed}"))), F.lit(num_streams)).cast("int"),
+    )
+
+
 def split_batch(df: DataFrame, num_streams: int, seed: int = SPLIT_SEED) -> list[DataFrame]:
     """Literal split: one DataFrame per stream (take_columns filter per
     stream, data.rs:272-282). Each element filters the shared assigned

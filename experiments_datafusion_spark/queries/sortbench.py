@@ -1,12 +1,16 @@
 """Reference-local operator queries (SURVEY.md §2A): the four sort workloads,
 the all-columns sort spec, and the random N-way split.
 
-The generated workloads exist only Spark-side (cross-engine RNG parity is
-impossible — FIXTURES.md oracle-parity rule), so these entries are rows-only
-for the driver; their real correctness gates are the invariant tests in
-tests/test_sort.py (permutation / ordering / determinism) plus the
-parquet-backed sort queries in relational.py (sort_multicol, topk) which ARE
-oracle-checked."""
+The registry entries generate their batches in PORTABLE mode (generators.py:
+md5-based hash64 value streams instead of JVM xxhash64), so each workload has
+a full DuckDB oracle that regenerates the identical dataset from the same
+(id, seed) recipe — the generated-data analog of the llm_dedup constant-
+sharing pattern. bench.py keeps the fast xxhash64 mode for its 10M-row
+sweeps; both modes draw from the same distributions (data.rs:193-241).
+
+Ordering itself is order-insensitively hashed by the driver, so the sort's
+*permutation* invariants live in tests/test_sort.py and the oracle-checked
+parquet sorts (sort_multicol, topk, sort_desc_nulls)."""
 
 from __future__ import annotations
 
@@ -14,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from experiments_datafusion_spark import generators
+from experiments_datafusion_spark.generators import DATA_SEED, SPLIT_SEED
 from experiments_datafusion_spark.operators import sort as sort_ops
 from experiments_datafusion_spark.operators import split as split_ops
 from experiments_datafusion_spark.io import table
@@ -21,43 +26,125 @@ from experiments_datafusion_spark.queries import register
 
 _N = 10_000  # rows per generated workload batch at test scale
 
+# DuckDB replicas of the portable generator streams (generators.py:43-66).
+_H = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_IDS = f"ids AS (SELECT id FROM range({_N}) t(id))"
+
+
+def _sql_uniform(seed: int, card: int) -> str:
+    h = _H.format(x=f"CAST(id AS VARCHAR) || '#{seed}'")
+    return f"({h} % {card})"
+
+
+def _sql_utf8_low(seed: int) -> str:
+    return f"'value' || CAST({_sql_uniform(seed, 100)} AS VARCHAR)"
+
+
+def _sql_utf8_high(seed: int) -> str:
+    return (
+        f"translate(substr(md5(CAST(id AS VARCHAR) || '#{seed}'), 1, 20),"
+        f" '0123456789', 'ghijklmnop')"
+    )
+
 
 def _sorted_case(spark: SparkSession, case: str) -> DataFrame:
-    batch = generators.generate_batch(spark, case, _N)
+    batch = generators.generate_batch(spark, case, _N, portable=True)
     return sort_ops.sort_batch(batch)
 
 
-@register("sortbench_utf8_tuple", tags=("sortbench",))
+@register(
+    "sortbench_utf8_tuple",
+    tags=("sortbench",),
+    oracle=f"""
+WITH {_IDS}
+SELECT {_sql_utf8_low(DATA_SEED)} AS utf_low1,
+       {_sql_utf8_low(DATA_SEED + 1)} AS utf_low2,
+       {_sql_utf8_high(DATA_SEED + 2)} AS utf_high
+FROM ids
+""",
+)
 def sortbench_utf8_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """utf8-tuple workload (data.rs:56-84): all-columns asc-nulls-first sort."""
     return _sorted_case(spark, "utf8-tuple")
 
 
-@register("sortbench_mixed_tuple", tags=("sortbench",))
+@register(
+    "sortbench_mixed_tuple",
+    tags=("sortbench",),
+    oracle=f"""
+WITH {_IDS}
+SELECT CAST({_sql_uniform(DATA_SEED, _N)} AS DOUBLE) AS f64,
+       {_sql_utf8_low(DATA_SEED + 1)} AS utf_low1,
+       {_sql_utf8_low(DATA_SEED + 2)} AS utf_low2,
+       {_sql_uniform(DATA_SEED + 3, _N)} AS i64
+FROM ids
+""",
+)
 def sortbench_mixed_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixed-tuple workload (data.rs:87-116)."""
     return _sorted_case(spark, "mixed-tuple")
 
 
-@register("sortbench_dictionary_tuple", tags=("sortbench",))
+@register(
+    "sortbench_dictionary_tuple",
+    tags=("sortbench",),
+    oracle=f"""
+WITH {_IDS}
+SELECT {_sql_utf8_low(DATA_SEED)} AS a,
+       {_sql_utf8_low(DATA_SEED + 1)} AS b,
+       {_sql_utf8_low(DATA_SEED + 2)} AS c
+FROM ids
+""",
+)
 def sortbench_dictionary_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dictionary-tuple workload (data.rs:129-152)."""
     return _sorted_case(spark, "dictionary-tuple")
 
 
-@register("sortbench_mixed_dictionary_tuple", tags=("sortbench",))
+@register(
+    "sortbench_mixed_dictionary_tuple",
+    tags=("sortbench",),
+    oracle=f"""
+WITH {_IDS}
+SELECT {_sql_utf8_low(DATA_SEED)} AS a,
+       {_sql_utf8_low(DATA_SEED + 1)} AS b,
+       {_sql_utf8_low(DATA_SEED + 2)} AS c,
+       {_sql_uniform(DATA_SEED + 3, _N)} AS d
+FROM ids
+""",
+)
 def sortbench_mixed_dictionary_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mixed-dictionary-tuple workload (data.rs:155-182)."""
     return _sorted_case(spark, "mixed-dictionary-tuple")
 
 
-@register("split_streams", tags=("sortbench", "split"))
+_SPLIT_KEY_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    f" || '#{SPLIT_SEED}'"
+)
+
+
+@register(
+    "split_streams",
+    tags=("sortbench", "split"),
+    oracle=f"""
+SELECT CAST({_H.format(x=_SPLIT_KEY_SQL)} % 4 AS INTEGER) AS stream,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+""",
+)
 def split_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random 4-way split of lineitem (split_batch, data.rs:245-261):
-    returns per-stream row counts; the union-preserves-rows invariant is
-    tested in tests/test_sort.py."""
+    """Random 4-way split of lineitem (split_batch, data.rs:245-261): the
+    stream assignment is the portable md5 hash of the row key, so the oracle
+    replays the exact assignment; returns per-stream row counts. The
+    union-preserves-rows invariant is tested in tests/test_sort.py."""
     li = table(spark, sf_dir, "lineitem")
-    assigned = split_ops.assign_streams(li, 4)
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    assigned = split_ops.assign_streams_hash(li, 4, key)
     return assigned.groupBy("stream").agg(F.count(F.lit(1)).alias("n")).orderBy("stream")
 
 
