@@ -439,3 +439,304 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l2"),
         F.concat_ws(",", q8).alias("q8"),
     )
+
+
+# --------------------------------------------------------------------------
+# repetition filtering, incremental dedup, source mixing, sharding
+# --------------------------------------------------------------------------
+
+_SQL_WORDS = "list_filter(string_split_regex({c}, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "text_repetition",
+    tags=("pipeline", "text", "quality"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS.format(c="text")} AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w WHERE len(ws) > 0),
+wstat AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(max(cnt) AS BIGINT) AS top_cnt,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_words
+  FROM (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2)
+  GROUP BY 1
+),
+gr AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+gstat AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM gr GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       s.n_words,
+       round(CAST(s.top_cnt AS DOUBLE) / s.n_words, 4) AS top_word_frac,
+       round(CAST(s.dup_words AS DOUBLE) / s.n_words, 4) AS dup_word_frac,
+       round(CASE WHEN coalesce(g.n_grams, 0) > 0
+                  THEN CAST(coalesce(g.dup_grams, 0) AS DOUBLE) / g.n_grams
+                  ELSE 0.0 END, 4) AS dup_gram_frac,
+       CASE WHEN round(CAST(s.top_cnt AS DOUBLE) / s.n_words, 4) <= 0.2
+             AND round(CASE WHEN coalesce(g.n_grams, 0) > 0
+                            THEN CAST(coalesce(g.dup_grams, 0) AS DOUBLE) / g.n_grams
+                            ELSE 0.0 END, 4) <= 0.2
+            THEN 1 ELSE 0 END AS keep
+FROM wstat s LEFT JOIN gstat g ON s.doc_id = g.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4 family of rules,
+    adapted to word granularity since the corpus has no line structure):
+    per document, the fraction of words taken by the single most frequent
+    word, the fraction of word occurrences that are repeats, and the
+    fraction of 2-gram occurrences that are repeats; `keep` applies the
+    classic <=0.2 thresholds on top-word and duplicate-2-gram fractions.
+
+    Scale shape: explode -> partial+final hash aggregation keyed
+    (doc_id, token), then a per-doc rollup — the canonical distributed
+    word-count; both joins are co-partitioned on doc_id. All fractions are
+    ratios of exact integers, so Spark and DuckDB produce bit-identical
+    doubles."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    w = words(F.col("text"))
+    base = docs.select("doc_id", w.alias("ws")).where(F.size("ws") > 0)
+
+    wstat = (
+        base.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_words"),
+        )
+    )
+
+    m = F.size("ws") - 1
+    grams = F.zip_with(
+        F.slice("ws", 1, m), F.slice("ws", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    gstat = (
+        base.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_grams"),
+        )
+    )
+
+    top_frac = F.round(F.col("top_cnt").cast("double") / F.col("n_words"), 4)
+    dup_word_frac = F.round(F.col("dup_words").cast("double") / F.col("n_words"), 4)
+    dup_gram_frac = F.round(
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("double") / F.col("n_grams"),
+        ).otherwise(0.0),
+        4,
+    )
+    return (
+        wstat.join(gstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            top_frac.alias("top_word_frac"),
+            dup_word_frac.alias("dup_word_frac"),
+            dup_gram_frac.alias("dup_gram_frac"),
+            F.when((top_frac <= 0.2) & (dup_gram_frac <= 0.2), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+@register(
+    "dedup_incremental",
+    tags=("pipeline", "dedup"),
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^A-Za-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 = 0),
+batch AS (
+  SELECT * FROM f
+  WHERE doc_id % 5 <> 0
+    AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = f.fp)
+)
+SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, fp
+FROM batch GROUP BY fp
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-shard) exact dedup — THE shape a 100 TB ingest
+    actually runs: a new batch of documents is deduplicated against the
+    fingerprints of the already-ingested corpus (here: docs with
+    doc_id % 5 = 0 play the historical corpus, the rest the new batch).
+
+    Plan: fingerprint = md5(normalized text) on both sides (scan-side map),
+    LEFT ANTI shuffle join batch-vs-seen on the fingerprint, then a
+    min-struct groupBy keeps one representative per surviving fingerprint
+    (no window sort). At scale the seen-set is far too big to broadcast —
+    the hash-partitioned anti join is exactly what survives 1000
+    executors, and the fingerprint store can be bucketed on fp so
+    subsequent ingests co-locate for free."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    f = docs.select(
+        "doc_id", "source", F.md5(normalized(F.col("text"))).alias("fp")
+    )
+    seen = f.where(F.col("doc_id") % 5 == 0).select("fp")
+    batch = f.where(F.col("doc_id") % 5 != 0)
+    new = batch.join(seen, "fp", "left_anti")
+    return (
+        new.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "source")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.source").alias("source"), "fp")
+    )
+
+
+@register(
+    "mix_temperature",
+    tags=("pipeline", "sample"),
+    oracle=f"""
+WITH per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT round(sum(sqrt(n_docs)), 6) AS z, CAST(sum(n_docs) AS BIGINT) AS n_total FROM per_src),
+r AS (
+  SELECT source, n_docs,
+         CAST(round(least(1.0, (sqrt(n_docs) / z) * (0.5 * n_total) / n_docs) * 10000, 0)
+              AS BIGINT) AS bp_rate
+  FROM per_src CROSS JOIN tot
+)
+SELECT r.source, r.n_docs, r.bp_rate,
+       CAST(sum(CASE WHEN {_SQL_H64.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 10000
+                       < r.bp_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents d JOIN r ON d.source = r.source
+GROUP BY r.source, r.n_docs, r.bp_rate
+""",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling rule:
+    weight each source by n^alpha with alpha = 0.5, normalize, aim at a 50%
+    corpus budget). Emits, per source, the basis-point sampling rate the
+    schedule implies and how many documents the deterministic hash sampler
+    keeps at that rate — reproducible on any engine or cluster because the
+    keep-decision is integer arithmetic on the portable md5 hash.
+
+    The per-source weight table is a few rows: it cross-joins the 1-row
+    total as a broadcast and joins back to documents as a broadcast — the
+    only shuffle in the plan is the final per-source aggregation. The
+    double-valued rate collapses to integer basis points in BOTH engines
+    (same rounding), so the comparison never rides on float ulps."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        F.round(F.sum(F.sqrt(F.col("n_docs"))), 6).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.sqrt(F.col("n_docs")) / F.col("z"))
+        * (0.5 * F.col("n_total"))
+        / F.col("n_docs"),
+    )
+    r = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", F.round(rate * 10000, 0).cast("long").alias("bp_rate")
+    )
+    h = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 10000
+    return (
+        docs.join(F.broadcast(r), "source")
+        .groupBy("source", "n_docs", "bp_rate")
+        .agg(F.sum(F.when(h < F.col("bp_rate"), 1).otherwise(0)).alias("n_sampled"))
+    )
+
+
+@register(
+    "shard_assign",
+    tags=("pipeline", "diagnostics"),
+    oracle=f"""
+WITH s AS (
+  SELECT {_SQL_H64.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         text
+  FROM documents
+),
+per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+              AS BIGINT) AS tok_total
+  FROM s GROUP BY shard
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM per)
+SELECT shard, n_docs, tok_total,
+       round(n_docs * 16.0 / n_total, 4) AS balance
+FROM per CROSS JOIN tot
+""",
+)
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output sharding audit: hash-assign every document to one of 16
+    output shards (pure function of doc_id — stable across runs and
+    engines) and report per-shard document counts, token totals, and the
+    balance factor (1.0 = perfectly even). This is the load-balance check
+    run before writing N bucketed output files at 100 TB: a balance far
+    from 1.0 means stragglers in the write stage. One partial+final
+    aggregation on a 16-value key; the grand total re-enters as a 1-row
+    broadcast."""
+    from experiments_datafusion_spark.operators.text import bpe_token_count
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    shard = hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 16
+    per = docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count(F.col("text")).cast("long")).alias("tok_total"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "tok_total",
+        F.round(F.col("n_docs") * 16.0 / F.col("n_total"), 4).alias("balance"),
+    )
+
+
+# llm_text loads before this module in _MODULES, so this import never
+# perturbs registration order; its _sql_lang_id mirrors operators/text.py.
+from experiments_datafusion_spark.queries.llm_text import _sql_lang_id
+
+
+@register(
+    "lang_confusion",
+    tags=("pipeline", "text", "diagnostics"),
+    oracle=f"""
+SELECT lang, {_sql_lang_id()} AS pred_lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: cross-tabulates the
+    corpus's `lang` metadata column against the stopword-voting language ID
+    (operators/text.py:lang_id). The matrix is the first diagnostic a
+    curation run checks when a language filter misbehaves — mislabeled
+    metadata shows up as off-diagonal mass. One hash aggregation over a
+    tiny (lang x pred) key space; the classifier itself is a codegen'd
+    Column expression evaluated scan-side."""
+    from experiments_datafusion_spark.operators import text as T
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.col("lang"), T.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

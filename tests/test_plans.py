@@ -274,3 +274,55 @@ def test_run_with_metrics_observes_inline(spark, sf_dir):
     # captured text must be the finalized adaptive plan
     assert "AdaptiveSparkPlan" in plan_text
     assert "isFinalPlan=true" in plan_text
+
+def test_text_repetition_is_distributed_wordcount(spark, sf_dir):
+    """Repetition metrics are explode -> keyed hash aggregations (the
+    canonical word-count shape) — no cartesian, no Python, and only the
+    (doc_id, text) columns are ever read."""
+    p = audit(Q["text_repetition"].fn(spark, sf_dir))
+    assert "Cartesian" not in p.text
+    assert not p.has_python_udf
+    assert p.text.count("HashAggregate") >= 4  # partial+final x (words, grams)
+    for cols in p.read_schema_columns():
+        assert set(cols) == {"doc_id", "text"}
+
+
+def test_dedup_incremental_is_anti_join(spark, sf_dir):
+    """Batch-vs-seen must plan as a LEFT ANTI equi-join on the fingerprint
+    plus a min-struct rollup — no window sort, no cartesian, no Python."""
+    p = audit(Q["dedup_incremental"].fn(spark, sf_dir))
+    assert "LeftAnti" in p.text
+    assert "Cartesian" not in p.text
+    assert "Window" not in p.text
+    assert not p.has_python_udf
+
+
+def test_mix_temperature_rates_broadcast(spark, sf_dir):
+    """The per-source rate table reaches the corpus as a broadcast join;
+    the only wide stages are the per-source aggregations."""
+    p = audit(Q["mix_temperature"].fn(spark, sf_dir))
+    assert p.has_broadcast_join
+    assert "Window" not in p.text
+    assert not p.has_python_udf
+
+
+def test_shard_assign_total_is_broadcast(spark, sf_dir):
+    """Shard audit = one keyed aggregation; the grand total re-enters as a
+    1-row broadcast, never a global window."""
+    p = audit(Q["shard_assign"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p.text
+    assert "Window" not in p.text
+    assert p.text.count("HashAggregate") >= 2
+    assert not p.has_python_udf
+
+
+def test_lang_confusion_single_shuffle(spark, sf_dir):
+    """The classifier runs scan-side; the only exchanges are spread()'s
+    scan repartition and the final (lang, pred) rollup, and only
+    (lang, text) are read."""
+    p = audit(Q["lang_confusion"].fn(spark, sf_dir))
+    assert p.n_shuffles <= 2
+    assert p.text.count("HashAggregate") >= 2
+    assert not p.has_python_udf
+    (cols,) = p.read_schema_columns()
+    assert set(cols) == {"lang", "text"}
