@@ -17,8 +17,21 @@ from pyspark.sql import DataFrame
 
 def with_watermark(df: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """Late-data bound; on a stream this bounds window state size (critical
-    at 100 TB — without it session/window state grows unboundedly)."""
-    return df.withWatermark("ts", delay) if df.isStreaming else df
+    at 100 TB — without it session/window state grows unboundedly).
+
+    Spark only accepts TIMESTAMP_LTZ as an event-time column; parquet files
+    whose timestamps carry isAdjustedToUTC=false arrive as TIMESTAMP_NTZ, so
+    coerce first (session tz is pinned to UTC, making the cast
+    value-preserving)."""
+    if not df.isStreaming:
+        return df
+    return _ensure_ltz(df, "ts").withWatermark("ts", delay)
+
+
+def _ensure_ltz(df: DataFrame, col: str) -> DataFrame:
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
@@ -77,8 +90,10 @@ def dedup_events(events: DataFrame) -> DataFrame:
     """Exactly-once by event_id; on a stream, the watermark bounds the
     dedup state (dropDuplicatesWithinWatermark)."""
     if events.isStreaming:
-        return events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
-            ["event_id"]
+        return (
+            _ensure_ltz(events, "ts")
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
         )
     return events.dropDuplicates(["event_id"])
 
@@ -123,9 +138,9 @@ def attribute_purchases(
         F.col("value").alias("purchase_value"),
     )
     if clicks.isStreaming:
-        c = c.withWatermark("click_ts", "30 minutes")
+        c = _ensure_ltz(c, "click_ts").withWatermark("click_ts", "30 minutes")
     if purchases.isStreaming:
-        p = p.withWatermark("p_ts", "30 minutes")
+        p = _ensure_ltz(p, "p_ts").withWatermark("p_ts", "30 minutes")
     joined = c.join(
         p,
         (F.col("c_user") == F.col("user_id"))
