@@ -54,6 +54,9 @@ _MODULES = (
                        # 50-query window above is not displaced
     "hygiene",         # new in r2 (contamination, leakage-safe split,
                        # quality gate, weighted mixing) — appended likewise
+    "analytics",       # new in r2 (argmax/topk-per-group/keep-best/
+                       # grouping-sets rollup/bitwise/bigrams/sessionize/
+                       # embedding norms) — appended likewise
 )
 
 

@@ -326,3 +326,39 @@ def test_lang_confusion_single_shuffle(spark, sf_dir):
     assert not p.has_python_udf
     (cols,) = p.read_schema_columns()
     assert set(cols) == {"lang", "text"}
+
+
+def test_topk_per_group_pushes_window_group_limit(spark, sf_dir):
+    """Per-group top-k must plan a map-side WindowGroupLimit (rank pushdown,
+    SPARK-37099): each partition forwards at most k rows per group to the
+    shuffle instead of every row."""
+    p = audit(Q["topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p.text
+    assert not p.has_python_udf
+
+
+def test_argmax_is_partial_final_aggregate(spark, sf_dir):
+    """max_by/min_by ops must be partial+final aggregates (map-side combine
+    before the shuffle), not row_number() windows shuffling every row."""
+    for name in ("agg_argmax", "dedup_keep_best"):
+        p = audit(Q[name].fn(spark, sf_dir))
+        assert "Window" not in p.text
+        # struct-ordered max_by plans sort-based: two SortAggregates around
+        # one hash-partitioned exchange = partial then final
+        assert p.text.count("Aggregate") >= 2
+        assert not p.has_python_udf
+
+
+def test_ngram_freq_is_take_ordered(spark, sf_dir):
+    """Global bigram top-20 must plan TakeOrderedAndProject (per-partition
+    heads), never a full global sort, and stay Python-free."""
+    p = audit(Q["docs_ngram_freq"].fn(spark, sf_dir))
+    assert p.has("TakeOrderedAndProject")
+    assert not p.has_python_udf
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Lag+cumsum sessionization: no single-partition funnel; the lag and
+    running-sum windows and the final rollup share the user_id shuffle."""
+    p = audit(Q["win_sessionize"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p.text
