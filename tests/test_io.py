@@ -120,3 +120,25 @@ def test_avro_gated_with_clear_error(spark, sf_dir, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         io.read_avro(spark, str(tmp_path / "nothing.avro"))
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning (the 100 TB fact-dim pattern): a filter on
+    the DIMENSION side must prune FACT partitions at runtime via a reused
+    broadcast subquery — the fact scan carries a dynamicpruning expression
+    instead of reading every partition."""
+    orders = io.table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    io.write_parquet(orders, str(tmp_path / "orders_by_year"), partition_by=["o_year"])
+    fact = io.read_parquet(spark, str(tmp_path / "orders_by_year"))
+    dim = (
+        spark.range(1992, 1999)
+        .select(F.col("id").cast("int").alias("o_year"))
+        .where(F.col("id") % 7 == 0)  # non-foldable dim filter -> DPP, not static
+    )
+    joined = fact.join(dim, "o_year")
+    p = audit(joined)
+    assert "dynamicpruning" in p.text.lower()
+    expected = orders.where(F.year("o_orderdate") % 7 == 0).count()
+    assert joined.count() == expected
