@@ -376,3 +376,132 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+BIN_15M_US = 900_000_000  # 15 minutes in microseconds
+BIN_90M_US = 5_400_000_000  # 90 minutes (non-divisor-of-hour stride)
+
+
+@register(
+    "scalar_datebin",
+    tags=("scalar", "events"),
+    oracle=f"""
+SELECT strftime(make_timestamp((epoch_us(ts) // {BIN_15M_US}) * {BIN_15M_US}),
+                '%Y-%m-%d %H:%M:%S') AS bin_15m,
+       strftime(make_timestamp((epoch_us(ts) // {BIN_90M_US}) * {BIN_90M_US}),
+                '%Y-%m-%d %H:%M:%S') AS bin_90m,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def scalar_datebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFusion 19 `date_bin` parity (Cargo.toml:10): arbitrary-stride
+    timestamp binning (15m and a non-divisor 90m stride) as exact integer
+    epoch-microsecond floor division — identical arithmetic in both
+    engines, so bins agree bit-for-bit where date_trunc can't express the
+    stride. Pure codegen'd expressions over one scan."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    def bin_to(stride_us: int):
+        return F.timestamp_micros((us / stride_us).cast("long") * stride_us)
+    return (
+        ev.groupBy(
+            F.date_format(bin_to(BIN_15M_US), "yyyy-MM-dd HH:mm:ss").alias("bin_15m"),
+            F.date_format(bin_to(BIN_90M_US), "yyyy-MM-dd HH:mm:ss").alias("bin_90m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin_15m", "bin_90m")
+    )
+
+
+@register(
+    "scalar_url",
+    tags=("scalar", "pipeline"),
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https://([^/?#]+)', 1)      AS host,
+       regexp_extract(url, 'https://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1)               AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1)       AS lang_param,
+       regexp_extract(url, 'https://[^.]*\\.([^/?#]+)', 1) AS domain
+FROM u
+ORDER BY doc_id
+""",
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (Spark `parse_url`, a scalar DataFusion 19 lacks but web
+    curation pipelines need for domain-level dedup/mixing): host, path,
+    query string, one query param, and the registrable-domain suffix, over
+    deterministically synthesized per-doc URLs. The oracle replays with
+    regexp_extract; parse_url stays JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract("url", r"https://[^.]*\.([^/?#]+)", 1).alias("domain"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "udf_map_in_arrow",
+    tags=("udf",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+FROM lineitem
+WHERE l_quantity >= 45
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (the zero-copy UDF tier below mapInPandas: raw pyarrow
+    RecordBatches, no pandas conversion): numpy-vectorized discounted
+    price. Arrow batches stream through Python per partition — no collect,
+    no per-row Python. The filter is applied BEFORE the Python boundary so
+    the scan prunes and only surviving rows pay the Arrow hop."""
+    import pyarrow as pa
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def compute(batches):
+        for batch in batches:
+            import numpy as np
+
+            ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+            # half-AWAY rounding (SQL round semantics; np.round is
+            # half-even and disagrees with the oracle on exact .xx5)
+            disc = np.floor(ep * (1 - dc) * 100.0 + 0.5) / 100.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey").cast(pa.int64()),
+                    # int32 in the parquet footer; the declared schema says
+                    # long, and Spark trusts the declaration blindly
+                    batch.column("l_linenumber").cast(pa.int64()),
+                    pa.array(disc),
+                ],
+                names=["l_orderkey", "l_linenumber", "disc_price"],
+            )
+
+    out_schema = "l_orderkey long, l_linenumber long, disc_price double"
+    return li.mapInArrow(compute, out_schema).orderBy("l_orderkey", "l_linenumber")
