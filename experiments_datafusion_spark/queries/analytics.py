@@ -505,3 +505,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out_schema = "l_orderkey long, l_linenumber long, disc_price double"
     return li.mapInArrow(compute, out_schema).orderBy("l_orderkey", "l_linenumber")
+
+
+# Dialect-shared SQL (runs verbatim through BOTH spark.sql and DuckDB —
+# the string itself is the oracle, like queries/sqlfrontend.py)
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.price
+FROM (SELECT DISTINCT o_custkey AS c_custkey FROM orders) c,
+LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey
+  LIMIT 2
+) o
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+@register("sql_lateral_topk", tags=("sql", "subquery", "topk"), oracle=_LATERAL_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL-frontend path): each customer's 2
+    most recent orders, deterministically tiebroken. Catalyst decorrelates
+    the lateral into a per-key window — the text-SQL twin of
+    topk_per_group's DSL form; the same SQL string runs verbatim on both
+    engines."""
+    from experiments_datafusion_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_LATERAL_SQL)
+
+
+_RANGE_TIME_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 2) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@register("win_range_time", tags=("window", "events"), oracle=_RANGE_TIME_SQL)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the rolling 1-hour event count
+    and value sum ending at each event (the trailing-window metric shape).
+    RANGE frames make timestamp PEERS share a frame, so results are
+    deterministic under ts ties — no tiebreak column needed; one shuffle on
+    user_id. Same SQL text runs on both engines."""
+    from experiments_datafusion_spark.io import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_RANGE_TIME_SQL)
