@@ -111,20 +111,6 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx", tags=("agg", "approx"))
-def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates: approx_count_distinct (HLL++) and
-    percentile_approx (t-digest-ish). No oracle — sketch results are
-    implementation-defined; the driver records a rows-only check. A
-    sanity assertion (approx within 10% of exact) lives in tests/."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median"),
-    )
-
-
 @register(
     "agg_collect",
     tags=("agg", "array"),

@@ -92,3 +92,20 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "c_name", F.round("o_totalprice", 2).alias("total")
         )
     )
+
+
+# Moved here from queries/aggregates.py: rows-only ops should not occupy a
+# slot in the driver's 50-query CORRECTNESS prefix window when an oracled
+# op (udf_apply_in_pandas) sits just past the boundary.
+@register("agg_approx", tags=("agg", "approx"))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: approx_count_distinct (HLL++) and
+    percentile_approx (t-digest-ish). No oracle — sketch results are
+    implementation-defined; the driver records a rows-only check. A
+    sanity assertion (approx within 10% of exact) lives in tests/."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median"),
+    )
