@@ -109,3 +109,34 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("approx_median"),
     )
+
+
+@register("agg_sketch_rollup", tags=("agg", "approx", "pipeline"))
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark 3.5 DataSketches HLL): per-source
+    distinct-fingerprint sketches, plus the corpus-wide estimate from
+    hll_union_agg over the SAME per-source sketches — the pre-aggregation
+    pattern that makes distinct counts reaggregable at 100 TB (store tiny
+    sketch bytes per partition/day, merge on demand; never rescan raw
+    data). Rows-only driver check (sketch estimates are implementation-
+    defined); tests assert union-consistency and a 5% error bound vs the
+    exact distinct counts carried alongside."""
+    from experiments_datafusion_spark.operators import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    fp = T.hash64(T.normalized(F.col("text")))
+    per = docs.groupBy("source").agg(
+        F.hll_sketch_agg(fp.alias("fp")).alias("sk"),
+        F.count_distinct(fp.alias("fp")).alias("exact_distinct"),
+    )
+    per_source = per.select(
+        "source", F.hll_sketch_estimate("sk").alias("est_distinct"), "exact_distinct"
+    )
+    merged = per.agg(
+        F.lit("__all__").alias("source"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),  # fingerprints are
+        # per-source distinct; cross-source dup fingerprints make this an
+        # upper bound only — tests compare against the true global distinct
+    )
+    return per_source.unionByName(merged).orderBy("source")
