@@ -362,3 +362,42 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     running-sum windows and the final rollup share the user_id shuffle."""
     p = audit(Q["win_sessionize"].fn(spark, sf_dir))
     assert "Exchange SinglePartition" not in p.text
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime semi-join reduction: a selective dim filter must inject a
+    bloom_filter_agg subquery whose might_contain() prunes the fact scan
+    BEFORE the shuffle — the Catalyst runtime filter that cuts shuffled
+    fact bytes at 100 TB. Thresholds are production-tuned (10GB scan
+    floor), so the test lowers the floor and disables broadcast to expose
+    the shuffle-join path at test scale."""
+    import pyspark.sql.functions as F
+
+    from experiments_datafusion_spark.io import table as load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        p = audit(j)
+        assert "might_contain" in p.text
+        assert "bloom_filter_agg" in p.text
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
