@@ -57,6 +57,7 @@ _MODULES = (
     "analytics",       # new in r2 (argmax/topk-per-group/keep-best/
                        # grouping-sets rollup/bitwise/bigrams/sessionize/
                        # embedding norms) — appended likewise
+    "ml",              # new in r2 (iterative k-means, differential oracle)
 )
 
 
