@@ -558,3 +558,49 @@ def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_RANGE_TIME_SQL)
+
+
+_UNIGRAM_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_WORDS.format(c="lower(text)")}) AS term
+  FROM documents
+),
+freq AS (SELECT term, count(*) AS n FROM w GROUP BY term),
+tot AS (SELECT sum(n) AS t FROM freq),
+sc AS (
+  SELECT w.doc_id, count(*) AS n_tokens,
+         avg(ln(freq.n * 1.0 / tot.t)) AS lp
+  FROM w JOIN freq USING (term) CROSS JOIN tot
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_tokens, round(lp, 4) AS avg_logprob
+FROM sc ORDER BY doc_id
+"""
+
+
+@register("text_unigram_logprob", tags=("text", "pipeline"), oracle=_UNIGRAM_SQL)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the KenLM-filter stand-in a pure-SQL
+    pipeline can self-host): train a unigram LM on the corpus in one
+    aggregate, then score each document by its mean word log-likelihood —
+    gibberish and boilerplate surface as outliers. Plan shape at 100 TB:
+    one explode + one groupBy builds the LM, the corpus-total is a 1-row
+    broadcast cross join, and the score join shuffles on the word key
+    (AQE's skew handling splits the stopword-heavy partitions)."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("term")
+    )
+    freq = w.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    lp = F.ln(F.col("n") * 1.0 / F.col("t"))
+    return (
+        w.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
