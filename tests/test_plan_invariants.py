@@ -1,0 +1,71 @@
+"""Registry-WIDE physical-plan invariants: not one hand-picked query, but
+every registered operator is machine-checked for the two classic
+scale-killers — quadratic join shapes and row-wise Python in the hot path.
+Exceptions are an explicit allowlist of documented baselines."""
+
+from __future__ import annotations
+
+import pytest
+
+from experiments_datafusion_spark.plans.audit import audit
+from experiments_datafusion_spark.queries import all_queries
+
+# Quadratic-by-design baselines (each has a scale-path twin + recall tests)
+ALLOW_QUADRATIC = {
+    "dedup_embedding_cosine",  # brute-force recall oracle (LSH twin is primary)
+    "sim_topk_bruteforce",     # exactness baseline (LSH/IVF twins)
+    "join_theta",              # non-equi join IS a nested-loop shape
+    "join_cross",              # CROSS JOIN is the operator itself
+    "dedup_fuzzy_levenshtein", # banded edit-distance: length-band theta join
+    "join_asof",               # broadcast-range probe on the small side
+    "join_range_bands",        # points-in-intervals via broadcast bands
+}
+
+# BroadcastNestedLoopJoin of a ONE-ROW (or tiny) aggregate — the "attach a
+# scalar threshold / grand total to every row" idiom. O(n) with a 1-row
+# build side, scale-correct; still named explicitly so any NEW nested-loop
+# shape fails review until justified here.
+ALLOW_SCALAR_BROADCAST = {
+    "docs_heavy_hitters",        # corpus-total row for frequency cutoff
+    "docs_length_histogram",     # total-docs row for bucket shares
+    "ev_funnel",                 # step-1 cohort size as 1-row denominator
+    "mix_temperature",           # corpus token total for temperature rates
+    "quality_gate_percentile",   # p75 cutoff as 1-row broadcast
+    "scalar_decimal",            # grand-total broadcast (round-1 fix)
+    "shard_assign",              # corpus total for shard-balance shares
+    "text_tfidf",                # corpus doc count for idf
+    "text_unigram_logprob",      # corpus token total for unigram probs
+    "tpch_q11_important_parts",  # value-threshold scalar broadcast
+    "tpch_q22_opportunity",      # avg-balance scalar broadcast
+}
+
+# Python-in-the-plan is the operator's PURPOSE here (vectorized or documented)
+ALLOW_PYTHON = {
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_apply_in_pandas",
+    "udf_python_rowwise",  # the documented anti-pattern exhibit (25-row dim)
+    "udf_python_udtf",
+    "udf_map_in_arrow",
+    "mm_features",
+    "mm_frame_sample",
+    "text_pii_redact",
+}
+
+_QUERIES = sorted(all_queries().items())
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _QUERIES])
+def test_no_scale_killers_in_plan(spark, sf_dir, name):
+    q = dict(_QUERIES)[name]
+    p = audit(q.fn(spark, sf_dir))
+    if name not in ALLOW_QUADRATIC:
+        assert "CartesianProduct" not in p.text, f"{name}: cartesian product"
+        if name not in ALLOW_SCALAR_BROADCAST:
+            assert "BroadcastNestedLoopJoin" not in p.text, f"{name}: NLJ shape"
+    if name not in ALLOW_PYTHON:
+        assert "BatchEvalPython" not in p.text, f"{name}: row-wise Python"
+    # NOTE: no blanket SinglePartition assertion — a 1-row FINAL aggregate
+    # over partial aggregates legitimately plans one; the genuinely
+    # dangerous full-data no-partition windows have dedicated tests
+    # (gather_by_index, win_sessionize) in test_plans.py.
