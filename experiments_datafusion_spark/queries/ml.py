@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from experiments_datafusion_spark.io import table
 from experiments_datafusion_spark.queries import register
+from experiments_datafusion_spark.queries.llm_dedup import _SQL_SHINGLE_CTE
 
 K = 8
 ITERS = 2  # centroid updates; assignments run ITERS + 1 times
@@ -135,5 +136,64 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         final.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "dedup_near_canonical",
+    tags=("dedup", "graph", "pipeline"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLE_CTE},
+prs AS (SELECT x, y FROM jac WHERE jaccard_raw >= 0.5),
+edges AS (SELECT x AS src, y AS dst FROM prs UNION SELECT y, x FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node),
+membered AS (
+  SELECT d.doc_id, d.n_chars, coalesce(cc.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cc USING (doc_id)
+),
+kept AS (
+  SELECT cluster, doc_id AS kept_doc FROM membered
+  QUALIFY row_number() OVER (PARTITION BY cluster
+                             ORDER BY n_chars DESC, doc_id ASC) = 1
+)
+SELECT m.cluster, k.kept_doc, count(*) AS cluster_size
+FROM membered m JOIN kept k USING (cluster)
+GROUP BY m.cluster, k.kept_doc
+ORDER BY m.cluster
+""",
+)
+def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup curation chain as ONE operator: exact-Jaccard
+    pairs (threshold 0.5) -> connected components -> keep the LONGEST doc
+    per cluster (ties to the smallest doc_id), singletons keep themselves.
+    Emits the deduplicated corpus as (cluster, kept_doc, cluster_size).
+    Composition of the bucketed posting-list join (no all-pairs), iterative
+    min-label propagation, and a max_by aggregate — every stage shuffles on
+    a key, nothing funnels."""
+    from experiments_datafusion_spark.operators import dedup as D
+    from experiments_datafusion_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, 0.5).select("x", "y")
+    cc = connected_components(pairs)  # (doc_id, cluster = min id in component)
+    membered = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.col("doc_id")))
+    )
+    best = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        membered.groupBy("cluster")
+        .agg(
+            F.max_by("doc_id", best).alias("kept_doc"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
         .orderBy("cluster")
     )
