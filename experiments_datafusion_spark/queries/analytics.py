@@ -604,3 +604,32 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "scalar_binary_b64",
+    tags=("scalar",),
+    oracle="""
+SELECT s_suppkey,
+       base64(encode(s_name))                   AS name_b64,
+       hex(encode(substr(s_name, 1, 4)))        AS name_hex,
+       printf('%08d', s_suppkey)                AS key_padded,
+       octet_length(encode(s_name))             AS name_bytes
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+def scalar_binary_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding scalars (DataFusion 19 to_hex/encode surface +
+    the hex crate the reference itself pulls, Cargo.toml:12): base64 and
+    hex of UTF-8 bytes, printf-style zero padding, byte length. All
+    codegen'd; the oracle mirrors with encode()/printf."""
+    sup = table(spark, sf_dir, "supplier")
+    name_bin = F.encode(F.col("s_name"), "UTF-8")
+    return sup.select(
+        "s_suppkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.upper(F.hex(F.encode(F.substring("s_name", 1, 4), "UTF-8"))).alias("name_hex"),
+        F.format_string("%08d", "s_suppkey").alias("key_padded"),
+        F.octet_length(name_bin).alias("name_bytes"),
+    ).orderBy("s_suppkey")
