@@ -76,3 +76,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of running_user_totals — Spark 4's
+    successor API (named state variables, timers, TTL). Requires
+    google.protobuf at runtime (Spark's TWS driver worker imports its
+    generated StateMessage proto), which this environment does not bundle
+    (pip installs unavailable) — so this raises a clear
+    NotImplementedError without it, the same honesty contract as the Avro
+    reader (io.py); tests/test_streaming_stateful.py gates on the import
+    and otherwise checks convergence to the batch answer."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(Spark's TWS state protocol); install protobuf to enable. "
+            "Use running_user_totals (applyInPandasWithState) instead."
+        ) from exc
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Processor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen, vsum = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                seen += len(pdf)
+                vsum += float(pdf["value"].sum())
+            self._st.update((seen, vsum))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events_seen": [seen],
+                    "value_sum": [round(vsum, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

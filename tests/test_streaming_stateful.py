@@ -126,3 +126,44 @@ def test_watermark_drops_late_events(spark, sf_dir, tmp_path):
     assert all(not w.startswith("2024-01-01") for w in windows), (
         f"late 2024-01-01 event created a window despite watermark: {windows}"
     )
+
+
+def test_transform_with_state_converges_or_is_gated(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas twin: converges to the batch
+    answer where the environment provides google.protobuf (the TWS state
+    protocol dependency); without it the operator must raise its
+    documented NotImplementedError, not crash mid-query."""
+    from experiments_datafusion_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    d = tmp_path / "ev_tws"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    try:
+        out = running_user_totals_tws(_src(spark, d, sf_dir))
+    except NotImplementedError as e:
+        assert "protobuf" in str(e)
+        pytest.skip("transformWithStateInPandas gated: no google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["user_id"]: (r["events_seen"], r["value_sum"])
+        for r in spark.table("sink_tws").collect()
+    }
+    batch = {
+        r["user_id"]: (r["events_seen"], r["value_sum"])
+        for r in running_user_totals(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert streamed == batch
