@@ -49,4 +49,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component with propagation distance > max_iter would otherwise
+        # return silently-wrong labels and surface as a confusing
+        # differential mismatch downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster"))

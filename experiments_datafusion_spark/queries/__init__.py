@@ -27,37 +27,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, "Query"] = {}
 
-# Registration order = driver verification priority.  The driver's
-# CORRECTNESS pass covers a prefix window of the registry (50 queries in
-# round 1), so modules whose operators still lack a driver verdict register
-# FIRST; tpch/relational went through the round-1 window (49/50 green,
-# CORRECTNESS_r01.json) and keep that evidence while yielding their slots.
+# Modules are imported in this order; final registry order is decided by
+# _PRIORITY below (driver verification priority), so module order itself no
+# longer matters for the driver window.
 _MODULES = (
-    "aggregates",      # 10  — unverified in r01
-    "windows",         # 5   — unverified in r01
-    "scalars",         # 10  — unverified in r01
-    "sqlfrontend",     # 6   — unverified in r01
-    "llm_dedup",       # unverified in r01
-    "llm_similarity",  # unverified in r01
-    "llm_text",        # unverified in r01
-    "sampling",        # table_sample_hash (new; VERDICT item 3)
-    "udfs",            # unverified in r01
-    "events",          # unverified in r01
-    "sortbench",       # unverified in r01 (rows-only by design)
-    "multimodal",      # unverified in r01
-    "llm_extras",      # new in r2 (dedup_clusters, text_tfidf)
-    "extras",          # new in r2 (agg_corr_regr, join_bucketed)
-    "advanced_joins",  # join_asof r01-green; join_salted unverified
-    "tpch",            # r01-green (22/22)
-    "relational",      # r01-green (27/27 incl. flagship shapes)
-    "pipeline",        # new in r2 (curation ops) — appended so the r02
-                       # 50-query window above is not displaced
-    "hygiene",         # new in r2 (contamination, leakage-safe split,
-                       # quality gate, weighted mixing) — appended likewise
-    "analytics",       # new in r2 (argmax/topk-per-group/keep-best/
-                       # grouping-sets rollup/bitwise/bigrams/sessionize/
-                       # embedding norms) — appended likewise
-    "ml",              # new in r2 (iterative k-means, differential oracle)
+    "aggregates",
+    "windows",
+    "scalars",
+    "sqlfrontend",
+    "llm_dedup",
+    "llm_similarity",
+    "llm_text",
+    "sampling",
+    "udfs",
+    "events",
+    "sortbench",
+    "multimodal",
+    "llm_extras",
+    "extras",
+    "advanced_joins",
+    "tpch",
+    "relational",
+    "pipeline",
+    "hygiene",
+    "analytics",
+    "ml",
+)
+
+# The driver's CORRECTNESS pass covers a prefix window of the registry
+# (50 queries per round).  Rounds 1-2 verified tpch/relational (r1,
+# CORRECTNESS_r01.json 49/50) and aggregates/windows/scalars/sqlfrontend/
+# llm_*/sampling/udf-pandas (r2, CORRECTNESS_r02.json 50/50).  Round 3
+# re-aims the window at the keys that have never had a driver verdict:
+# events, the curation pipeline, hygiene, ml, the reference-local sortbench
+# workloads, the oracled multimodal trio, llm_extras, and the highest-value
+# analytics keys.  Keys listed here surface FIRST (in this order) in
+# queries()/oracle_sql(); everything else follows in registration order.
+_PRIORITY = (
+    # events — ev_* event-time analytics (10)
+    "ev_tumbling", "ev_sliding", "ev_session", "ev_dedup", "ev_daily_stats",
+    "ev_enrich_join", "ev_funnel", "ev_retention", "ev_gapfill",
+    "ev_attribution",
+    # curation pipeline (15)
+    "split_train_test", "sample_stratified", "text_pii_redact",
+    "text_token_budget", "docs_length_histogram", "docs_heavy_hitters",
+    "text_top_words", "anomaly_zscore", "dedup_fuzzy_levenshtein",
+    "embedding_quantize", "text_repetition", "dedup_incremental",
+    "mix_temperature", "shard_assign", "lang_confusion",
+    # hygiene (4)
+    "contamination_ngram", "split_leakage_safe", "quality_gate_percentile",
+    "mix_weighted_sources",
+    # ml (2)
+    "embedding_kmeans", "dedup_near_canonical",
+    # reference-local sortbench workloads, SURVEY §2A rows 6-7/12 (5)
+    "split_streams", "sortbench_utf8_tuple", "sortbench_mixed_tuple",
+    "sortbench_dictionary_tuple", "sortbench_mixed_dictionary_tuple",
+    # multimodal oracled trio (3)
+    "mm_metadata", "mm_dedup_payload", "mm_features",
+    # llm_extras (2)
+    "dedup_clusters", "text_tfidf",
+    # analytics, highest-value 9
+    "agg_argmax", "topk_per_group", "dedup_keep_best", "rollup_time_multi",
+    "win_sessionize", "scalar_datebin", "win_range_time", "sql_lateral_topk",
+    "embedding_norm_stats",
 )
 
 
@@ -89,7 +121,12 @@ def _load_all() -> None:
 
 def all_queries() -> dict[str, Query]:
     _load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names unknown queries: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

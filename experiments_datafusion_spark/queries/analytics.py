@@ -386,9 +386,13 @@ BIN_90M_US = 5_400_000_000  # 90 minutes (non-divisor-of-hour stride)
     "scalar_datebin",
     tags=("scalar", "events"),
     oracle=f"""
-SELECT strftime(make_timestamp((epoch_us(ts) // {BIN_15M_US}) * {BIN_15M_US}),
+-- floor-to-bin via positive mod: DuckDB's // truncates toward zero, which
+-- would diverge from date_bin semantics for pre-1970 (negative-epoch) rows
+SELECT strftime(make_timestamp(epoch_us(ts)
+                - ((epoch_us(ts) % {BIN_15M_US}) + {BIN_15M_US}) % {BIN_15M_US}),
                 '%Y-%m-%d %H:%M:%S') AS bin_15m,
-       strftime(make_timestamp((epoch_us(ts) // {BIN_90M_US}) * {BIN_90M_US}),
+       strftime(make_timestamp(epoch_us(ts)
+                - ((epoch_us(ts) % {BIN_90M_US}) + {BIN_90M_US}) % {BIN_90M_US}),
                 '%Y-%m-%d %H:%M:%S') AS bin_90m,
        count(*) AS n
 FROM events
@@ -405,7 +409,10 @@ def scalar_datebin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     def bin_to(stride_us: int):
-        return F.timestamp_micros((us / stride_us).cast("long") * stride_us)
+        # exact integer floor division (`div` floors like DuckDB's `//` for
+        # the pmod-adjusted value) — double division truncates toward zero
+        # and diverges from the oracle on pre-1970 (negative-epoch) inputs
+        return F.timestamp_micros(us - F.pmod(us, F.lit(stride_us)))
     return (
         ev.groupBy(
             F.date_format(bin_to(BIN_15M_US), "yyyy-MM-dd HH:mm:ss").alias("bin_15m"),

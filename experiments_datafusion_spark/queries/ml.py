@@ -14,7 +14,7 @@ assignment, expressed Spark-first:
     argmin, per-cluster avg; iterations are sequential jobs exactly like
     production k-means on Spark.
 
-Cross-engine determinism: squared-L2 distances are rounded to 6dp BEFORE
+Cross-engine determinism: squared-L2 distances are rounded to 4dp BEFORE
 the argmin (ties then break on the lower cluster id), and updated centroids
 are rounded to 6dp per dimension — Spark's partial/final avg and DuckDB's
 sequential avg differ in accumulation order, and quantizing both sides
@@ -61,7 +61,7 @@ c0 AS (
   FROM emb e CROSS JOIN c{it} c
   QUALIFY row_number() OVER (
     PARTITION BY e.vec_id
-    ORDER BY round({_sql_sqdist("e.embedding", "c.cent")}, 6) ASC, c.cluster ASC
+    ORDER BY round({_sql_sqdist("e.embedding", "c.cent")}, 4) ASC, c.cluster ASC
   ) = 1
 )"""
         )
@@ -85,13 +85,17 @@ ORDER BY cluster
 
 
 def _argmin_cluster(vec, codebook: list[tuple[int, list[float]]]):
-    """Nearest-centroid id by 6dp-rounded squared L2, ties to the lower
-    cluster id (matches the oracle's ORDER BY dist, cluster)."""
+    """Nearest-centroid id by 4dp-rounded squared L2, ties to the lower
+    cluster id (matches the oracle's ORDER BY dist, cluster).  4dp (not
+    6dp) distance quantization: the coarser grid makes it ~100x less
+    likely that cross-engine accumulation-order noise in the centroid
+    averages straddles a rounding boundary and flips an assignment; ties
+    created by the coarser grid break identically on both sides."""
     pairs = []
     for cid, cent in codebook:
         arr = F.array(*[F.lit(x) for x in cent])
         diff = F.zip_with(vec, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
-        d = F.round(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x), 6)
+        d = F.round(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x), 4)
         pairs.append(F.struct(d.alias("d"), F.lit(cid).alias("cluster")))
     best = F.array_min(F.array(*pairs))
     return best.getField("cluster")

@@ -146,22 +146,31 @@ def test_transform_with_state_converges_or_is_gated(spark, sf_dir, tmp_path):
     except NotImplementedError as e:
         assert "protobuf" in str(e)
         pytest.skip("transformWithStateInPandas gated: no google.protobuf")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName("sink_tws")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    streamed = {
-        r["user_id"]: (r["events_seen"], r["value_sum"])
-        for r in spark.table("sink_tws").collect()
-    }
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sink_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            r["user_id"]: (r["events_seen"], r["value_sum"])
+            for r in spark.table("sink_tws").collect()
+        }
+    finally:
+        # shared session fixture: don't leak RocksDB into later streaming tests
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     batch = {
         r["user_id"]: (r["events_seen"], r["value_sum"])
         for r in running_user_totals(load_table(spark, sf_dir, "events")).collect()

@@ -54,6 +54,10 @@ def main() -> None:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:  # a typo'd name must not produce a silent "0 pass, 0 fail" green
+        print(f"ERROR: unknown query names: {sorted(unknown)}", flush=True)
+        sys.exit(2)
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
