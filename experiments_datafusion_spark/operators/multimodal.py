@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata
 (north-star extension, SURVEY.md §2B last row).
 
-The container has no image/audio codecs, so DECODING is stubbed — either a
-clearly-marked NotImplementedError (real-codec path) or a deterministic fake
-(hash-derived features) — while everything Spark-side is REAL and tested:
-schema (binary + metadata struct), partition-preserving mapInPandas
-plumbing, Arrow batch shapes, pandas-UDF signatures.
+Audio decodes FOR REAL: payloads are genuine RIFF/WAVE files (PCM16) and
+decode_wav_features parses them with the stdlib ``wave`` codec inside
+mapInPandas.  Image/video decoding still needs codecs the container doesn't
+ship, so that path remains a clearly-marked NotImplementedError while the
+Spark-side plumbing (binary schema, Arrow batch shapes, partition-preserving
+mapInPandas) is real and tested.
 
 At 100 TB the pattern is: binary payloads stay columnar in parquet, metadata
 is scalar columns (prunable without touching payload bytes), per-batch
@@ -21,16 +22,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
-    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
-
-FEATURE_DIM = 8
 
 MEDIA_SCHEMA = StructType(
     [
@@ -41,16 +38,6 @@ MEDIA_SCHEMA = StructType(
         StructField("checksum", StringType()),
     ]
 )
-
-FEATURE_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("n_bytes", LongType()),
-        StructField("features", ArrayType(DoubleType())),
-    ]
-)
-
 
 def attach_media(docs: DataFrame) -> DataFrame:
     """Manufacture an opaque binary payload column from document text (the
@@ -69,41 +56,95 @@ def attach_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_real(payload: bytes, media_type: str):
-    """The real-codec path. Container ships no codecs -> explicit stub."""
+    """The real-codec path for image/video. Container ships no codecs ->
+    explicit stub (audio is NOT stubbed: WAV decodes for real below via the
+    stdlib ``wave`` module)."""
     raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in this "
-        "environment; production would decode here (PIL/ffmpeg/torchaudio)"
+        "image/video decoding requires codecs not present in this "
+        "environment; production would decode here (PIL/ffmpeg). "
+        "Audio: see attach_wav_media/decode_wav_features (real stdlib WAV)."
     )
 
 
-def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a decode->embed step: bytes -> stable
-    pseudo-features. Replaces decode_real until codecs exist."""
-    h = np.frombuffer(payload[: FEATURE_DIM * 8].ljust(FEATURE_DIM * 8, b"\0"), dtype=np.uint64)
-    return (h % 1000).astype(np.float64).tolist() if len(h) == FEATURE_DIM else (
-        np.resize((np.frombuffer(payload.ljust(8, b"\0")[:8], dtype=np.uint64) % 1000), FEATURE_DIM)
-        .astype(np.float64)
-        .tolist()
-    )
+WAV_RATE = 8000  # Hz; PCM16 mono test corpus
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """mapInPandas feature extraction: one Python roundtrip per Arrow batch
-    (never per row); partitioning of the input is preserved — no shuffle."""
+def _wav_n_samples(doc_id: int) -> int:
+    return 100 + int(doc_id) % 400
+
+
+def attach_wav_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a REAL RIFF/WAVE payload per document: PCM16 mono at
+    WAV_RATE, n_samples and the sample waveform both closed-form functions
+    of doc_id — so a SQL oracle can replay the decoded features without
+    ever parsing bytes.  sample[i] = (doc_id*31 + i*17) % 2001 - 1000."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = _wav_n_samples(did)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(did) * 31 + i * 17) % 2001 - 1000).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id bigint, n_channels int, sample_rate int, n_frames bigint, "
+    "duration_sec double, mean_abs_amp double"
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each RIFF/WAVE payload with the stdlib
+    ``wave`` module (header fields + PCM frames), derive scalar features.
+    Per-payload decode inside a mapInPandas batch loop — the honest shape
+    for codec work (codecs are per-file); batches amortize the Python
+    roundtrip, input partitioning is preserved, no shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [_fake_features(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["n_bytes"],
-                    "features": feats,
-                }
-            )
+        import io
+        import wave
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_channels", "sample_rate", "n_frames",
+                "duration_sec", "mean_abs_amp",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    nch, rate, nf = w.getnchannels(), w.getframerate(), w.getnframes()
+                    raw = w.readframes(nf)
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                # EXACT integer arithmetic, no float round(): the mean is a
+                # rational S/n and float round() at a half-ulp boundary
+                # splits across engines (observed: 472.68125 -> .6812 here,
+                # .6813 in DuckDB).  Half-up via (S*2e4 + n) // (2n) is
+                # exact; both engines then divide the same ints.
+                s_abs = int(np.abs(samples).sum())
+                mean4 = (s_abs * 20_000 + nf) // (2 * nf)
+                dur6 = (nf * 2_000_000 + rate) // (2 * rate)  # half-up µs
+                out["media_id"].append(mid)
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(nf)
+                out["duration_sec"].append(dur6 / 1_000_000.0)
+                out["mean_abs_amp"].append(mean4 / 10_000.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, WAV_FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:

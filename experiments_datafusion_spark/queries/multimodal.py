@@ -57,19 +57,45 @@ def mm_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_features", tags=("llm", "multimodal"))
+@register(
+    "mm_features",
+    tags=("llm", "multimodal"),
+    oracle=f"""
+-- replays the closed-form WAV corpus: n = 100 + doc_id%400 PCM16 samples at
+-- {M.WAV_RATE} Hz, sample[i] = (doc_id*31 + i*17) mod 2001 - 1000 (see
+-- operators/multimodal.py attach_wav_media); the Spark side decodes the
+-- actual RIFF bytes with the stdlib wave module — a REAL decode under a
+-- SQL-replayable oracle
+-- EXACT integer half-up quantization (x*2*scale + n) // (2*n) on both
+-- sides: float round() at a half-ulp boundary splits across engines
+WITH f AS (
+  SELECT doc_id, 100 + doc_id % 400 AS n FROM documents
+),
+s AS (
+  SELECT f.doc_id, f.n,
+         abs((f.doc_id * 31 + t.i * 17) % 2001 - 1000) AS a
+  FROM f, UNNEST(range(0, f.n)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       1 AS n_channels,
+       {M.WAV_RATE} AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST((n * 2000000 + {M.WAV_RATE}) // (2 * {M.WAV_RATE}) AS DOUBLE)
+         / 1000000 AS duration_sec,
+       CAST((sum(a) * 20000 + n) // (2 * n) AS DOUBLE) / 10000 AS mean_abs_amp
+FROM s
+GROUP BY doc_id, n
+""",
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction via mapInPandas (deterministic fake decode —
-    codecs absent; see operators/multimodal.py:decode_real). Rows-only."""
-    media = M.attach_media(table(spark, sf_dir, "documents"))
-    feats = M.extract_features(media)
-    return feats.select(
-        "media_id",
-        "media_type",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 2).alias("f0"),
-        F.size("features").alias("feature_dim"),
-    )
+    """REAL audio feature extraction: build RIFF/WAVE payloads (PCM16 mono,
+    closed-form waveform per doc_id), then decode the actual bytes with the
+    stdlib ``wave`` codec in mapInPandas and emit header + amplitude
+    features.  The oracle replays the closed form in SQL — so the round
+    trip encode->RIFF bytes->decode is differential-tested end to end.
+    Image/video decode remains the documented stub (decode_real)."""
+    media = M.attach_wav_media(table(spark, sf_dir, "documents"))
+    return M.decode_wav_features(media)
 
 
 @register("mm_frame_sample", tags=("llm", "multimodal"))
