@@ -68,6 +68,26 @@ REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
 # reference charts show only becomes visible in the 1M-10M regime here
 # (which is also the regime a 100 TB deployment actually runs per task).
 SWEEP_SIZES = (250, 1_000, 4_000, 16_000, 50_000, 100_000, 1_000_000, 10_000_000)
+# One decade further (the 100x-scale proof point): single timed run, radix
+# series only — at ~1 min/case steady-state precision isn't the question,
+# linear-vs-superlinear shape and not-spilling is.
+SWEEP_XL = 100_000_000
+# dev knob: cap sweep size for fast harness validation (never set by the
+# driver; full sweep is the default)
+_SWEEP_CAP = int(os.environ.get("SPARK_GRAFT_SWEEP_CAP", str(SWEEP_XL)))
+SWEEP_SIZES = tuple(n for n in SWEEP_SIZES if n <= _SWEEP_CAP)
+
+# Spark's two sort strategies, the faithful analog of the reference's
+# comparator-vs-row-encoding comparison (lib.rs:23-52, README.md:7-20):
+# enableRadixSort=true sorts 8-byte binary prefixes with radix passes
+# (row-encoding-flavored), =false runs the comparator path.  Spark only
+# engages radix for single-column sorts with fully-prefix-representable keys
+# (SortExec's canUseRadixSort), so the four multi-column reference cases
+# honestly coincide — which is itself the Spark answer to the reference's
+# question (the planner, not the user, picks the strategy).  The extra
+# "i64-single" case IS radix-eligible and shows the genuine divergence.
+SORT_STRATEGIES = (("radix", "true"), ("comparator", "false"))
+RADIX_PROBE_CASE = "i64-single"
 
 
 def force(df) -> None:
@@ -104,42 +124,59 @@ def main() -> None:
         # (SparkException noise in BENCH_r01); the ContextCleaner reclaims
         # unreferenced blocks on its own.
 
-    # reference-parity sort bench: the four workload cases, swept over batch
-    # size like runall.sh; the 100k endpoint doubles as the headline number.
-    sweep: dict[str, list[dict[str, float]]] = {}
-    for case in generators.CASES:
+    # reference-parity sort bench: the four workload cases + the radix probe
+    # case, swept over batch size like runall.sh, one series per sort
+    # strategy (the reference's two-strategy chart shape, lib.rs:23-52);
+    # the radix-series 100k endpoint doubles as the headline number.
+    sweep: dict[str, dict[str, list[dict[str, float]]]] = {}
+    for case in (*generators.CASES, RADIX_PROBE_CASE):
         def build(case=case, n=REF_SORT_ROWS):
             return sort_ops.sort_batch(generators.generate_batch(spark, case, n))
 
-        series = []
-        for n in SWEEP_SIZES:
-            # the headline 100k point gets the full ITERS/WARMUP protocol —
-            # it feeds the suite total and the round-over-round comparison,
-            # and a 2-iteration min is too exposed to a single noisy run on
-            # this shared host (observed 0.55s -> 1.66s flukes)
-            if n == REF_SORT_ROWS:
-                sec = round(time_df(lambda: build(n=n)), 4)
-            else:
-                sec = round(time_df(lambda: build(n=n), iters=2, warmup=1), 4)
-            series.append({"n": n, "sec": sec})
-        sweep[case] = series
-        # headline stays the 100k point — the reference's own endpoint
-        # (runall.sh END=100000), which is what BASELINE.md compares at;
-        # the 1M/10M points exist to exhibit the scaling shape.
+        case_series: dict[str, list[dict[str, float]]] = {}
+        for strategy, conf in SORT_STRATEGIES:
+            spark.conf.set("spark.sql.sort.enableRadixSort", conf)
+            sizes = SWEEP_SIZES + (
+                (SWEEP_XL,) if strategy == "radix" and SWEEP_XL <= _SWEEP_CAP else ()
+            )
+            series = []
+            for n in sizes:
+                # the headline 100k radix point gets the full ITERS/WARMUP
+                # protocol — it feeds the suite total and round-over-round
+                # comparison, and a 2-iteration min is too exposed to one
+                # noisy run on this shared host (0.55s -> 1.66s flukes);
+                # the XL decade is a single run (~1 min/case: shape, not
+                # steady-state, is the question there)
+                if n == REF_SORT_ROWS and strategy == "radix":
+                    sec = round(time_df(lambda: build(n=n)), 4)
+                elif n == SWEEP_XL:
+                    sec = round(time_df(lambda: build(n=n), iters=1, warmup=0), 4)
+                else:
+                    sec = round(time_df(lambda: build(n=n), iters=2, warmup=1), 4)
+                series.append({"n": n, "sec": sec})
+            case_series[strategy] = series
+            print(f"[bench] refsort {case} [{strategy}]: {series}", file=sys.stderr, flush=True)
+        spark.conf.set("spark.sql.sort.enableRadixSort", "true")
+        sweep[case] = case_series
+        # headline stays the radix-series 100k point — the reference's own
+        # endpoint (runall.sh END=100000), which BASELINE.md compares at;
+        # the 1M/10M/100M points exist to exhibit the scaling shape.
         results[f"refsort_{case.replace('-', '_')}"] = next(
-            p["sec"] for p in series if p["n"] == REF_SORT_ROWS
+            p["sec"] for p in case_series["radix"] if p["n"] == REF_SORT_ROWS
         )
-        print(f"[bench] refsort {case}: {series}", file=sys.stderr, flush=True)
 
     try:
-        from experiments_datafusion_spark.charts import render_line_chart
+        from experiments_datafusion_spark.charts import render_multi_line_chart
 
-        for case, series in sweep.items():
-            render_line_chart(
-                [(p["n"], p["sec"]) for p in series],
+        for case, case_series in sweep.items():
+            render_multi_line_chart(
+                {
+                    strategy: [(p["n"], p["sec"]) for p in series]
+                    for strategy, series in case_series.items()
+                },
                 title=f"sort runtime vs batch size — {case}",
                 xlabel="rows per batch",
-                ylabel="seconds (min of 2, steady-state)",
+                ylabel="seconds (min, steady-state)",
                 out_path=REPO / "img" / f"refsort_{case.replace('-', '_')}.svg",
             )
     except Exception as exc:  # charts are artifacts, never bench failures

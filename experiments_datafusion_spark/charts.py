@@ -15,6 +15,7 @@ import math
 from pathlib import Path
 
 SERIES = "#2a78d6"  # categorical slot 1 (validated light-surface palette)
+SERIES2 = "#d65f2a"  # categorical slot 2 — second strategy line
 INK = "#3a3a3a"
 MUTED = "#767676"
 GRID = "#e4e4e4"
@@ -64,14 +65,29 @@ def render_line_chart(
     out_path: str | Path,
     log_x: bool | None = None,
 ) -> None:
-    """Write a single-series line chart (runtime vs size) as SVG.
+    """Single-series convenience wrapper over render_multi_line_chart."""
+    render_multi_line_chart({"": points}, title, xlabel, ylabel, out_path, log_x)
+
+
+def render_multi_line_chart(
+    series: dict[str, list[tuple[float, float]]],
+    title: str,
+    xlabel: str,
+    ylabel: str,
+    out_path: str | Path,
+    log_x: bool | None = None,
+) -> None:
+    """Write a one-or-two-series line chart (runtime vs size) as SVG — the
+    two-series form mirrors the reference's comparator-vs-row-encoding
+    charts (lib.rs:94-160 draws one line per sort strategy per case).
 
     ``log_x`` defaults to automatic: a geometric sweep spanning more than
     two decades gets a log x-axis (a linear axis would pile every small
     size onto the left edge)."""
-    pts = sorted(points)
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
+    colors = [SERIES, SERIES2, INK]
+    named = [(name, sorted(pts)) for name, pts in series.items() if pts]
+    xs = [x for _, pts in named for x, _ in pts]
+    ys = [y for _, pts in named for _, y in pts]
     x_lo, x_hi = min(xs), max(xs)
     if log_x is None:
         log_x = x_lo > 0 and x_hi / x_lo > 100
@@ -99,6 +115,7 @@ def render_line_chart(
         svg.append(f'<line x1="{ML}" y1="{y:.1f}" x2="{W - MR}" y2="{y:.1f}" stroke="{GRID}" stroke-width="1"/>')
         svg.append(f'<text x="{ML - 8}" y="{y + 4:.1f}" font-size="11" fill="{MUTED}" text-anchor="end">{_fmt(t)}</text>')
     # x ticks (at data points; thin them if crowded)
+    xs = sorted(set(xs))
     shown = xs if len(xs) <= 8 else xs[:: max(1, len(xs) // 8)]
     for t in shown:
         x = X(t)
@@ -111,20 +128,36 @@ def render_line_chart(
         f'<text x="16" y="{MT + ph / 2:.1f}" font-size="12" fill="{INK}" text-anchor="middle" '
         f'transform="rotate(-90 16 {MT + ph / 2:.1f})">{ylabel}</text>'
     )
-    # series line + points (native tooltips via <title>)
-    path = " ".join(f"{'M' if i == 0 else 'L'}{X(x):.1f},{Y(y):.1f}" for i, (x, y) in enumerate(pts))
-    svg.append(f'<path d="{path}" fill="none" stroke="{SERIES}" stroke-width="2"/>')
-    for x, y in pts:
-        svg.append(
-            f'<circle cx="{X(x):.1f}" cy="{Y(y):.1f}" r="3.5" fill="{SERIES}">'
-            f"<title>n={_fmt(x)}: {y:.3f}s</title></circle>"
+    # series lines + points (native tooltips via <title>)
+    for si, (name, pts) in enumerate(named):
+        color = colors[si % len(colors)]
+        path = " ".join(
+            f"{'M' if i == 0 else 'L'}{X(x):.1f},{Y(y):.1f}" for i, (x, y) in enumerate(pts)
         )
-    # selective direct label: last point only
-    lx, ly = pts[-1]
-    svg.append(
-        f'<text x="{X(lx) - 6:.1f}" y="{Y(ly) - 10:.1f}" font-size="11" fill="{INK}" '
-        f'text-anchor="end">{ly:.2f}s</text>'
-    )
+        dash = "" if si == 0 else ' stroke-dasharray="6 3"'
+        svg.append(f'<path d="{path}" fill="none" stroke="{color}" stroke-width="2"{dash}/>')
+        for x, y in pts:
+            label = f"{name}: " if name else ""
+            svg.append(
+                f'<circle cx="{X(x):.1f}" cy="{Y(y):.1f}" r="3.5" fill="{color}">'
+                f"<title>{label}n={_fmt(x)}: {y:.3f}s</title></circle>"
+            )
+        # selective direct label: last point only
+        lx, ly = pts[-1]
+        svg.append(
+            f'<text x="{X(lx) - 6:.1f}" y="{Y(ly) - 10:.1f}" font-size="11" fill="{INK}" '
+            f'text-anchor="end">{ly:.2f}s</text>'
+        )
+    # legend (text in ink, swatch in series color), only for named series
+    if any(name for name, _ in named):
+        lx0 = W - MR - 150
+        for si, (name, _) in enumerate(named):
+            color = colors[si % len(colors)]
+            y0 = MT + 6 + si * 18
+            svg.append(f'<rect x="{lx0}" y="{y0 - 9}" width="14" height="3" fill="{color}"/>')
+            svg.append(
+                f'<text x="{lx0 + 20}" y="{y0 - 3}" font-size="11" fill="{INK}">{name}</text>'
+            )
     svg.append("</svg>")
     out = Path(out_path)
     out.parent.mkdir(parents=True, exist_ok=True)

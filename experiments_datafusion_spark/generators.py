@@ -155,11 +155,29 @@ def mixed_dictionary_tuple(
     return _finish(df, presorted)
 
 
+def i64_single(
+    spark: SparkSession,
+    n: int,
+    seed: int = DATA_SEED,
+    presorted: bool = False,
+    portable: bool = False,
+):
+    """Single i64 column — the reference's bare i64 stream (data.rs:199-203)
+    on its own.  NOT one of the four charted tuple cases; it exists because
+    it is the shape where Spark's radix-vs-comparator sort strategy choice
+    (SortExec canUseRadixSort: single fully-prefix-representable key)
+    genuinely diverges, making it the probe case for the two-strategy
+    bench sweep."""
+    df = spark.range(n).select(_i64(seed, n, portable).alias("i64"))
+    return _finish(df, presorted)
+
+
 _BUILDERS = {
     "utf8-tuple": utf8_tuple,
     "mixed-tuple": mixed_tuple,
     "dictionary-tuple": dictionary_tuple,
     "mixed-dictionary-tuple": mixed_dictionary_tuple,
+    "i64-single": i64_single,
 }
 
 
