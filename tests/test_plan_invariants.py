@@ -10,14 +10,18 @@ import pytest
 from experiments_datafusion_spark.plans.audit import audit
 from experiments_datafusion_spark.queries import all_queries
 
-# Quadratic-by-design baselines (each has a scale-path twin + recall tests)
+# Quadratic-by-design baselines (each has a scale-path twin + recall tests).
+# Round-3 minimality audit dropped two stale entries the new test below
+# caught: dedup_fuzzy_levenshtein (its (lang, band) bucket keys give it an
+# equi-join component -> SortMergeJoin, bounded-quadratic only WITHIN a
+# bucket, which the plan scan can't see and doesn't flag) and join_asof
+# (plans as a broadcast HASH join on the equi key with the range condition
+# as a post-filter — never an NLJ).
 ALLOW_QUADRATIC = {
     "dedup_embedding_cosine",  # brute-force recall oracle (LSH twin is primary)
     "sim_topk_bruteforce",     # exactness baseline (LSH/IVF twins)
     "join_theta",              # non-equi join IS a nested-loop shape
     "join_cross",              # CROSS JOIN is the operator itself
-    "dedup_fuzzy_levenshtein", # banded edit-distance: length-band theta join
-    "join_asof",               # broadcast-range probe on the small side
     "join_range_bands",        # points-in-intervals via broadcast bands
 }
 
@@ -39,17 +43,16 @@ ALLOW_SCALAR_BROADCAST = {
     "tpch_q22_opportunity",      # avg-balance scalar broadcast
 }
 
-# Python-in-the-plan is the operator's PURPOSE here (vectorized or documented)
+# ROW-WISE Python (BatchEvalPython) in the plan is the operator's purpose
+# here — vectorized Arrow paths (ArrowEvalPython / MapInPandas /
+# FlatMapGroupsInPandas / MapInArrow) are the sanctioned fast tier and are
+# never flagged, so they need no entry.  (Round-3 tightening, VERDICT r2
+# item 7: the list previously also carried vectorized/clean queries like
+# text_pii_redact; the minimality test below now machine-enforces that
+# every entry's plan actually exhibits the exception it claims.)
 ALLOW_PYTHON = {
-    "udf_pandas_scalar",
-    "udf_grouped_agg",
-    "udf_apply_in_pandas",
     "udf_python_rowwise",  # the documented anti-pattern exhibit (25-row dim)
-    "udf_python_udtf",
-    "udf_map_in_arrow",
-    "mm_features",
-    "mm_frame_sample",
-    "text_pii_redact",
+    "udf_python_udtf",     # UDTFs only exist as BatchEvalPythonUDTF
 }
 
 _QUERIES = sorted(all_queries().items())
@@ -69,3 +72,26 @@ def test_no_scale_killers_in_plan(spark, sf_dir, name):
     # over partial aggregates legitimately plans one; the genuinely
     # dangerous full-data no-partition windows have dedicated tests
     # (gather_by_index, win_sessionize) in test_plans.py.
+
+
+@pytest.mark.parametrize(
+    "name", sorted(ALLOW_QUADRATIC | ALLOW_SCALAR_BROADCAST | ALLOW_PYTHON)
+)
+def test_allowlists_are_minimal(spark, sf_dir, name):
+    """An allowlist entry whose plan is actually clean is a stale exception
+    that would silently excuse a FUTURE scale-killer in that query — so each
+    entry must exhibit the exception it claims, or be removed."""
+    q = dict(_QUERIES)[name]
+    p = audit(q.fn(spark, sf_dir))
+    if name in ALLOW_QUADRATIC:
+        assert "CartesianProduct" in p.text or "BroadcastNestedLoopJoin" in p.text, (
+            f"{name}: allowlisted as quadratic but plan is clean — drop the entry"
+        )
+    if name in ALLOW_SCALAR_BROADCAST:
+        assert "BroadcastNestedLoopJoin" in p.text, (
+            f"{name}: allowlisted as scalar-broadcast NLJ but plan is clean — drop the entry"
+        )
+    if name in ALLOW_PYTHON:
+        assert "BatchEvalPython" in p.text, (
+            f"{name}: allowlisted as row-wise Python but plan is clean — drop the entry"
+        )
