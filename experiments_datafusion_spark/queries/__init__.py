@@ -52,6 +52,7 @@ _MODULES = (
     "hygiene",
     "analytics",
     "ml",
+    "packing",  # round 3: sequence packing + merge upsert (behind the window)
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

@@ -98,10 +98,27 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_wav_features(media)
 
 
-@register("mm_frame_sample", tags=("llm", "multimodal"))
+@register(
+    "mm_frame_sample",
+    tags=("llm", "multimodal"),
+    oracle="""
+-- the mapInPandas slicing is replayable in SQL: payload = utf8(text), so
+-- frame i covers bytes [i*64, i*64+64) and its size is closed-form
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents
+)
+SELECT media_id,
+       CAST(t.i AS BIGINT) AS frame_no,
+       CAST(least(64, len - t.i * 64) AS BIGINT) AS frame_bytes
+FROM m, UNNEST(range(0, 4)) AS t(i)
+WHERE t.i * 64 < len
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (1 row -> N frames via mapInPandas).
-    Rows-only."""
+    """Frame-sampling plumbing (1 row -> N frames via mapInPandas, fixed
+    64-byte stride, max 4 frames).  The emitted frame SIZES are a closed
+    form of payload length, so the Python slicing is differential-tested
+    against a SQL replay even though the bytes themselves stay opaque."""
     media = M.attach_media(table(spark, sf_dir, "documents"))
     frames = M.frame_sample(media)
     return frames.select(
