@@ -29,6 +29,14 @@ RUNTIME_CONF = {
     # A 16kb floor keeps them parallel; at 100 TB the size-based target
     # (advisoryPartitionSizeInBytes) dominates and this floor is irrelevant.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16kb",
+    # Start shuffles WIDE and let AQE coalesce down, instead of starting at
+    # shuffle.partitions(=cores) and never splitting: AQE only merges.
+    # Interleaved A/B (round 3): 2x at 1e8-row sorts (spill/GC pressure per
+    # 3M-row partition), 2-3x on CPU-heavy byte-small shuffles
+    # (dedup_minhash_lsh 1.58 -> 0.66 s), no small-query penalty.  8x cores
+    # here; on a real cluster this is the usual 2-4x total-cores times the
+    # same headroom multiplier.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
 }
 
 
@@ -93,7 +101,13 @@ def get_spark(app_name: str = "experiments-datafusion-spark") -> SparkSession:
         # many distinct queries per session -> hundreds of generated classes;
         # the default 240MB JIT code cache thrashes and later queries run
         # interpreted/deoptimized (observed 5-10x slowdowns late in session)
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # -Xlog:disable: JVM unified-logging warnings (e.g. GCLocker retries
+        # during 1e8-row sorts) print to STDOUT and would corrupt bench.py's
+        # one-JSON-line contract
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -Xlog:disable",
+        )
         .config("spark.sql.warehouse.dir", "/tmp/edfs-warehouse")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
