@@ -93,6 +93,14 @@ _PRIORITY = (
     "embedding_norm_stats",
 )
 
+# Round-4 window plan (rotate these in once CORRECTNESS_r03 lands): the
+# remaining never-driver-verified keys — sort_desc_nulls, mm_frame_sample,
+# scalar_bitwise, docs_ngram_freq, scalar_url, udf_map_in_arrow,
+# text_unigram_logprob, scalar_binary_b64, agg_corr_regr, join_bucketed,
+# agg_approx, agg_sketch_rollup, join_salted, join_range_bands,
+# udf_python_rowwise, udf_python_udtf, plus round-3's pack_sequences and
+# merge_upsert.  That reaches 166+/166 lifetime driver coverage.
+
 
 @dataclass(frozen=True)
 class Query:
