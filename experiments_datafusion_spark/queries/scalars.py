@@ -414,3 +414,48 @@ def scalar_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(pr, -1) + 0.0).alias("pr_round_neg"),
         F.round(F.atan(pr / 500.0), 6).alias("pr_atan"),
     )
+
+
+@register(
+    "scalar_map",
+    tags=("scalar", "map"),
+    oracle="""
+SELECT o_orderkey,
+       m['status'][1] AS status_v,
+       m['prio'][1]   AS prio_v,
+       CAST(cardinality(m) AS INT) AS n_entries,
+       array_to_string(map_keys(m), ',')   AS keys_csv,
+       array_to_string(map_values(m), '|') AS vals_csv,
+       list_contains(map_keys(m), 'cust') AS has_cust,
+       CAST(cardinality(map_concat(m, MAP {'src': 'merge'})) AS INT) AS n_merged
+FROM (
+  SELECT o_orderkey,
+         MAP {'status': o_orderstatus, 'prio': o_orderpriority,
+              'cust': CAST(o_custkey AS VARCHAR)} AS m
+  FROM orders WHERE o_orderkey < 2000
+)
+""",
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: construction (create_map), extraction (element_at),
+    cardinality, key/value projection, membership, and map_concat — the
+    data-model tier the array/struct slabs don't touch.  Map literals keep
+    insertion order in BOTH engines, so the flattened key/value CSVs
+    compare deterministically."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+        F.lit("cust"), F.col("o_custkey").cast("string"),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("src"), F.lit("merge")))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.element_at(m, "prio").alias("prio_v"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), "|").alias("vals_csv"),
+        F.map_contains_key(m, "cust").alias("has_cust"),
+        F.size(merged).alias("n_merged"),
+    )
