@@ -122,6 +122,28 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance op every long-running
+    ingest needs (streaming sinks and per-batch writers accrete thousands
+    of KB-scale files; scans then pay one task+open per file).  Rewrites
+    ``src`` into ceil(total_bytes / target) files at ``dst`` and returns
+    the output file count.  Round-robin repartition (no shuffle key) keeps
+    sizes even; at 100 TB this runs per-partition-directory so each
+    rewrite is bounded."""
+    import math
+    from pathlib import Path
+
+    total = sum(f.stat().st_size for f in Path(src).rglob("*.parquet"))
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro scan. The spark-avro module is an optional jar; surface a clear
     error when it isn't on the classpath (this container doesn't bundle it)."""

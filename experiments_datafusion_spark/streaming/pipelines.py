@@ -156,3 +156,65 @@ def attribute_purchases(
             "secs_to_purchase"
         ),
     )
+
+
+def stream_upsert_totals(events: DataFrame, target_path: str) -> "object":
+    """Streaming CDC-style MERGE: each micro-batch upserts per-user running
+    totals into a parquet target via foreachBatch — the standard pattern
+    for maintaining a serving table from a stream without a lakehouse
+    format (Delta/Iceberg MERGE compiles to the same per-batch full-outer
+    join on the copy-on-write path; queries/packing.py:merge_upsert is the
+    batch twin of the join).
+
+    Per batch: aggregate the batch, full-outer join against the current
+    target state, write the merged state back.  At scale the target is
+    partitioned on the merge key so each batch rewrites only touched
+    partitions; here (tests) it's a single small parquet dir.  Returns the
+    StreamingQuery (caller awaits termination)."""
+    spark = events.sparkSession
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.sum("value").alias("value_sum"),
+        )
+        try:
+            current = spark.read.parquet(target_path)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            t, s = current.alias("t"), agg.alias("s")
+            merged = (
+                t.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
+                .select(
+                    F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
+                    (
+                        F.coalesce(F.col("t.events_seen"), F.lit(0))
+                        + F.coalesce(F.col("s.events_seen"), F.lit(0))
+                    ).alias("events_seen"),
+                    (
+                        F.coalesce(F.col("t.value_sum"), F.lit(0.0))
+                        + F.coalesce(F.col("s.value_sum"), F.lit(0.0))
+                    ).alias("value_sum"),
+                )
+            )
+        else:
+            merged = agg
+        # write-new-then-swap: never overwrite the path being lazily read
+        # (state would vanish mid-write), and never collect state to the
+        # driver — at scale this swap is an atomic table-pointer flip
+        import shutil
+
+        nxt = target_path + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(nxt, target_path)
+
+    return (
+        _ensure_ltz(events, "ts")
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target_path + "_chk")
+        .start()
+    )

@@ -142,3 +142,22 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in p.text.lower()
     expected = orders.where(F.year("o_orderdate") % 7 == 0).count()
     assert joined.count() == expected
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from experiments_datafusion_spark.io import compact_parquet
+
+    src = tmp_path / "fragmented"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(64).write.mode("overwrite").parquet(str(src))
+    n_before = len(list(Path(src).rglob("*.parquet")))
+    assert n_before >= 64
+
+    dst = tmp_path / "compacted"
+    compact_parquet(spark, str(src), str(dst), target_file_bytes=8 * 1024 * 1024)
+    n_after = len(list(Path(dst).rglob("*.parquet")))
+    assert n_after < n_before / 4
+    # row-preserving
+    assert spark.read.parquet(str(dst)).count() == li.count()

@@ -109,3 +109,39 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream_
         "1 hour",
     )
     assert _norm(spark.table("sink_attr")) == _norm(batch)
+
+
+def test_stream_upsert_totals_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch CDC upsert: split the events into 3 files so availableNow
+    + maxFilesPerTrigger=1 produces 3 micro-batches, i.e. 3 incremental
+    merges that must COMPOSE to the batch answer (a single-batch run would
+    not exercise the merge path at all)."""
+    src_dir = tmp_path / "ev_upsert_src"
+    src_dir.mkdir()
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+
+    raw_schema = spark.read.parquet(str(src_dir)).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    target = str(tmp_path / "ev_upsert_target")
+    q = pipelines.stream_upsert_totals(src, target)
+    q.awaitTermination(180)
+
+    merged = {
+        r["user_id"]: (r["events_seen"], round(r["value_sum"], 2))
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = {
+        r["user_id"]: (r["events_seen"], round(r["value_sum"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.sum("value").alias("value_sum"),
+        )
+        .collect()
+    }
+    assert merged == batch
