@@ -53,6 +53,7 @@ _MODULES = (
     "analytics",
     "ml",
     "packing",  # round 3: sequence packing + merge upsert (behind the window)
+    "graphalg",  # round 3: pagerank + triangles (behind the window)
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

@@ -1,0 +1,223 @@
+"""Graph analytics over an event-derived interaction graph — PageRank and
+triangle counting, the two classic "iterative + join-shaped" algorithms a
+data-curation stack runs on top of its pair graphs (reference parity: the
+DataFusion surface has no graph operators; these extend the round-2
+connected-components story from SURVEY.md §2C Graph/analytics).
+
+Graph derivation (deterministic, oracle-replayable): within each
+(event_type, event date) stream ordered by (ts, event_id), consecutive
+users are linked — "u acted right before v in the same context".  The
+date term keeps every window partition bounded at scale: partitions are
+(types x days), never (types), so a 100 TB events table still sorts each
+partition in memory (drop to (type, hour) when daily volume outgrows an
+executor; edges crossing the boundary are dropped identically in both
+engines, a documented trade).
+
+PageRank (graph_pagerank):
+  * standard damped formulation, d=0.85, FIXED 5 iterations so the DuckDB
+    oracle can unroll them as chained CTEs (same trick as ml.py k-means);
+  * per-iteration ranks are rounded to 12dp in BOTH engines — Spark's
+    partial/final double sum and DuckDB's sequential sum agree far below
+    1e-12 on ~1e-3-magnitude ranks, so quantizing both sides keeps every
+    iteration bit-identical; final output rounds to 6dp with a user_id
+    tie-break;
+  * dangling mass (users with no out-edge) is dropped, not redistributed —
+    simpler, identical in both engines, standard for differential tests;
+  * scale shape: each iteration is ONE shuffle join (edges x ranks on src)
+    plus one aggregate — the Pregel-on-DataFrames dataflow; ranks/degrees
+    shuffle on the node key, nothing is collected, and localCheckpoint
+    truncates the growing lineage exactly like operators/graph.py.
+
+Triangle counting (graph_triangles): degree-ordered orientation — each
+undirected edge points from its lower-(degree, id) endpoint — then a
+wedge join (e1.u = e2.u) closed against the undirected edge set.  Every
+triangle is counted exactly once at its minimum-(degree, id) apex, and
+orientation bounds the join fan-out by the graph's arboricity (the
+classic trick that makes triangle counting feasible on power-law graphs
+at scale; all-integer logic, so the oracle needs no rounding at all).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+
+DAMP = 0.85
+PR_ITERS = 5
+
+# Shared edge derivation: consecutive users per (event_type, day) stream.
+_SQL_EDGE_CTE = """
+hops AS (
+  SELECT user_id AS src,
+         lead(user_id) OVER (
+           PARTITION BY event_type, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM hops WHERE dst IS NOT NULL AND dst <> src
+)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    hops = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    )
+    return hops.where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))).distinct()
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        _SQL_EDGE_CTE.strip(),
+        """nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges
+                             UNION ALL SELECT dst FROM edges)
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes)""",
+    ]
+    for it in range(PR_ITERS):
+        ctes.append(
+            f"""r{it + 1} AS (
+  SELECT nodes.node,
+         round(0.15 / (SELECT n FROM nn)
+               + {DAMP} * coalesce(inc.s, 0), 12) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM edges e
+    JOIN r{it} r ON r.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) inc USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS user_id, round(rank, 6) AS pagerank
+FROM r{PR_ITERS}
+ORDER BY pagerank DESC, user_id ASC
+LIMIT 20"""
+    )
+
+
+@register("graph_pagerank", tags=("graph", "iterative"), oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank, 5 unrolled iterations, over the (event_type, day)
+    succession graph; top-20 users by rank."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = nodes.count()  # one scalar — the documented codebook-style exception
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0) / F.lit(float(n)), 12))
+    contrib_src = edges.join(deg, "src")  # static across iterations
+    for _ in range(PR_ITERS):
+        inc = (
+            contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15 / n) + F.lit(DAMP) * F.coalesce("s", F.lit(0.0)), 12
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("user_id"), F.round("rank", 6).alias("pagerank")
+        )
+        .orderBy(F.desc("pagerank"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+_SQL_TRIANGLES = f"""
+WITH {_SQL_EDGE_CTE.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (SELECT a AS node FROM und
+                                   UNION ALL SELECT b FROM und) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a ELSE und.b END AS u,
+         CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b ELSE und.a END AS v
+  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+),
+wedges AS (
+  SELECT least(e1.v, e2.v) AS a, greatest(e1.v, e2.v) AS b
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges,
+       count(*) AS n_triangles
+FROM wedges JOIN und USING (a, b)
+"""
+
+
+@register("graph_triangles", tags=("graph",), oracle=_SQL_TRIANGLES)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via degree-ordered wedge join; one summary row
+    (n_nodes, n_edges, n_triangles)."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = (
+        e1.join(e2, "u")
+        .where(F.col("v1") < F.col("v2"))
+        .select(
+            F.least("v1", "v2").alias("a"), F.greatest("v1", "v2").alias("b")
+        )
+    )
+    tri = wedges.join(und, ["a", "b"]).agg(F.count("*").alias("n_triangles"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    # three 1-row aggregates stitched into the summary row: scalar
+    # broadcasts, the documented O(n)-safe shape (test_plan_invariants.py)
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

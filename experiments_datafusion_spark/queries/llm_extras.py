@@ -107,3 +107,86 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# --- substring-level exact-duplication detection (round 3) -----------------
+#
+# The word-shingle ops above catch document-level near-dups; training
+# corpora ALSO need passage-level exact-dup detection (boilerplate headers,
+# license blocks, templated spans — the Lee et al. "Deduplicating Training
+# Data" substring regime).  Full suffix arrays don't fit the relational
+# model, so the standard scalable approximation: stride-aligned fixed-width
+# character windows, hashed, posting-list-joined.  Stride 16 over width 32
+# guarantees any duplicated region >= 47 chars yields at least one aligned
+# common window in both copies ONLY when copies are stride-aligned; the
+# documented recall trade (halve the stride to raise recall) — exact full
+# duplicates always match at every window.
+
+SPAN_W = 32
+SPAN_STRIDE = 16
+
+
+@register(
+    "text_dup_spans",
+    tags=("llm", "dedup", "text"),
+    oracle=f"""
+WITH spans0 AS (
+  SELECT DISTINCT doc_id, substring(text, p, {SPAN_W}) AS span
+  FROM documents,
+       unnest(generate_series(1, len(text) - {SPAN_W - 1}, {SPAN_STRIDE})) AS t(p)
+  WHERE len(text) >= {SPAN_W}
+),
+spans AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(span), 1, 15)) AS BIGINT) AS s
+  FROM spans0
+),
+posting AS (SELECT s, count(DISTINCT doc_id) AS nd FROM spans GROUP BY s),
+per_doc AS (
+  SELECT sp.doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM spans sp JOIN posting p USING (s)
+  GROUP BY sp.doc_id
+)
+SELECT doc_id, n_spans, n_dup,
+       round(n_dup * 1.0 / n_spans, 4) AS dup_frac
+FROM per_doc WHERE n_dup > 0
+""",
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: stride-16 char-32 windows,
+    portable-hashed, counted against a corpus-wide posting list.  Shape at
+    100 TB: explode -> two hash aggregations -> one posting-list equi-join
+    keyed by a 60-bit hash (high cardinality, no skew) — the same dataflow
+    as the n-gram Jaccard join, never all-pairs."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    positions = F.sequence(
+        F.lit(1), F.length(text) - F.lit(SPAN_W - 1), F.lit(SPAN_STRIDE)
+    )
+    spans = (
+        docs.where(F.length(text) >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(positions, lambda p: text.substr(p, F.lit(SPAN_W)))
+            ).alias("span"),
+        )
+        .select("doc_id", T.hash64(F.col("span")).alias("s"))
+        .distinct()
+    )
+    posting = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        spans.join(posting, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.where(F.col("n_dup") > 0).select(
+        "doc_id",
+        "n_spans",
+        "n_dup",
+        F.round(F.col("n_dup") / F.col("n_spans"), 4).alias("dup_frac"),
+    )

@@ -33,6 +33,7 @@ ALLOW_SCALAR_BROADCAST = {
     "docs_heavy_hitters",        # corpus-total row for frequency cutoff
     "docs_length_histogram",     # total-docs row for bucket shares
     "ev_funnel",                 # step-1 cohort size as 1-row denominator
+    "graph_triangles",           # three 1-row summary aggregates stitched
     "mix_temperature",           # corpus token total for temperature rates
     "quality_gate_percentile",   # p75 cutoff as 1-row broadcast
     "scalar_decimal",            # grand-total broadcast (round-1 fix)
