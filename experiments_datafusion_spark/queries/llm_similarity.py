@@ -200,3 +200,67 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("embedding", 3).cast("double")), 6).alias("c2"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+# --- product quantization tier (round 3) -----------------------------------
+
+
+def _pq_oracle() -> str:
+    """DuckDB replica of the full PQ pipeline from the SAME constants:
+    codebook rebuilt from the first PQ_K corpus vectors (6dp), encode by
+    (4dp sqdist, k) argmin, ADC via integer micro-unit tables — the sums
+    are exact integer arithmetic in both engines."""
+    m, sd, kc, sc = S.PQ_M, S.PQ_SUBDIM, S.PQ_K, S.PQ_SCALE
+    sqd = (
+        "list_sum(list_transform(list_zip(e.embedding[cb.m*{sd}+1 : cb.m*{sd}+{sd}], cb.cent), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    ).format(sd=sd)
+    return f"""
+WITH cb AS (
+  SELECT t.m, CAST(e.vec_id AS INT) AS k,
+         list_transform(e.embedding[t.m*{sd}+1 : t.m*{sd}+{sd}],
+                        x -> round(CAST(x AS DOUBLE), 6)) AS cent
+  FROM embeddings e, unnest(generate_series(0, {m - 1})) AS t(m)
+  WHERE e.vec_id < {kc}
+),
+enc AS (
+  SELECT e.vec_id, cb.m, cb.k, round({sqd}, 4) AS d4
+  FROM embeddings e JOIN cb ON TRUE
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d4, k) AS rn
+    FROM enc) WHERE rn = 1
+),
+qtab AS (
+  SELECT e.vec_id AS query_id, cb.m, cb.k AS code,
+         CAST(round({sqd} * {sc}, 0) AS BIGINT) AS d_int
+  FROM embeddings e JOIN cb ON TRUE
+  WHERE e.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d_int) AS s
+  FROM codes c JOIN qtab q ON q.m = c.m AND q.code = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(s / {sc}.0, 6) AS adc_dist
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("sim_topk_pq", tags=("llm", "similarity", "ann"), oracle=_pq_oracle())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via product quantization (8 subspaces x 16 centroids,
+    asymmetric-distance scan over 4-byte codes).  Fully oracle-checked:
+    the DuckDB SQL rebuilds the codebook from the same first-16-vectors
+    recipe and replays encode + integer ADC bit-for-bit.  Recall vs brute
+    force asserted in tests/test_llm_ops.py."""
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    return S.topk_pq(corpus, queries, K)

@@ -136,3 +136,36 @@ def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
         .count()
     )
     assert straddlers == 0
+
+
+def test_pq_recall_and_shape(spark, emb, truth):
+    """PQ with the init-only 16-centroid codebook on uniformly-random
+    unit vectors (PQ's worst case — no cluster structure to quantize onto)
+    still recovers a meaningful fraction of the exact cosine top-5 (the
+    corpus is unit-norm, so L2 and cosine rankings coincide; measured
+    recall 0.25 at sf0.001, asserted loosely to absorb regeneration).
+    Production raises recall by training the codebook with the
+    embedding_kmeans loop and layering IVF pruning (IVF-PQ)."""
+    q = emb.where(F.col("vec_id") < NQ)
+    rows = S.topk_pq(emb, q, K).collect()
+    assert len(rows) == NQ * K  # every query fills all K ranks
+    assert all(1 <= r["rank"] <= K for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(r["adc_dist"] >= 0.0 for r in rows)
+    assert _recall(rows, truth) >= 0.1
+
+
+def test_pq_codes_cover_corpus(spark, emb):
+    """Encode emits exactly PQ_M codes per vector, all in [0, PQ_K)."""
+    cb = S.pq_codebook(emb)
+    codes = S.pq_encode(emb, cb)
+    n = emb.count()
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("vid").alias("vecs"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    ).collect()[0]
+    assert stats["rows"] == n * S.PQ_M
+    assert stats["vecs"] == n
+    assert 0 <= stats["lo"] and stats["hi"] < S.PQ_K
