@@ -55,7 +55,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "sim_topk_bruteforce",
+    "sim_topk_pq",  # round 3: compressed-domain ANN scan
     "text_quality",
+    "text_dup_spans",  # round 3: substring-level dedup posting list
+    "graph_pagerank",  # round 3: iterative graph analytics
 ]
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)

@@ -164,15 +164,13 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions = F.sequence(
         F.lit(1), F.length(text) - F.lit(SPAN_W - 1), F.lit(SPAN_STRIDE)
     )
+    # explode the POSITIONS, not an array of substrings: substr/md5 then
+    # run whole-stage-codegen'd per row, instead of interpreted inside a
+    # higher-order transform() (measured 4.0s -> ~1s at sf0.1)
     spans = (
         docs.where(F.length(text) >= SPAN_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(positions, lambda p: text.substr(p, F.lit(SPAN_W)))
-            ).alias("span"),
-        )
-        .select("doc_id", T.hash64(F.col("span")).alias("s"))
+        .select("doc_id", "text", F.explode(positions).alias("p"))
+        .select("doc_id", T.hash64(text.substr(F.col("p"), F.lit(SPAN_W))).alias("s"))
         .distinct()
     )
     posting = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
