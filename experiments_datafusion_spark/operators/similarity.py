@@ -513,3 +513,61 @@ def topk_pq(
             F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
         )
     )
+
+
+def topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ: coarse cluster pruning (topk_ivf's inverted-file layout)
+    composed with the compressed-domain ADC scan (topk_pq) — the layout a
+    100 TB vector corpus actually ships: parquet partitioned by coarse
+    cluster (partition pruning cuts the scan to nprobe/nlist of the data),
+    each partition holding 4-byte PQ codes instead of raw vectors.  The
+    probe side broadcasts |queries| x nprobe x 128 table rows; the scan is
+    an equi-join on (cluster, subspace, code) + exact integer ADC sums."""
+    codebook = pq_codebook(corpus, id_col)
+    codes = pq_encode(corpus, codebook, id_col).join(
+        corpus.select(F.col(id_col).alias("vid"), F.col(label_col).alias("cluster")),
+        "vid",
+    )
+    coarse = [
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(corpus, label_col).collect()
+    ]
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            _nearest_clusters(F.col("embedding"), coarse, nprobe)
+        ).alias("cluster"),
+    )
+    qsub = _pq_subspaces(queries, id_col, "query_id")
+    d = _pq_sqdist(F.col("subvec"), F.col("cent"))
+    qtab = qsub.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("k").alias("code"),
+        F.round(d * PQ_SCALE, 0).cast("long").alias("d_int"),
+    )
+    qfull = qsel.join(qtab, "query_id")
+    scored = (
+        codes.join(F.broadcast(qfull), ["cluster", "m", "code"])
+        .where(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d_int").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
+        )
+    )

@@ -99,8 +99,10 @@ _PRIORITY = (
 # scalar_bitwise, docs_ngram_freq, scalar_url, udf_map_in_arrow,
 # text_unigram_logprob, scalar_binary_b64, agg_corr_regr, join_bucketed,
 # agg_approx, agg_sketch_rollup, join_salted, join_range_bands,
-# udf_python_rowwise, udf_python_udtf, plus round-3's pack_sequences and
-# merge_upsert.  That reaches 166+/166 lifetime driver coverage.
+# udf_python_rowwise, udf_python_udtf, plus the late-round-3 additions:
+# pack_sequences, merge_upsert, scalar_map, compact_small_files,
+# graph_pagerank, graph_triangles, text_dup_spans, sim_topk_pq,
+# sim_topk_ivfpq.  That reaches full lifetime driver coverage.
 
 
 @dataclass(frozen=True)

@@ -205,18 +205,17 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization tier (round 3) -----------------------------------
 
 
-def _pq_oracle() -> str:
-    """DuckDB replica of the full PQ pipeline from the SAME constants:
-    codebook rebuilt from the first PQ_K corpus vectors (6dp), encode by
-    (4dp sqdist, k) argmin, ADC via integer micro-unit tables — the sums
+def _pq_ctes() -> str:
+    """Shared CTE block rebuilding the PQ pipeline from the SAME constants:
+    codebook from the first PQ_K corpus vectors (6dp), encode by (4dp
+    sqdist, k) argmin, query ADC tables in integer micro-units — the sums
     are exact integer arithmetic in both engines."""
     m, sd, kc, sc = S.PQ_M, S.PQ_SUBDIM, S.PQ_K, S.PQ_SCALE
     sqd = (
         "list_sum(list_transform(list_zip(e.embedding[cb.m*{sd}+1 : cb.m*{sd}+{sd}], cb.cent), "
         "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
     ).format(sd=sd)
-    return f"""
-WITH cb AS (
+    return f"""cb AS (
   SELECT t.m, CAST(e.vec_id AS INT) AS k,
          list_transform(e.embedding[t.m*{sd}+1 : t.m*{sd}+{sd}],
                         x -> round(CAST(x AS DOUBLE), 6)) AS cent
@@ -237,7 +236,13 @@ qtab AS (
          CAST(round({sqd} * {sc}, 0) AS BIGINT) AS d_int
   FROM embeddings e JOIN cb ON TRUE
   WHERE e.vec_id < {N_QUERIES}
-),
+)"""
+
+
+def _pq_oracle() -> str:
+    sc = S.PQ_SCALE
+    return f"""
+WITH {_pq_ctes()},
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, sum(q.d_int) AS s
   FROM codes c JOIN qtab q ON q.m = c.m AND q.code = c.code
@@ -264,3 +269,72 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     force asserted in tests/test_llm_ops.py."""
     corpus, queries = _corpus_and_queries(spark, sf_dir)
     return S.topk_pq(corpus, queries, K)
+
+
+# --- IVF-PQ composite tier (round 3) ---------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    """Coarse cluster selection (the _ivf_oracle recipe: per-label mean
+    centroids, 6dp-quantized cosine, ties to the higher cluster) composed
+    with the PQ CTEs: the ADC scan only sees codes whose cluster is among
+    the query's nprobe selections."""
+    sc = S.PQ_SCALE
+    cent = ", ".join(
+        f"avg(CAST(embedding[{i + 1}] AS DOUBLE))" for i in range(S.EMB_DIM)
+    )
+    return f"""
+WITH {_pq_ctes()},
+norms AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cluster, [{cent}] AS centroid
+  FROM embeddings GROUP BY label
+),
+qc AS (
+  SELECT q.vec_id AS query_id, cent.cluster,
+    round({_sql_dot('q.embedding', 'cent.centroid')}
+          / (q.nrm * sqrt(list_sum(list_transform(cent.centroid, x -> x * x)))), 6) AS cos_r
+  FROM norms q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+),
+sel AS (
+  SELECT query_id, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, cluster DESC) AS cr
+    FROM qc
+  ) WHERE cr <= {IVF_NPROBE}
+),
+codesc AS (
+  SELECT c.vec_id, c.m, c.code, e.label AS cluster
+  FROM codes c JOIN embeddings e USING (vec_id)
+),
+scored AS (
+  SELECT s2.query_id, c.vec_id AS neighbor_id, sum(q.d_int) AS s
+  FROM codesc c
+  JOIN sel s2 ON s2.cluster = c.cluster
+  JOIN qtab q ON q.query_id = s2.query_id AND q.m = c.m AND q.code = c.code
+  WHERE c.vec_id <> s2.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(s / {sc}.0, 6) AS adc_dist
+FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("sim_topk_ivfpq", tags=("llm", "similarity", "ann"), oracle=_ivfpq_oracle())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF-PQ — coarse cluster pruning over 4-byte PQ codes,
+    the layout a 100 TB vector corpus ships (cluster-partitioned parquet of
+    codes; partition pruning + compressed-domain scan).  Fully
+    oracle-checked: cluster selection replays the IVF recipe, distances the
+    integer-exact ADC recipe."""
+    corpus, queries = _corpus_and_queries(spark, sf_dir)
+    return S.topk_ivfpq(corpus, queries, K, nprobe=IVF_NPROBE)

@@ -169,3 +169,19 @@ def test_pq_codes_cover_corpus(spark, emb):
     assert stats["rows"] == n * S.PQ_M
     assert stats["vecs"] == n
     assert 0 <= stats["lo"] and stats["hi"] < S.PQ_K
+
+
+def test_ivfpq_subset_of_pq(spark, emb, truth):
+    """IVF-PQ scores the SAME integer ADC distances as plain PQ but only
+    within probed clusters — so every (query, neighbor, adc_dist) it
+    returns must also appear in the unpruned PQ scan's scored set, and
+    recall can only come from cluster pruning, not distance drift."""
+    q = emb.where(F.col("vec_id") < NQ)
+    ivfpq = S.topk_ivfpq(emb, q, K, nprobe=10)  # all 10 label clusters
+    pq = S.topk_pq(emb, q, K)
+    a = {(r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in ivfpq.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["adc_dist"]) for r in pq.collect()}
+    assert a == b  # probing every cluster == the unpruned scan
+    pruned = S.topk_ivfpq(emb, q, K, nprobe=3).collect()
+    assert all(1 <= r["rank"] <= K for r in pruned)
+    assert _recall(pruned, truth) >= 0.05  # pruning stacks on PQ's loss
