@@ -199,3 +199,77 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acctbal_new"),
         F.coalesce(F.col("s.n_orders"), F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+# --- Z-order layout (round 3) ----------------------------------------------
+#
+# The data-layout half of table maintenance: multi-dimensional clustering
+# for scan pruning (the Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+# idiom).  Interleaving the bits of two scan dimensions gives every
+# contiguous z-range a tight bounding rectangle in BOTH dimensions, so
+# min/max footer stats prune files for EITHER predicate — the property the
+# test below asserts exactly (64x64 tiles at this bucket width).  At
+# 100 TB: compute z, repartitionByRange(z), write — each output file then
+# covers one tile.  All integer bit math, so the oracle is exact.
+
+Z_BITS = 16  # bits per dimension
+Z_BUCKET_SHIFT = 12  # drop 6 bits/dim -> 64x64 tiles
+
+
+def zorder_value(x, y):
+    """Interleave the low Z_BITS of x (odd positions) and y (even)."""
+    z = F.lit(0).cast("long")
+    for j in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+            + F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j)
+        )
+    return z
+
+
+def _sql_zvalue(x: str, y: str) -> str:
+    terms = []
+    for j in range(Z_BITS):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j + 1})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "layout_zorder",
+    tags=("layout", "maintenance"),
+    oracle=f"""
+WITH dims AS (
+  SELECT user_id AS x,
+         CAST(date_part('hour', ts) * 60 + date_part('minute', ts) AS BIGINT) AS y
+  FROM events
+),
+z AS (SELECT x, y, {_sql_zvalue('x', 'y')} >> {Z_BUCKET_SHIFT} AS zbucket FROM dims)
+SELECT zbucket, count(*) AS n,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z GROUP BY zbucket
+""",
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over (user_id, minute-of-day): per-tile
+    row counts and min/max extents — the footer stats a z-ordered rewrite
+    would give every file.  The plan is one scan + one hash aggregate; the
+    production rewrite inserts repartitionByRange(zvalue) before the
+    write, which adds exactly one range shuffle."""
+    ev = table(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+    z = ev.select(
+        x.alias("x"),
+        y.alias("y"),
+        F.shiftright(zorder_value(x, y), Z_BUCKET_SHIFT).alias("zbucket"),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )

@@ -27,3 +27,16 @@ def test_pack_sequences_invariants(spark, sf_dir):
         per_shard[r["shard"]].append(r["seq_id"])
     for shard, ids in per_shard.items():
         assert sorted(ids) == list(range(len(ids))), f"shard {shard} bins not contiguous"
+
+
+def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
+    """The point of z-ordering: every 64x64 tile's min/max extent is tight
+    in BOTH dimensions simultaneously (single-column sort only bounds one),
+    so footer stats prune scans for either predicate."""
+    from experiments_datafusion_spark.queries.packing import layout_zorder
+
+    rows = layout_zorder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 63
+        assert r["y_max"] - r["y_min"] <= 63
