@@ -401,3 +401,32 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pq_scan_is_broadcast_hash_joined(spark, sf_dir):
+    """sim_topk_pq's two joins (codebook onto subspaces, query ADC tables
+    onto codes) must both be broadcast HASH joins — the corpus side is
+    never shuffled for a join, and nothing plans as a nested loop."""
+    p = audit(Q["sim_topk_pq"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p.text
+    assert "BroadcastNestedLoopJoin" not in p.text
+    assert "CartesianProduct" not in p.text
+
+
+def test_zorder_is_single_aggregate_pass(spark, sf_dir):
+    """layout_zorder = scan -> partial agg -> one shuffle -> final agg.
+    More than one shuffle would mean the bit-interleave expression fell
+    out of the aggregate pushdown."""
+    p = audit(Q["layout_zorder"].fn(spark, sf_dir))
+    assert p.n_shuffles == 1
+    assert "HashAggregate" in p.text
+
+
+def test_dup_spans_has_no_python_and_two_agg_shuffles(spark, sf_dir):
+    """text_dup_spans is pure JVM (codegen'd substr/md5 after exploding
+    positions): no Python evaluators; shuffles only for distinct, the
+    posting-list aggregate, the join, and the per-doc aggregate."""
+    p = audit(Q["text_dup_spans"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p.text
+    assert "ArrowEvalPython" not in p.text
+    assert "Generate" in p.text  # the posexplode of window positions
