@@ -126,3 +126,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         F.length("frame").cast("bigint").alias("frame_bytes"),
     )
+
+
+@register(
+    "mm_png_features",
+    tags=("llm", "multimodal"),
+    oracle="""
+-- Closed-form replay of the PNG round trip (operators/multimodal.py
+-- attach_png_media: pixel[k] = (doc_id*7 + k) % 256 row-major over a
+-- (16 + doc_id%17) x (16 + doc_id%13) grayscale image; the Spark side
+-- decodes the actual PNG bytes — chunk parse, CRC check, inflate,
+-- unfilter — with stdlib zlib/struct).  The pixel sum over k in [0, n) is
+-- full cycles of sum(0..255)=32640 plus a wrapped partial run; the mean
+-- uses the same exact half-up integer rounding as the decoder.
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+         (doc_id * 7) % 256 AS a
+  FROM documents
+),
+e AS (
+  SELECT doc_id, w, h, a, w * h AS n, (w * h) % 256 AS r, (w * h) // 256 AS cyc
+  FROM d
+),
+f AS (
+  SELECT doc_id, w, h, n,
+         cyc * 32640 + r * a + r * (r - 1) // 2
+           - 256 * greatest(0, a + r - 256) AS s
+  FROM e
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       n AS n_pixels, ((s * 20000 + n) // (2 * n)) / 10000.0 AS mean_pixel
+FROM f
+""",
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction: build spec-compliant grayscale PNGs
+    (closed-form pixels per doc_id), decode the actual bytes with the
+    stdlib zlib/struct codec in mapInPandas, and emit header + pixel
+    features — the image twin of mm_features' WAV round trip.  JPEG/video
+    decode remains the documented gate (decode_real)."""
+    media = M.attach_png_media(table(spark, sf_dir, "documents"))
+    return M.decode_png_features(media)

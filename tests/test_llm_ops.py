@@ -185,3 +185,29 @@ def test_ivfpq_subset_of_pq(spark, emb, truth):
     pruned = S.topk_ivfpq(emb, q, K, nprobe=3).collect()
     assert all(1 <= r["rank"] <= K for r in pruned)
     assert _recall(pruned, truth) >= 0.05  # pruning stacks on PQ's loss
+
+
+def test_png_codec_roundtrip_and_honest_boundaries():
+    """The stdlib PNG codec is spec-compliant on what it writes (roundtrip
+    is pixel-exact, CRCs validate) and honestly refuses what this corpus
+    never writes (color/interlaced images, non-zero filters)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from experiments_datafusion_spark.operators import multimodal as M
+
+    for did in (0, 7, 123, 499):
+        w, h = M._png_dims(did)
+        k = np.arange(w * h, dtype=np.int64)
+        px = ((did * 7 + k) % 256).reshape(h, w)
+        enc = M._encode_png_gray8(px)
+        w2, h2, px2 = M._decode_png_gray8(enc)
+        assert (w, h) == (w2, h2)
+        assert (px == px2).all()
+    # corrupt a CRC -> rejected, not silently decoded
+    bad = bytearray(enc)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        M._decode_png_gray8(bytes(bad))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        M._decode_png_gray8(b"RIFF1234")
