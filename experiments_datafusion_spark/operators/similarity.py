@@ -448,6 +448,20 @@ def pq_codebook(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _pq_codebook_local(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """pq_codebook materialized once through the driver (128 rows x 8
+    doubles — the documented codebook-size exception, like topk_ivf's
+    coarse centroids): both downstream broadcast builds then scan a local
+    relation instead of re-running the embeddings scan + explode subtree,
+    saving two jobs' worth of setup per query (collected doubles round-trip
+    IEEE-exactly, so oracle parity is unchanged)."""
+    rows = pq_codebook(corpus, id_col).collect()
+    return corpus.sparkSession.createDataFrame(
+        [(int(r["m"]), int(r["k"]), [float(x) for x in r["cent"]]) for r in rows],
+        "m int, k int, cent array<double>",
+    )
+
+
 def pq_encode(corpus: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Corpus -> 4-bit-per-subspace codes: broadcast the 128-row codebook,
     equi-join on the subspace id, argmin by (4dp distance, k) via a
@@ -483,7 +497,7 @@ def topk_pq(
     ADC scan is linear in |corpus| x |queries| over compressed codes with
     a 128-distinct-key hash join — the standard IVF-less PQ layout (pair
     with topk_ivf's cluster pruning for IVF-PQ at 100 TB)."""
-    codebook = pq_codebook(corpus, id_col)
+    codebook = _pq_codebook_local(corpus, id_col)
     codes = pq_encode(corpus, codebook, id_col)
     qsub = _pq_subspaces(queries, id_col, "query_id")
     d = _pq_sqdist(F.col("subvec"), F.col("cent"))
@@ -530,7 +544,7 @@ def topk_ivfpq(
     each partition holding 4-byte PQ codes instead of raw vectors.  The
     probe side broadcasts |queries| x nprobe x 128 table rows; the scan is
     an equi-join on (cluster, subspace, code) + exact integer ADC sums."""
-    codebook = pq_codebook(corpus, id_col)
+    codebook = _pq_codebook_local(corpus, id_col)
     codes = pq_encode(corpus, codebook, id_col).join(
         corpus.select(F.col(id_col).alias("vid"), F.col(label_col).alias("cluster")),
         "vid",
