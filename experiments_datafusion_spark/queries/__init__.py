@@ -102,7 +102,8 @@ _PRIORITY = (
 # udf_python_rowwise, udf_python_udtf, plus the late-round-3 additions:
 # pack_sequences, merge_upsert, scalar_map, compact_small_files,
 # graph_pagerank, graph_triangles, text_dup_spans, sim_topk_pq,
-# sim_topk_ivfpq, layout_zorder, mm_png_features.  That reaches full
+# sim_topk_ivfpq, layout_zorder, mm_png_features, source_python_ds.
+# That reaches full
 # lifetime driver coverage.
 
 

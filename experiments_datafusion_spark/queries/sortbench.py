@@ -165,3 +165,32 @@ def sort_desc_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_ops.top_k(
         c, 100, [F.col("c_acctbal").desc_nulls_first(), F.col("c_custkey").asc_nulls_first()]
     )
+
+
+@register(
+    "source_python_ds",
+    tags=("source", "sortbench"),
+    oracle=f"""
+WITH {_IDS}
+SELECT CAST({_sql_uniform(DATA_SEED, _N)} AS DOUBLE) AS f64,
+       {_sql_utf8_low(DATA_SEED + 1)} AS utf_low1,
+       {_sql_utf8_low(DATA_SEED + 2)} AS utf_low2,
+       {_sql_uniform(DATA_SEED + 3, _N)} AS i64
+FROM ids
+""",
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-tuple workload scanned through the CUSTOM Python
+    DataSource (Spark 4 API, sources/sortbench_source.py) instead of the
+    JVM expression generator — same md5-derived rows, so the same DuckDB
+    CTE oracles the scan.  Proves the extensible-source surface end to
+    end: schema resolution, option passing, parallel InputPartitions."""
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+    return (
+        spark.read.format("sortbench")
+        .option("case", "mixed-tuple")
+        .option("n", str(_N))
+        .load()
+    )

@@ -1,0 +1,116 @@
+"""A Spark 4 Python DataSource that generates the reference's sort-bench
+workloads (data.rs:56-182 schemas) natively: `spark.read.format("sortbench")
+.option("case", ...).option("n", ...)`.
+
+Parity contract: rows are IDENTICAL to generators.generate_batch(...,
+portable=True) — every value stream is the same pure function of (id, seed)
+(the md5-based 60-bit hash64, generators.py:50-66), so the source is
+differential-testable three ways: against the JVM expression generator,
+against the DuckDB md5 replay (queries/sortbench.py CTEs), and row-for-row
+deterministic under ANY partitioning (each InputPartition owns an id range;
+no per-partition RNG anywhere).
+
+Scale shape: partitions() splits the id range, so a 1000-executor cluster
+generates in parallel with zero coordination — the Python cousin of
+spark.range(n) + column expressions."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DATA_SEED = 42  # generators.py DATA_SEED (data.rs:193)
+
+SCHEMAS = {
+    "utf8-tuple": "utf_low1 string, utf_low2 string, utf_high string",
+    "mixed-tuple": "f64 double, utf_low1 string, utf_low2 string, i64 bigint",
+    "dictionary-tuple": "a string, b string, c string",
+    "mixed-dictionary-tuple": "a string, b string, c string, d bigint",
+}
+
+_TR = str.maketrans("0123456789", "ghijklmnop")
+
+
+def _hash64(s: str) -> int:
+    """operators/text.py:hash64 in pure Python: first 15 md5 hex digits."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _uniform(i: int, seed: int, card: int) -> int:
+    return _hash64(f"{i}#{seed}") % card
+
+
+def _utf8_low(i: int, seed: int) -> str:
+    return f"value{_uniform(i, seed, 100)}"
+
+
+def _utf8_high(i: int, seed: int) -> str:
+    return hashlib.md5(f"{i}#{seed}".encode()).hexdigest()[:20].translate(_TR)
+
+
+def _row(case: str, i: int, seed: int, n: int):
+    if case == "utf8-tuple":
+        return (_utf8_low(i, seed), _utf8_low(i, seed + 1), _utf8_high(i, seed + 2))
+    if case == "mixed-tuple":
+        return (
+            float(_uniform(i, seed, n)),
+            _utf8_low(i, seed + 1),
+            _utf8_low(i, seed + 2),
+            _uniform(i, seed + 3, n),
+        )
+    if case == "dictionary-tuple":
+        return (_utf8_low(i, seed), _utf8_low(i, seed + 1), _utf8_low(i, seed + 2))
+    if case == "mixed-dictionary-tuple":
+        return (
+            _utf8_low(i, seed),
+            _utf8_low(i, seed + 1),
+            _utf8_low(i, seed + 2),
+            _uniform(i, seed + 3, n),
+        )
+    raise ValueError(f"unknown case: {case}")
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SortbenchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.case = options.get("case", "mixed-tuple")
+        if self.case not in SCHEMAS:
+            raise ValueError(f"unknown case: {self.case} (want one of {sorted(SCHEMAS)})")
+        self.n = int(options.get("n", "1000"))
+        self.seed = int(options.get("seed", str(DATA_SEED)))
+        self.num_partitions = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        step = max(1, math.ceil(self.n / self.num_partitions))
+        return [
+            _IdRange(start, min(start + step, self.n))
+            for start in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield _row(self.case, i, self.seed, self.n)
+
+
+class SortbenchDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sortbench"
+
+    def schema(self) -> str:
+        return SCHEMAS[self.options.get("case", "mixed-tuple")]
+
+    def reader(self, schema) -> _SortbenchReader:
+        return _SortbenchReader(dict(self.options))
+
+
+def register_sources(spark) -> None:
+    """Idempotent registration of all custom Python sources."""
+    spark.dataSource.register(SortbenchDataSource)

@@ -161,3 +161,49 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert n_after < n_before / 4
     # row-preserving
     assert spark.read.parquet(str(dst)).count() == li.count()
+
+
+def test_python_datasource_matches_jvm_generator(spark):
+    """sources/sortbench_source.py must emit EXACTLY the rows of
+    generators.generate_batch(..., portable=True) for every case — the
+    same (id, seed) hash streams through two independent implementations
+    (pure-Python hashlib vs JVM md5 expressions)."""
+    from experiments_datafusion_spark import generators
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+    for case in generators.CASES:
+        ds = (
+            spark.read.format("sortbench")
+            .option("case", case)
+            .option("n", "300")
+            .option("partitions", "5")
+            .load()
+            .collect()
+        )
+        jvm = generators.generate_batch(spark, case, 300, portable=True).collect()
+        assert sorted(map(tuple, ds)) == sorted(map(tuple, jvm)), case
+
+
+def test_python_datasource_partition_invariant(spark):
+    """Output is a pure function of (case, n, seed): re-reading with a
+    different partition count yields the identical multiset (each
+    InputPartition owns an id range; no per-partition state)."""
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+
+    def rows(parts):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("sortbench")
+                .option("case", "utf8-tuple")
+                .option("n", "257")
+                .option("partitions", str(parts))
+                .load()
+                .collect(),
+            )
+        )
+
+    assert rows(1) == rows(7) == rows(32)
