@@ -19,7 +19,13 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 DATA_SEED = 42  # generators.py DATA_SEED (data.rs:193)
 
@@ -114,3 +120,66 @@ class SortbenchDataSource(DataSource):
 def register_sources(spark) -> None:
     """Idempotent registration of all custom Python sources."""
     spark.dataSource.register(SortbenchDataSource)
+    spark.dataSource.register(ChecksumDataSource)
+
+
+# --- checksum sink: the WRITER half of the API (commit protocol demo) ------
+
+
+class _ChecksumCommit(WriterCommitMessage):
+    def __init__(self, rows: int, checksum: int):
+        self.rows = rows
+        self.checksum = checksum
+
+
+class _ChecksumWriter(DataSourceWriter):
+    """Per-task: fold every row into (count, order-insensitive checksum);
+    driver-side commit() writes ONE manifest only if every task committed —
+    the standard two-phase sink contract (task outputs are speculative
+    until the driver commit, exactly how FileFormatWriter commits jobs)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options.get("manifest")
+        if not self.path:
+            raise ValueError("checksum sink needs .option('path', <manifest.json>)")
+
+    def write(self, rows) -> "_ChecksumCommit":
+        n, acc = 0, 0
+        for row in rows:
+            n += 1
+            # XOR of row hashes: associative+commutative, so the total is
+            # independent of partitioning and row order
+            acc ^= _hash64(repr(tuple(row)))
+        return _ChecksumCommit(n, acc)
+
+    def commit(self, messages) -> None:
+        import json
+
+        total = sum(m.rows for m in messages)
+        acc = 0
+        for m in messages:
+            acc ^= m.checksum
+        with open(self.path, "w") as f:
+            json.dump(
+                {"rows": total, "checksum": acc, "tasks": len(messages)}, f
+            )
+
+    def abort(self, messages) -> None:  # no partial manifest on failure
+        import os
+
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+
+class ChecksumDataSource(DataSource):
+    """`df.write.format("checksum").option("path", p).save()` — an audit
+    sink: no data leaves the cluster, the driver commits one manifest with
+    the corpus row count and an order/partitioning-invariant checksum.
+    The writer-side twin of the sortbench reader for API parity."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "checksum"
+
+    def writer(self, schema, overwrite: bool) -> _ChecksumWriter:
+        return _ChecksumWriter(dict(self.options))

@@ -207,3 +207,28 @@ def test_python_datasource_partition_invariant(spark):
         )
 
     assert rows(1) == rows(7) == rows(32)
+
+
+def test_checksum_sink_commit_protocol(spark, sf_dir, tmp_path):
+    """The writer half of the Python DataSource API: per-task
+    (count, xor-checksum) commit messages, one driver-side manifest.
+    The checksum is order- and partitioning-invariant, so rewriting the
+    same data at a different parallelism commits the identical manifest."""
+    import json
+
+    from experiments_datafusion_spark.io import table
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    p1, p2 = tmp_path / "m1.json", tmp_path / "m2.json"
+    docs.repartition(3).write.format("checksum").mode("overwrite").option(
+        "path", str(p1)
+    ).save()
+    docs.repartition(11).write.format("checksum").mode("overwrite").option(
+        "path", str(p2)
+    ).save()
+    m1, m2 = json.loads(p1.read_text()), json.loads(p2.read_text())
+    assert m1["rows"] == docs.count()
+    assert (m1["rows"], m1["checksum"]) == (m2["rows"], m2["checksum"])
+    assert m1["tasks"] == 3 and m2["tasks"] == 11
