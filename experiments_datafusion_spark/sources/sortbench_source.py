@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -116,6 +117,9 @@ class SortbenchDataSource(DataSource):
     def reader(self, schema) -> _SortbenchReader:
         return _SortbenchReader(dict(self.options))
 
+    def simpleStreamReader(self, schema) -> "_SortbenchStreamReader":
+        return _SortbenchStreamReader(dict(self.options))
+
 
 def register_sources(spark) -> None:
     """Idempotent registration of all custom Python sources."""
@@ -183,3 +187,39 @@ class ChecksumDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _ChecksumWriter:
         return _ChecksumWriter(dict(self.options))
+
+
+# --- streaming reader: micro-batched generation with replayable offsets ----
+
+
+class _SortbenchStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch source: offset = {"next_id": k} — rows
+    [k, k+rows_per_batch) of the SAME deterministic id->row function the
+    batch reader uses, so any (start, end) range replays bit-identically
+    (readBetweenOffsets), which is exactly the contract exactly-once
+    recovery needs from a source."""
+
+    def __init__(self, options: dict):
+        self.case = options.get("case", "mixed-tuple")
+        self.n = int(options.get("n", "1000"))
+        self.seed = int(options.get("seed", str(DATA_SEED)))
+        self.rows_per_batch = int(options.get("rows_per_batch", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next_id"])
+        hi = min(lo + self.rows_per_batch, self.n)
+        return self._rows(lo, hi), {"next_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["next_id"]), int(end["next_id"]))
+
+    def _rows(self, lo: int, hi: int):
+        return iter(
+            [_row(self.case, i, self.seed, self.n) for i in range(lo, hi)]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # stateless source: nothing to clean up before `end`

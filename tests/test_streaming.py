@@ -145,3 +145,33 @@ def test_stream_upsert_totals_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert merged == batch
+
+
+def test_python_streaming_source_replays_batch_rows(spark, tmp_path):
+    """The custom Python source also streams: offset-managed micro-batches
+    ({"next_id": k} checkpoints) whose union equals the batch scan exactly —
+    deterministic ranges are what make recovery replay exact."""
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+    opts = {"case": "mixed-tuple", "n": "250", "rows_per_batch": "60"}
+    stream = spark.readStream.format("sortbench").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sortbench_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(map(tuple, spark.table("sortbench_stream_sink").collect()))
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.format("sortbench").options(**opts).load().collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) == 250
