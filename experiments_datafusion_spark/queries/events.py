@@ -5,7 +5,7 @@ a pure-SQL oracle (time_bucket / gaps-and-islands)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from experiments_datafusion_spark.io import table
 from experiments_datafusion_spark.queries import register
@@ -338,4 +338,130 @@ def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
         "1 hour",
+    )
+
+
+@register(
+    "ev_interpolate",
+    tags=("events", "window", "gapfill"),
+    oracle="""
+-- linear interpolation over per-series gaps (the hypertable interpolate()
+-- idiom): dense minute spine per event_type, carried prev/next observations
+-- via IGNORE NULLS window frames, one fused arithmetic expression written
+-- identically in both engines (single-op IEEE steps; inputs pre-rounded).
+WITH obs AS (
+  SELECT event_type,
+         date_diff('minute', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('minute', ts)) // 10 AS m,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(m) AS mn, max(m) AS mx FROM obs GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS m FROM bounds
+),
+j AS (SELECT s.event_type, s.m, o.v FROM spine s LEFT JOIN obs o USING (event_type, m)),
+w AS (
+  SELECT event_type, m, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY m
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY m
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY m
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN m END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY m
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+  FROM j
+),
+ints AS (
+  -- exact fixed-point interpolation: v is already 2dp, so centi-units are
+  -- integers; (num*2e4 + den*100) // (2*den*100) is EXACT half-up 4dp of
+  -- num/(den*100) — float round() disagrees across engines at half-ulp
+  -- boundaries, integer division cannot
+  SELECT event_type, m, v,
+         CAST(round(pv * 100, 0) AS BIGINT) AS pvc,
+         CAST(round(nv * 100, 0) AS BIGINT) AS nvc,
+         pv, nv, pm, nm
+  FROM w
+)
+SELECT event_type,
+       strftime(TIMESTAMP '1970-01-01 00:00:00' + to_minutes(m * 10), '%Y-%m-%d %H:%M:%S') AS bucket,
+       (v IS NOT NULL) AS observed,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           ((pvc * (nm - m) + nvc * (m - pm)) * 20000 + (nm - pm) * 100)
+             // (2 * (nm - pm) * 100) / 10000.0
+         ELSE round(coalesce(pv, nv), 4)
+       END AS value_interp
+FROM ints
+""",
+)
+def ev_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-10-minute series with LINEAR interpolation between the
+    surrounding observations (ev_gapfill's zero-fill upgraded to the
+    hypertable interpolate() idiom).  Shape at scale: both window passes
+    partition by the series key and the spine join is post-aggregation —
+    one row per (series, minute) regardless of raw event volume."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(
+        (F.unix_timestamp(F.date_trunc("minute", "ts")) / 60) / 10
+    ).cast("long")
+    obs = ev.groupBy("event_type", bucket.alias("m")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    spine = obs.groupBy("event_type").agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    ).select("event_type", F.explode(F.sequence("mn", "mx")).alias("m"))
+    j = spine.join(obs, ["event_type", "m"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v, m = F.col("v"), F.col("m")
+    carried = j.select(
+        "event_type",
+        "m",
+        "v",
+        F.last(v, ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(v.isNotNull(), m), ignorenulls=True).over(w_prev).alias("pm"),
+        F.first(v, ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(v.isNotNull(), m), ignorenulls=True).over(w_next).alias("nm"),
+    )
+    ints = carried.withColumns(
+        {
+            "pvc": F.round(F.col("pv") * 100, 0).cast("long"),
+            "nvc": F.round(F.col("nv") * 100, 0).cast("long"),
+        }
+    )
+    # exact fixed-point half-up (the WAV/PNG recipe): long arithmetic only,
+    # so both engines divide the same integers — no float-round boundaries
+    val4 = F.expr(
+        "((pvc * (nm - m) + nvc * (m - pm)) * 20000 + (nm - pm) * 100)"
+        " div (2 * (nm - pm) * 100)"
+    )
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), val4 / F.lit(10000.0)
+        )
+        .otherwise(F.round(F.coalesce("pv", "nv"), 4))
+    )
+    return ints.select(
+        "event_type",
+        F.date_format(F.timestamp_seconds(m * 600), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        v.isNotNull().alias("observed"),
+        interp.alias("value_interp"),
     )
