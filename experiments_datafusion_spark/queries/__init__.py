@@ -9,7 +9,10 @@ express it) an equivalent DuckDB oracle query. ``__spark_entry__.py``,
 Conventions (driver contract — see /root/repo/__spark_entry__.py docstring):
   * every computed column is aliased IDENTICALLY in Spark and SQL;
   * float aggregates are rounded in BOTH engines (double accumulation order
-    differs across engines; rounding makes the value-hash stable);
+    differs across engines; rounding makes the value-hash stable).  When a
+    rounded SUM can land on a decimal half-boundary (money totals), use the
+    exact integer-unit recipe in experiments_datafusion_spark/exact.py
+    instead — plain round(sum(double), d) diverged at sf0.1 twice;
   * timestamps in output are rendered to 'yyyy-MM-dd HH:mm:ss' strings in
     BOTH engines (session tz = UTC);
   * arrays/structs in output are flattened or joined to strings.

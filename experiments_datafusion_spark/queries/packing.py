@@ -23,6 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from experiments_datafusion_spark import exact as _X
 from experiments_datafusion_spark.io import spread, table
 from experiments_datafusion_spark.operators.text import bpe_token_count, hash64
 from experiments_datafusion_spark.queries import register
@@ -141,25 +142,35 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert",
     tags=("pipeline", "maintenance"),
     oracle="""
+-- all money math in exact integer units (see exact.py: round(sum(double))
+-- hit a 2dp half-boundary at sf0.1): spend summed in 1e-4 units, half-up
+-- to integer cents, balance update composed in 1e-7 units
 WITH src AS (
   SELECT o_custkey AS custkey,
          count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS spend
+         (sum(CAST(round(o_totalprice * 10000, 0) AS BIGINT)) * 2 + 100) // 200
+           AS spend_c
   FROM orders GROUP BY o_custkey
 ),
 changes AS (  -- updates for existing keys + synthetic inserts for new keys
-  SELECT custkey, n_orders, spend FROM src
+  SELECT custkey, n_orders, spend_c FROM src
   UNION ALL
-  SELECT custkey + 10000000, n_orders, spend FROM src WHERE n_orders >= 20
+  SELECT custkey + 10000000, n_orders, spend_c FROM src WHERE n_orders >= 20
+),
+m AS (
+  SELECT t.c_custkey, s.custkey, s.n_orders,
+         coalesce(CAST(round(t.c_acctbal * 100, 0) AS BIGINT), 0) * 100000
+           + coalesce(s.spend_c, 0) * 100 AS u7
+  FROM customer t FULL OUTER JOIN changes s ON t.c_custkey = s.custkey
 )
-SELECT coalesce(t.c_custkey, s.custkey) AS custkey,
-       CASE WHEN t.c_custkey IS NULL THEN 'inserted'
-            WHEN s.custkey IS NULL THEN 'kept'
+SELECT coalesce(c_custkey, custkey) AS custkey,
+       CASE WHEN c_custkey IS NULL THEN 'inserted'
+            WHEN custkey IS NULL THEN 'kept'
             ELSE 'updated' END AS status,
-       round(coalesce(t.c_acctbal, 0.0) + coalesce(s.spend, 0.0) * 0.001, 2)
-         AS acctbal_new,
-       CAST(coalesce(s.n_orders, 0) AS BIGINT) AS n_orders
-FROM customer t FULL OUTER JOIN changes s ON t.c_custkey = s.custkey
+       (CASE WHEN u7 >= 0 THEN (u7 * 2 + 100000) // 200000
+             ELSE -(((-u7) * 2 + 100000) // 200000) END) / 100.0 AS acctbal_new,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+FROM m
 """,
 )
 def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,12 +187,18 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum(_X.to_units(F.col("o_totalprice"), 4)).alias("spend_u"),
+        )
+        # half-up to integer cents while still in exact integer arithmetic
+        .select(
+            "custkey",
+            "n_orders",
+            F.floor((F.col("spend_u") * 2 + 100) / 200).cast("long").alias("spend_c"),
         )
     )
     changes = src.unionAll(
         src.where(F.col("n_orders") >= 20).select(
-            (F.col("custkey") + 10_000_000).alias("custkey"), "n_orders", "spend"
+            (F.col("custkey") + 10_000_000).alias("custkey"), "n_orders", "spend_c"
         )
     )
     t, s = cust.alias("t"), changes.alias("s")
@@ -192,9 +209,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s.custkey").isNull(), F.lit("kept"))
         .otherwise(F.lit("updated"))
         .alias("status"),
-        F.round(
-            F.coalesce(F.col("t.c_acctbal"), F.lit(0.0))
-            + F.coalesce(F.col("s.spend"), F.lit(0.0)) * 0.001,
+        _X.exact_round(
+            F.coalesce(_X.to_units(F.col("t.c_acctbal"), 2), F.lit(0)) * 100000
+            + F.coalesce(F.col("s.spend_c"), F.lit(0)) * 100,
+            7,
             2,
         ).alias("acctbal_new"),
         F.coalesce(F.col("s.n_orders"), F.lit(0)).cast("long").alias("n_orders"),

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from experiments_datafusion_spark import exact as _X
 from experiments_datafusion_spark.io import table
 from experiments_datafusion_spark.queries import register
 
@@ -444,14 +445,17 @@ def tpch_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_profit",
     tags=("join", "agg"),
-    oracle="""
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    oracle=f"""
+-- sum in exact 1e-4 integer units, round with integer division: plain
+-- round(sum(double), 2) hit a half-boundary at sf0.1 (13939649.71 vs .72
+-- — accumulation-order ulp + engine round() divergence; see exact.py)
+SELECT nation, o_year, {_X.sql_exact_round("sum(amount_u)", 4, 2)} AS sum_profit
 FROM (
   SELECT
     n_name                                         AS nation,
     CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-    l_extendedprice * (1 - l_discount)
-      - 0.5 * p_retailprice * l_quantity           AS amount
+    {_X.sql_to_units("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity", 4)}
+                                                   AS amount_u
   FROM lineitem
   JOIN part     ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -475,7 +479,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
-    ).alias("amount")
+    )
     joined = (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -484,11 +488,11 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            amount,
+            _X.to_units(amount, 4).alias("amount_u"),
         )
     )
     return joined.groupBy("nation", "o_year").agg(
-        F.round(F.sum("amount"), 2).alias("sum_profit")
+        _X.exact_round(F.sum("amount_u"), 4, 2).alias("sum_profit")
     )
 
 
