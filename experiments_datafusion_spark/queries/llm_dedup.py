@@ -237,6 +237,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(table(spark, sf_dir, "embeddings"), 0.45)
 
 
+def _embedding_lsh_ctes(buckets_sql: str) -> str:
+    """Shared CTE block: LSH tables -> candidate pairs -> norms."""
+    return f"""buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
+  FROM buckets a
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+  FROM embeddings
+)"""
+
+
 def _embedding_lsh_oracle(planes_per_table: int = 2, n_tables: int = 6) -> str:
     """DuckDB replay of embedding_lsh_pairs with the SAME plane constants
     (operators/similarity.py:LSH_PLANES) — like the MinHash oracle, the LSH
@@ -263,19 +280,7 @@ def _embedding_lsh_oracle(planes_per_table: int = 2, n_tables: int = 6) -> str:
         )
     buckets_sql = "\n  UNION ALL\n  ".join(table_selects)
     return f"""
-WITH buckets AS (
-  {buckets_sql}
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y
-  FROM buckets a
-  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-norms AS (
-  SELECT vec_id, embedding,
-    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
-  FROM embeddings
-)
+WITH {_embedding_lsh_ctes(buckets_sql)}
 SELECT x, y,
   round(list_sum(list_transform(list_zip(na.embedding, nb.embedding),
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm), 4) AS cosine
@@ -301,3 +306,78 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experiments_datafusion_spark.operators.similarity import embedding_lsh_pairs
 
     return embedding_lsh_pairs(table(spark, sf_dir, "embeddings"), 0.45)
+
+
+def _semantic_canonical_oracle(planes_per_table: int = 2, n_tables: int = 6) -> str:
+    """SemDeDup-style end-to-end replay: the dedup_embedding_lsh pair CTEs
+    feed a recursive min-label fixed point (the dedup_clusters pattern),
+    then one row per semantic cluster."""
+    from experiments_datafusion_spark.operators.similarity import LSH_PLANES
+
+    m = planes_per_table
+
+    def dot_sql(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    table_selects = []
+    for j in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(LSH_PLANES[j * m + i])} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(m)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {j} AS tbl, ({bits}) AS bucket FROM embeddings"
+        )
+    buckets_sql = "\n  UNION ALL\n  ".join(table_selects)
+    return f"""
+WITH RECURSIVE {_embedding_lsh_ctes(buckets_sql)},
+pairs AS (
+  SELECT x, y FROM cand
+  JOIN norms na ON x = na.vec_id
+  JOIN norms nb ON y = nb.vec_id
+  WHERE list_sum(list_transform(list_zip(na.embedding, nb.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (na.nrm * nb.nrm) >= 0.45
+),
+edges AS (SELECT x AS src, y AS dst FROM pairs UNION SELECT y, x FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS vec_id, min(lbl) AS cluster FROM walk GROUP BY node)
+SELECT cluster AS canonical_id,
+       count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM comp GROUP BY cluster
+"""
+
+
+@register(
+    "dedup_semantic_canonical",
+    tags=("llm", "dedup", "similarity", "graph"),
+    oracle=_semantic_canonical_oracle(),
+)
+def dedup_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, end to end: embedding LSH near-dup
+    pairs -> connected components -> one canonical vector (the minimum
+    vec_id) per semantic cluster, with member/drop counts.  Composes two
+    driver-green stages (dedup_embedding_lsh pairs, the dedup_clusters
+    min-label propagation), so the whole keep/drop decision — not just the
+    pair evidence — is differential-tested against a recursive-CTE fixed
+    point."""
+    from experiments_datafusion_spark.operators.graph import connected_components
+    from experiments_datafusion_spark.operators.similarity import embedding_lsh_pairs
+
+    pairs = embedding_lsh_pairs(table(spark, sf_dir, "embeddings"), 0.45)
+    comp = connected_components(pairs.select("x", "y")).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    return comp.groupBy(F.col("cluster").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )
