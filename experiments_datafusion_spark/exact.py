@@ -1,0 +1,58 @@
+"""Exact cross-engine rounding of aggregated doubles.
+
+`round(sum(x), d)` on doubles has TWO latent cross-engine failure modes,
+both found by the sf0.1 differential sweep (tpch_q9_profit 13939649.71 vs
+.72, merge_upsert 6234.26 vs .27):
+  1. Spark's partial/final sum and DuckDB's sequential sum differ by an
+     ulp, and the true value sits on a .xx5 boundary;
+  2. even on IDENTICAL doubles, Spark rounds via BigDecimal's exact
+     decimal expansion while DuckDB scales-and-rints — they disagree
+     within an ulp of the boundary.
+
+The cure is the recipe the media decoders already use (operators/
+multimodal.py): quantize PER ROW to integer units — per-row values are
+single-op identical doubles in both engines, so the quantization itself
+cannot diverge — SUM exact integers, then round with integer division.
+
+Magnitude budget: |sum_units| * 2 must stay below 2^53 so the final
+double division in `exact_round` floors exactly (units of 1e-4 over 1e5
+rows of 1e5-magnitude values -> 1e14, three decades of headroom).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def to_units(col: Column, unit_dp: int) -> Column:
+    """Per-row quantization to integer 10^-unit_dp units (exact in both
+    engines: the input double is identical per row, round-to-0dp of it is
+    a single deterministic op)."""
+    return F.round(col * (10 ** unit_dp), 0).cast("long")
+
+
+def exact_round(sum_units: Column, unit_dp: int, out_dp: int) -> Column:
+    """Half-away-from-zero rounding of an integer-unit sum to out_dp
+    decimals, all in integer arithmetic; returns a double with exactly
+    out_dp decimals.  Matches both engines' round() sign convention."""
+    den = 10 ** (unit_dp - out_dp)
+    a = F.abs(sum_units)
+    # (a*2 + den) / (2*den): operands < 2^53, and exact multiples of the
+    # divisor divide exactly in IEEE, so floor() is the true integer div
+    q = F.floor((a * 2 + den) / (2 * den)).cast("long")
+    return F.when(sum_units < 0, -q).otherwise(q) / F.lit(float(10 ** out_dp))
+
+
+def sql_to_units(expr: str, unit_dp: int) -> str:
+    return f"CAST(round(({expr}) * {10 ** unit_dp}, 0) AS BIGINT)"
+
+
+def sql_exact_round(expr: str, unit_dp: int, out_dp: int) -> str:
+    den = 10 ** (unit_dp - out_dp)
+    return (
+        f"(CASE WHEN ({expr}) >= 0"
+        f" THEN (({expr}) * 2 + {den}) // (2 * {den})"
+        f" ELSE -(((-({expr})) * 2 + {den}) // (2 * {den})) END)"
+        f" / {10 ** out_dp}.0"
+    )
