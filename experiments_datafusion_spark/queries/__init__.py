@@ -63,51 +63,30 @@ _MODULES = (
 # (50 queries per round).  Rounds 1-2 verified tpch/relational (r1,
 # CORRECTNESS_r01.json 49/50) and aggregates/windows/scalars/sqlfrontend/
 # llm_*/sampling/udf-pandas (r2, CORRECTNESS_r02.json 50/50).  Round 3
-# re-aims the window at the keys that have never had a driver verdict:
-# events, the curation pipeline, hygiene, ml, the reference-local sortbench
-# workloads, the oracled multimodal trio, llm_extras, and the highest-value
-# analytics keys.  Keys listed here surface FIRST (in this order) in
-# queries()/oracle_sql(); everything else follows in registration order.
+# verified events, the curation pipeline, hygiene, ml, the sortbench
+# workloads, multimodal, llm_extras and the top analytics keys (r3,
+# CORRECTNESS_r03.json 50/50).  Round 4 rotates in the final 29 keys
+# that have never had a driver verdict (per the r3 VERDICT plan), the
+# newly-registered compact_small_files, and the new round-4 operators,
+# reaching full lifetime driver coverage.  Keys listed here surface FIRST
+# (in this order) in queries()/oracle_sql(); everything else follows in
+# registration order.
 _PRIORITY = (
-    # events — ev_* event-time analytics (10)
-    "ev_tumbling", "ev_sliding", "ev_session", "ev_dedup", "ev_daily_stats",
-    "ev_enrich_join", "ev_funnel", "ev_retention", "ev_gapfill",
-    "ev_attribution",
-    # curation pipeline (15)
-    "split_train_test", "sample_stratified", "text_pii_redact",
-    "text_token_budget", "docs_length_histogram", "docs_heavy_hitters",
-    "text_top_words", "anomaly_zscore", "dedup_fuzzy_levenshtein",
-    "embedding_quantize", "text_repetition", "dedup_incremental",
-    "mix_temperature", "shard_assign", "lang_confusion",
-    # hygiene (4)
-    "contamination_ngram", "split_leakage_safe", "quality_gate_percentile",
-    "mix_weighted_sources",
-    # ml (2)
-    "embedding_kmeans", "dedup_near_canonical",
-    # reference-local sortbench workloads, SURVEY §2A rows 6-7/12 (5)
-    "split_streams", "sortbench_utf8_tuple", "sortbench_mixed_tuple",
-    "sortbench_dictionary_tuple", "sortbench_mixed_dictionary_tuple",
-    # multimodal oracled trio (3)
-    "mm_metadata", "mm_dedup_payload", "mm_features",
-    # llm_extras (2)
-    "dedup_clusters", "text_tfidf",
-    # analytics, highest-value 9
-    "agg_argmax", "topk_per_group", "dedup_keep_best", "rollup_time_multi",
-    "win_sessionize", "scalar_datebin", "win_range_time", "sql_lateral_topk",
-    "embedding_norm_stats",
+    # never-driver-verified backlog — the r3 VERDICT's ask #1 (29)
+    "scalar_map", "dedup_semantic_canonical", "sim_topk_pq",
+    "sim_topk_ivfpq", "udf_python_rowwise", "udf_python_udtf",
+    "ev_interpolate", "sort_desc_nulls", "source_python_ds",
+    "mm_frame_sample", "mm_png_features", "text_dup_spans",
+    "agg_corr_regr", "join_bucketed", "agg_approx", "agg_sketch_rollup",
+    "join_salted", "join_range_bands", "scalar_bitwise", "docs_ngram_freq",
+    "scalar_url", "udf_map_in_arrow", "text_unigram_logprob",
+    "scalar_binary_b64", "pack_sequences", "merge_upsert", "layout_zorder",
+    "graph_pagerank", "graph_triangles",
+    # newly registered this round — VERDICT ask #3 (1)
+    "compact_small_files",
+    # new round-4 operators are appended here as they land (target: fill
+    # the remaining ~20 window slots with oracled keys)
 )
-
-# Round-4 window plan (rotate these in once CORRECTNESS_r03 lands): the
-# remaining never-driver-verified keys — sort_desc_nulls, mm_frame_sample,
-# scalar_bitwise, docs_ngram_freq, scalar_url, udf_map_in_arrow,
-# text_unigram_logprob, scalar_binary_b64, agg_corr_regr, join_bucketed,
-# agg_approx, agg_sketch_rollup, join_salted, join_range_bands,
-# udf_python_rowwise, udf_python_udtf, plus the late-round-3 additions:
-# pack_sequences, merge_upsert, scalar_map, compact_small_files,
-# graph_pagerank, graph_triangles, text_dup_spans, sim_topk_pq,
-# sim_topk_ivfpq, layout_zorder, mm_png_features, source_python_ds.
-# That reaches full
-# lifetime driver coverage.
 
 
 @dataclass(frozen=True)

@@ -140,3 +140,40 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # upper bound only — tests compare against the true global distinct
     )
     return per_source.unionByName(merged).orderBy("source")
+
+
+@register(
+    "compact_small_files",
+    tags=("io", "maintenance"),
+    oracle="""
+SELECT CAST(1 AS BIGINT)              AS out_files,
+       CAST(count(*) AS BIGINT)       AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM orders
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (io.compact_parquet): fragments
+    ``orders`` into 64 tiny parquet files, compacts them back with a
+    target size large enough to force exactly one output file, then
+    re-scans the COMPACTED copy.  The oracle checks (a) the output file
+    count and (b) row + key-sum conservation through the rewrite — so the
+    round-trip itself, not the source table, is what is verified.  At
+    100 TB this op runs per partition directory (io.py docstring), so each
+    rewrite is bounded; here the whole sf-dir table is one bounded unit."""
+    import tempfile
+    from pathlib import Path
+
+    from experiments_datafusion_spark import io as eio
+
+    tmp = tempfile.mkdtemp(prefix="compact_sf_")
+    src, dst = f"{tmp}/frag", f"{tmp}/compact"
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    n_declared = eio.compact_parquet(spark, src, dst, target_file_bytes=1 << 40)
+    n_actual = len(list(Path(dst).glob("*.parquet")))
+    assert n_declared == n_actual == 1, (n_declared, n_actual)
+    return spark.read.parquet(dst).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_custkey").alias("custkey_sum"),
+    ).select(F.lit(1).cast("long").alias("out_files"), "n_rows", "custkey_sum")
