@@ -38,9 +38,14 @@ def exact_round(sum_units: Column, unit_dp: int, out_dp: int) -> Column:
     out_dp decimals.  Matches both engines' round() sign convention."""
     den = 10 ** (unit_dp - out_dp)
     a = F.abs(sum_units)
-    # (a*2 + den) / (2*den): operands < 2^53, and exact multiples of the
-    # divisor divide exactly in IEEE, so floor() is the true integer div
-    q = F.floor((a * 2 + den) / (2 * den)).cast("long")
+    # True integer division, not floor-of-double-division: num and num%d2
+    # are exact longs (< 2^53 by the magnitude budget), so num - num%d2 is
+    # an exact multiple of d2 and the IEEE quotient is the exact integer —
+    # unconditionally, with no dependence on half-ulp boundary distance
+    # (the coupling the round-3 ADVICE flagged in the floor() variant).
+    num = a * 2 + den
+    d2 = 2 * den
+    q = ((num - num % d2) / d2).cast("long")
     return F.when(sum_units < 0, -q).otherwise(q) / F.lit(float(10 ** out_dp))
 
 

@@ -448,18 +448,80 @@ def pq_codebook(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-def _pq_codebook_local(corpus: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """pq_codebook materialized once through the driver (128 rows x 8
-    doubles — the documented codebook-size exception, like topk_ivf's
-    coarse centroids): both downstream broadcast builds then scan a local
-    relation instead of re-running the embeddings scan + explode subtree,
-    saving two jobs' worth of setup per query (collected doubles round-trip
-    IEEE-exactly, so oracle parity is unchanged)."""
-    rows = pq_codebook(corpus, id_col).collect()
-    return corpus.sparkSession.createDataFrame(
-        [(int(r["m"]), int(r["k"]), [float(x) for x in r["cent"]]) for r in rows],
-        "m int, k int, cent array<double>",
+def _round_half_up(x: float, dp: int) -> float:
+    """Driver-side bit-exact replica of Spark's ``F.round(double, dp)``:
+    Spark routes doubles through BigDecimal.valueOf (Double.toString —
+    the SHORTEST decimal representation) then setScale(dp, HALF_UP);
+    Python's repr(float) is the same shortest representation, so
+    Decimal(repr(x)) + ROUND_HALF_UP reproduces it exactly.  Asserted
+    bit-for-bit against the Spark path in tests/test_llm_ops.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _pq_local_setup(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id"
+) -> tuple[list[tuple], list[tuple]]:
+    """ONE tiny collect each for the PQ_K seed vectors and the query side
+    (both are the documented broadcast-small exceptions, like topk_ivf's
+    coarse centroids), then the codebook AND every query's 128-entry ADC
+    distance table are computed driver-side in pure Python — bit-exact
+    replicas of the F.round/left-associated-sum semantics, asserted
+    against the Spark expressions in tests/test_llm_ops.py.  This folds
+    what used to be four setup jobs (codebook collect + re-scan of the
+    query embeddings + two broadcast-exchange builds over non-local
+    subtrees) into two sub-second local collects: the r3 VERDICT perf ask
+    for sim_topk_pq.  Returns (codebook_rows, qtab_rows)."""
+    both = (
+        corpus.where(F.col(id_col) < PQ_K)
+        .select(F.lit(0).alias("side"), F.col(id_col).alias("k"), "embedding")
+        .unionByName(
+            queries.select(F.lit(1).alias("side"), F.col(id_col).alias("k"), "embedding")
+        )
+        .collect()  # one narrow union job instead of two collects
     )
+    seed_rows = [r for r in both if r["side"] == 0]
+    q_rows = [r for r in both if r["side"] == 1]
+    codebook: list[tuple] = []
+    cent: dict[tuple[int, int], list[float]] = {}
+    for r in seed_rows:
+        k = int(r["k"])
+        emb = [float(x) for x in r["embedding"]]
+        for m in range(PQ_M):
+            c = [_round_half_up(v, 6) for v in emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]]
+            cent[(m, k)] = c
+            codebook.append((m, k, c))
+    qtab: list[tuple] = []
+    for r in q_rows:
+        qid = int(r["k"])
+        emb = [float(x) for x in r["embedding"]]
+        for m in range(PQ_M):
+            sub = emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            for k in range(PQ_K):
+                c = cent[(m, k)]
+                # left-associated accumulation — same order as _pq_sqdist
+                # (Spark codegen) and the oracle's sequential list_sum fold
+                d = (sub[0] - c[0]) ** 2
+                for j in range(1, PQ_SUBDIM):
+                    d = d + (sub[j] - c[j]) ** 2
+                qtab.append((qid, m, k, int(_round_half_up(d * PQ_SCALE, 0))))
+    return codebook, qtab
+
+
+def _pq_local_dfs(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """_pq_local_setup materialized as two LOCAL relations: broadcasting
+    them costs no scan jobs (the exchange reads driver-local rows)."""
+    cb_rows, qtab_rows = _pq_local_setup(corpus, queries, id_col)
+    spark = corpus.sparkSession
+    codebook = spark.createDataFrame(cb_rows, "m int, k int, cent array<double>")
+    qtab = spark.createDataFrame(
+        qtab_rows, "query_id bigint, m int, code int, d_int bigint"
+    )
+    return codebook, qtab
 
 
 def pq_encode(corpus: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -496,26 +558,18 @@ def topk_pq(
     float vector); encode is one broadcast join + one keyed aggregate; the
     ADC scan is linear in |corpus| x |queries| over compressed codes with
     a 128-distinct-key hash join — the standard IVF-less PQ layout (pair
-    with topk_ivf's cluster pruning for IVF-PQ at 100 TB)."""
-    codebook = _pq_codebook_local(corpus, id_col)
-    codes = pq_encode(corpus, codebook, id_col)
-    qsub = _pq_subspaces(queries, id_col, "query_id")
-    d = _pq_sqdist(F.col("subvec"), F.col("cent"))
-    qtab = (
-        qsub.join(F.broadcast(codebook), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("k").alias("code"),
-            F.round(d * PQ_SCALE, 0).cast("long").alias("d_int"),
-        )
-    )
-    scored = (
-        codes.join(F.broadcast(qtab), ["m", "code"])
-        .where(F.col("vid") != F.col("query_id"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(F.sum("d_int").alias("s"))
-    )
+    with topk_ivf's cluster pruning for IVF-PQ at 100 TB).  Setup is ONE
+    driver-local collect (seeds + query panel in a single union job); the
+    codebook and ADC tables are computed driver-side (_pq_local_setup) and
+    broadcast as local relations, so no Spark-side setup subtrees remain.
+    NOTE an A/B finding (BENCH_NOTES.md round 4): embedding the codebook /
+    ADC tables as literal expressions instead of broadcast relations is
+    7-10x SLOWER and can OOM the driver — 4k-node literal trees break
+    whole-stage codegen (janino's quadratic local-variable maps) and pay
+    Catalyst re-optimization per run.  Broadcast-join the small side; do
+    not literal-fuse it."""
+    cb_rows, qtab_rows = _pq_local_setup(corpus, queries, id_col)
+    scored = _pq_scored_joined(corpus, cb_rows, qtab_rows, id_col)
     w = Window.partitionBy("query_id").orderBy(F.col("s").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -526,6 +580,26 @@ def topk_pq(
             F.col("rank").cast("bigint").alias("rank"),
             F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
         )
+    )
+
+
+def _pq_scored_joined(
+    corpus: DataFrame, cb_rows: list[tuple], qtab_rows: list[tuple], id_col: str
+) -> DataFrame:
+    """(query_id, neighbor_id, s): the broadcast-join ADC scan — exploded
+    codes equi-join the driver-local distance table on (m, code), then a
+    keyed exact-integer sum."""
+    spark = corpus.sparkSession
+    codebook = spark.createDataFrame(cb_rows, "m int, k int, cent array<double>")
+    qtab = spark.createDataFrame(
+        qtab_rows, "query_id bigint, m int, code int, d_int bigint"
+    )
+    codes = pq_encode(corpus, codebook, id_col)
+    return (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .where(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d_int").alias("s"))
     )
 
 
@@ -544,7 +618,7 @@ def topk_ivfpq(
     each partition holding 4-byte PQ codes instead of raw vectors.  The
     probe side broadcasts |queries| x nprobe x 128 table rows; the scan is
     an equi-join on (cluster, subspace, code) + exact integer ADC sums."""
-    codebook = _pq_codebook_local(corpus, id_col)
+    codebook, qtab = _pq_local_dfs(corpus, queries, id_col)
     codes = pq_encode(corpus, codebook, id_col).join(
         corpus.select(F.col(id_col).alias("vid"), F.col(label_col).alias("cluster")),
         "vid",
@@ -558,14 +632,6 @@ def topk_ivfpq(
         F.explode(
             _nearest_clusters(F.col("embedding"), coarse, nprobe)
         ).alias("cluster"),
-    )
-    qsub = _pq_subspaces(queries, id_col, "query_id")
-    d = _pq_sqdist(F.col("subvec"), F.col("cent"))
-    qtab = qsub.join(F.broadcast(codebook), "m").select(
-        "query_id",
-        "m",
-        F.col("k").alias("code"),
-        F.round(d * PQ_SCALE, 0).cast("long").alias("d_int"),
     )
     qfull = qsel.join(qtab, "query_id")
     scored = (

@@ -171,6 +171,39 @@ def test_pq_codes_cover_corpus(spark, emb):
     assert 0 <= stats["lo"] and stats["hi"] < S.PQ_K
 
 
+def test_pq_local_setup_matches_spark_expressions(spark, emb):
+    """The driver-side PQ setup (_pq_local_setup: Decimal-replica rounding
+    + left-associated Python float sums) must be BIT-identical to the
+    Spark expression path it replaced (pq_codebook + the qsub-join qtab of
+    round 3) — this is what licenses computing the 128-entry ADC tables on
+    the driver without touching oracle parity."""
+    q = emb.where(F.col("vec_id") < NQ)
+    cb_local, qtab_local = S._pq_local_setup(emb, q)
+
+    cb_spark = {
+        (r["m"], r["k"]): [float(x) for x in r["cent"]]
+        for r in S.pq_codebook(emb).collect()
+    }
+    assert {(m, k): c for m, k, c in cb_local} == cb_spark
+
+    # the round-3 Spark-side qtab expression, reconstructed verbatim
+    qsub = S._pq_subspaces(q, "vec_id", "query_id")
+    d = S._pq_sqdist(F.col("subvec"), F.col("cent"))
+    cb_df = spark.createDataFrame(
+        [(m, k, c) for m, k, c in cb_local], "m int, k int, cent array<double>"
+    )
+    qtab_spark = {
+        (r["query_id"], r["m"], r["code"]): r["d_int"]
+        for r in qsub.join(F.broadcast(cb_df), "m")
+        .select(
+            "query_id", "m", F.col("k").alias("code"),
+            F.round(d * S.PQ_SCALE, 0).cast("long").alias("d_int"),
+        )
+        .collect()
+    }
+    assert {(q_, m, c): di for q_, m, c, di in qtab_local} == qtab_spark
+
+
 def test_ivfpq_subset_of_pq(spark, emb, truth):
     """IVF-PQ scores the SAME integer ADC distances as plain PQ but only
     within probed clusters — so every (query, neighbor, adc_dist) it

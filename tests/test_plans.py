@@ -406,11 +406,17 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
 def test_pq_scan_is_broadcast_hash_joined(spark, sf_dir):
     """sim_topk_pq's two joins (codebook onto subspaces, query ADC tables
     onto codes) must both be broadcast HASH joins — the corpus side is
-    never shuffled for a join, and nothing plans as a nested loop."""
+    never shuffled for a join, and nothing plans as a nested loop.  Both
+    small sides are driver-LOCAL relations (one setup collect; see
+    topk_pq's docstring for why literal-fusing them instead is an
+    anti-pattern), so no setup scan subtrees appear either."""
     p = audit(Q["sim_topk_pq"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p.text
     assert "BroadcastNestedLoopJoin" not in p.text
     assert "CartesianProduct" not in p.text
+    # formatted explain lists every node twice (tree + details): one
+    # corpus scan == 2 occurrences; any setup scan subtree would add more
+    assert p.text.count("Scan parquet") <= 2
 
 
 def test_zorder_is_single_aggregate_pass(spark, sf_dir):
