@@ -232,10 +232,14 @@ def _decode_png_gray8(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, w = 8, None
+    pos, w, h = 8, None, None
     idat = b""
     while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated chunk header")
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated chunk body")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
@@ -248,10 +252,14 @@ def _decode_png_gray8(payload: bytes) -> tuple[int, int, np.ndarray]:
                     "only 8-bit non-interlaced grayscale is decoded here"
                 )
         elif tag == b"IDAT":
+            if w is None:
+                raise ValueError("IDAT before IHDR")
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    if w is None or h is None:
+        raise ValueError("missing IHDR chunk")
     raw = zlib.decompress(idat)
     stride = w + 1
     rows = []

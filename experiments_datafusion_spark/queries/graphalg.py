@@ -16,11 +16,15 @@ engines, a documented trade).
 PageRank (graph_pagerank):
   * standard damped formulation, d=0.85, FIXED 5 iterations so the DuckDB
     oracle can unroll them as chained CTEs (same trick as ml.py k-means);
-  * per-iteration ranks are rounded to 12dp in BOTH engines — Spark's
-    partial/final double sum and DuckDB's sequential sum agree far below
-    1e-12 on ~1e-3-magnitude ranks, so quantizing both sides keeps every
-    iteration bit-identical; final output rounds to 6dp with a user_id
-    tie-break;
+  * ranks are carried as INTEGER PICOUNITS end-to-end (round-3 ADVICE):
+    init = 1e12 div n, contribution = rank_u div outdeg, damping =
+    (sum * 85) div 100, base = 15e10 div n — every op is integer
+    arithmetic below 2^53 in both engines, so iterations are exact by
+    construction (no round(double) anywhere in the loop, hence no
+    probabilistic half-boundary risk however many nodes x iterations);
+    the final 6dp rendering uses the exact.py integer recipe.  The div
+    flooring loses < 1e-12 of mass per term vs true PageRank — far below
+    the 6dp output resolution;
   * dangling mass (users with no out-edge) is dropped, not redistributed —
     simpler, identical in both engines, standard for differential tests;
   * scale shape: each iteration is ONE shuffle join (edges x ranks on src)
@@ -42,6 +46,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from experiments_datafusion_spark import exact as _X
 from experiments_datafusion_spark.io import table
 from experiments_datafusion_spark.queries import register
 
@@ -74,6 +79,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle() -> str:
+    from experiments_datafusion_spark.exact import sql_exact_round
+
     ctes = [
         _SQL_EDGE_CTE.strip(),
         """nodes AS (
@@ -82,17 +89,18 @@ def _pagerank_oracle() -> str:
 ),
 deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM nodes),
-r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes)""",
+r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_u
+       FROM nodes)""",
     ]
     for it in range(PR_ITERS):
         ctes.append(
             f"""r{it + 1} AS (
   SELECT nodes.node,
-         round(0.15 / (SELECT n FROM nn)
-               + {DAMP} * coalesce(inc.s, 0), 12) AS rank
+         150000000000 // (SELECT n FROM nn)
+           + (CAST(coalesce(inc.s_u, 0) AS BIGINT) * 85) // 100 AS rank_u
   FROM nodes
   LEFT JOIN (
-    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    SELECT e.dst AS node, sum(r.rank_u // d.outdeg) AS s_u
     FROM edges e
     JOIN r{it} r ON r.node = e.src
     JOIN deg d ON d.src = e.src
@@ -102,7 +110,7 @@ r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes)""",
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT node AS user_id, round(rank, 6) AS pagerank
+SELECT node AS user_id, {sql_exact_round('rank_u', 12, 6)} AS pagerank
 FROM r{PR_ITERS}
 ORDER BY pagerank DESC, user_id ASC
 LIMIT 20"""
@@ -122,21 +130,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = nodes.count()  # one scalar — the documented codebook-style exception
-    ranks = nodes.withColumn("rank", F.round(F.lit(1.0) / F.lit(float(n)), 12))
+
+    def idiv(a, b):
+        # exact integer division on longs: a - a%b is an exact multiple of
+        # b (< 2^53), so the IEEE quotient is the exact integer
+        return ((a - a % b) / b).cast("long")
+
+    ranks = nodes.withColumn("rank_u", F.lit(10**12 // n).cast("long"))
+    base_u = 150_000_000_000 // n  # 0.15/n in picounits, floored like the SQL
     contrib_src = edges.join(deg, "src")  # static across iterations
     for _ in range(PR_ITERS):
         inc = (
             contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+            .agg(F.sum(idiv(F.col("rank_u"), F.col("outdeg"))).alias("s_u"))
         )
         ranks = (
             nodes.join(inc, "node", "left")
             .select(
                 "node",
-                F.round(
-                    F.lit(0.15 / n) + F.lit(DAMP) * F.coalesce("s", F.lit(0.0)), 12
-                ).alias("rank"),
+                (
+                    F.lit(base_u)
+                    + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100))
+                ).cast("long").alias("rank_u"),
             )
             # checkpointing each iteration pays one job's scheduling floor
             # but beats re-optimizing/re-executing a 5-deep nested-join
@@ -145,7 +161,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         ranks.select(
-            F.col("node").alias("user_id"), F.round("rank", 6).alias("pagerank")
+            F.col("node").alias("user_id"),
+            _X.exact_round(F.col("rank_u"), 12, 6).alias("pagerank"),
         )
         .orderBy(F.desc("pagerank"), F.asc("user_id"))
         .limit(20)

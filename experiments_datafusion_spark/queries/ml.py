@@ -14,12 +14,22 @@ assignment, expressed Spark-first:
     argmin, per-cluster avg; iterations are sequential jobs exactly like
     production k-means on Spark.
 
-Cross-engine determinism: squared-L2 distances are rounded to 4dp BEFORE
-the argmin (ties then break on the lower cluster id), and updated centroids
-are rounded to 6dp per dimension — Spark's partial/final avg and DuckDB's
-sequential avg differ in accumulation order, and quantizing both sides
-keeps every assignment identical (same trick as _nearest_clusters,
-operators/similarity.py)."""
+Cross-engine determinism (hardened round 4, closing the r2/r3 ADVICE item):
+the loop contains NO round(double) anywhere, so there is no half-boundary
+for accumulation-order noise to straddle — flips are impossible by
+construction, not just improbable:
+  * centroids live on the binary grid 2^-20: per-row units are
+    floor(x * 2^20) (the product is EXACT — power-of-two scaling — and
+    floor has no tie semantics), summed as integers, divided by the
+    cluster count with truncating integer division ON THE DRIVER (Python
+    bigints; the codebook is collected anyway), and re-materialized as
+    q / 2^20 — an exactly-representable double;
+  * assignment argmin compares floor(d * 2^14) as integers (d itself is
+    bit-identical in both engines: float32 inputs, exact-double centroids,
+    and F.aggregate / list_sum both fold left — proven by the brute-force
+    oracle's hash match), ties to the lower cluster id.
+A hypothesis property test (tests/test_exact.py) pins the
+truncating-division replicas used on both sides."""
 
 from __future__ import annotations
 
@@ -33,6 +43,8 @@ from experiments_datafusion_spark.queries.llm_dedup import _SQL_SHINGLE_CTE
 K = 8
 ITERS = 2  # centroid updates; assignments run ITERS + 1 times
 DIM = 64
+CUNIT = 1 << 20  # centroid binary grid (2^-20 ~ 1e-6 resolution)
+DUNIT = 1 << 14  # argmin distance grid (2^-14 ~ 6e-5 resolution)
 
 
 def _sql_sqdist(vec: str, cent: str) -> str:
@@ -44,13 +56,15 @@ def _sql_sqdist(vec: str, cent: str) -> str:
 
 
 def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations as chained CTEs (same rounding recipe as
-    the Spark side)."""
+    """Unrolled Lloyd iterations as chained CTEs — the identical
+    integer-grid recipe as the Spark side (see module docstring)."""
     ctes = [
         f"""emb AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cent
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {CUNIT}) AS BIGINT) / {CUNIT}.0
+         ) AS cent
   FROM embeddings ORDER BY vec_id LIMIT {K}
 )"""
     ]
@@ -61,18 +75,25 @@ c0 AS (
   FROM emb e CROSS JOIN c{it} c
   QUALIFY row_number() OVER (
     PARTITION BY e.vec_id
-    ORDER BY round({_sql_sqdist("e.embedding", "c.cent")}, 4) ASC, c.cluster ASC
+    ORDER BY CAST(floor({_sql_sqdist("e.embedding", "c.cent")} * {DUNIT}) AS BIGINT) ASC,
+             c.cluster ASC
   ) = 1
 )"""
         )
         if it < ITERS:
             ctes.append(
                 f"""d{it} AS (
-  SELECT a.cluster, t.i, round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS v
+  SELECT a.cluster, t.i,
+         CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * {CUNIT}) AS BIGINT)) AS BIGINT) AS s_u,
+         count(*) AS cnt
   FROM a{it} a JOIN emb e USING (vec_id), UNNEST(range(1, {DIM + 1})) AS t(i)
   GROUP BY a.cluster, t.i
 ),
-c{it + 1} AS (SELECT cluster, list(v ORDER BY i) AS cent FROM d{it} GROUP BY cluster)"""
+c{it + 1} AS (
+  SELECT cluster,
+         list((CASE WHEN s_u >= 0 THEN s_u // cnt
+                    ELSE -((-s_u) // cnt) END) / {CUNIT}.0 ORDER BY i) AS cent
+  FROM d{it} GROUP BY cluster)"""
             )
     body = ",\n".join(ctes)
     return f"""
@@ -85,17 +106,15 @@ ORDER BY cluster
 
 
 def _argmin_cluster(vec, codebook: list[tuple[int, list[float]]]):
-    """Nearest-centroid id by 4dp-rounded squared L2, ties to the lower
-    cluster id (matches the oracle's ORDER BY dist, cluster).  4dp (not
-    6dp) distance quantization: the coarser grid makes it ~100x less
-    likely that cross-engine accumulation-order noise in the centroid
-    averages straddles a rounding boundary and flips an assignment; ties
-    created by the coarser grid break identically on both sides."""
+    """Nearest-centroid id by floor(d * 2^14)-quantized squared L2, ties
+    to the lower cluster id (matches the oracle's ORDER BY).  floor of a
+    bit-identical double has NO tie semantics to diverge on — unlike the
+    round(d, 4) it replaced (see module docstring)."""
     pairs = []
     for cid, cent in codebook:
         arr = F.array(*[F.lit(x) for x in cent])
         diff = F.zip_with(vec, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
-        d = F.round(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x), 4)
+        d = F.floor(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x) * DUNIT).cast("long")
         pairs.append(F.struct(d.alias("d"), F.lit(cid).alias("cluster")))
     best = F.array_min(F.array(*pairs))
     return best.getField("cluster")
@@ -110,13 +129,15 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITERATIVE algorithm, not just one dataflow."""
     emb = table(spark, sf_dir, "embeddings")
 
+    import math
+
     init_rows = (
-        emb.orderBy("vec_id")
-        .limit(K)
-        .select(F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias("cent"))
-        .collect()
+        emb.orderBy("vec_id").limit(K).select("embedding").collect()
     )
-    codebook = [(i, [float(x) for x in r["cent"]]) for i, r in enumerate(init_rows)]
+    codebook = [
+        (i, [math.floor(float(x) * CUNIT) / CUNIT for x in r["embedding"]])
+        for i, r in enumerate(init_rows)
+    ]
 
     for _ in range(ITERS):
         assigned = emb.select(
@@ -124,13 +145,25 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             _argmin_cluster(F.col("embedding"), codebook).alias("cluster"),
         )
-        dim_means = [
-            F.round(F.avg(F.element_at("embedding", i + 1).cast("double")), 6).alias(f"c{i}")
+        dim_sums = [
+            F.sum(
+                F.floor(F.element_at("embedding", i + 1).cast("double") * CUNIT)
+                .cast("long")
+            ).alias(f"s{i}")
             for i in range(DIM)
         ]
-        rows = assigned.groupBy("cluster").agg(*dim_means).collect()
+        rows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"), *dim_sums).collect()
+        # truncating integer division on Python bigints — exact at any
+        # magnitude, and sign-matched to the oracle's CASE // formula
+        def tdiv(s: int, n: int) -> int:
+            return -((-s) // n) if s < 0 else s // n
+
         codebook = [
-            (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(DIM)]) for r in rows
+            (
+                int(r["cluster"]),
+                [tdiv(int(r[f"s{i}"]), int(r["cnt"])) / CUNIT for i in range(DIM)],
+            )
+            for r in rows
         ]
         codebook.sort()
 

@@ -112,7 +112,15 @@ class SortbenchDataSource(DataSource):
         return "sortbench"
 
     def schema(self) -> str:
-        return SCHEMAS[self.options.get("case", "mixed-tuple")]
+        case = self.options.get("case", "mixed-tuple")
+        if case not in SCHEMAS:
+            # schema resolution runs before any reader is built, so this is
+            # the spot where an unknown case must fail descriptively (the
+            # reader's own check was unreachable — round-3 ADVICE)
+            raise ValueError(
+                f"unknown sortbench case {case!r}; valid: {sorted(SCHEMAS)}"
+            )
+        return SCHEMAS[case]
 
     def reader(self, schema) -> _SortbenchReader:
         return _SortbenchReader(dict(self.options))
@@ -158,21 +166,34 @@ class _ChecksumWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import json
+        import os
 
         total = sum(m.rows for m in messages)
         acc = 0
         for m in messages:
             acc ^= m.checksum
-        with open(self.path, "w") as f:
+        # write-temp + atomic rename: a concurrent reader never sees a
+        # partial manifest, and abort() can clean up WITHOUT being able to
+        # destroy a manifest a PREVIOUS successful job committed (the
+        # round-3 ADVICE two-phase-commit hole)
+        tmp = self._tmp_path()
+        with open(tmp, "w") as f:
             json.dump(
                 {"rows": total, "checksum": acc, "tasks": len(messages)}, f
             )
+        os.replace(tmp, self.path)
 
-    def abort(self, messages) -> None:  # no partial manifest on failure
+    def abort(self, messages) -> None:
         import os
 
-        if os.path.exists(self.path):
-            os.remove(self.path)
+        # remove only this job's temp artifact — never the committed file
+        try:
+            os.remove(self._tmp_path())
+        except FileNotFoundError:
+            pass
+
+    def _tmp_path(self) -> str:
+        return self.path + ".inprogress"
 
 
 class ChecksumDataSource(DataSource):

@@ -64,3 +64,36 @@ def test_exact_half_up_mean_matches_decimal(s, n):
         )
     )
     assert mean4 == want
+
+
+@settings(deadline=None, max_examples=300)
+@given(
+    a=st.integers(min_value=0, max_value=2**53 - 1),
+    b=st.integers(min_value=1, max_value=10**9),
+)
+def test_column_trunc_div_replica_is_exact(a, b):
+    """((a - a % b) / b) with an IEEE double division — the Column-level
+    integer-division idiom used by exact.exact_round, graph_pagerank and
+    embedding_kmeans — equals true integer division for every nonnegative
+    a < 2^53: a - a%b is an exact multiple of b, and the correctly-rounded
+    IEEE quotient of an exact multiple is the exact integer.  This is the
+    boundary property the r3 VERDICT asked to pin (no half-ulp coupling
+    remains anywhere in the recipe)."""
+    assert int(float(a - a % b) / b) == a // b
+
+
+@settings(deadline=None, max_examples=300)
+@given(
+    s=st.integers(min_value=-(2**62), max_value=2**62),
+    n=st.integers(min_value=1, max_value=10**9),
+)
+def test_kmeans_signed_trunc_div_matches_both_engines(s, n):
+    """The signed truncating division used for k-means centroid units:
+    Python's -((-s)//n) (s<0) / s//n (s>=0) == the oracle's
+    CASE WHEN s>=0 THEN s//cnt ELSE -((-s)//cnt) END — and both equal
+    C-style truncation toward zero at ANY int64 magnitude (pure integer
+    ops; no 2^53 budget applies on this path)."""
+    py = -((-s) // n) if s < 0 else s // n
+    import math
+    want = math.trunc(decimal.Decimal(s) / decimal.Decimal(n))
+    assert py == want
