@@ -57,6 +57,8 @@ _MODULES = (
     "ml",
     "packing",  # round 3: sequence packing + merge upsert (behind the window)
     "graphalg",  # round 3: pagerank + triangles (behind the window)
+    "dimensional",  # round 4: SCD2/CDC/decimal/mode/skyline
+    "timeseries",  # round 4: interval merge, OHLC resample, nearest as-of
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
@@ -84,8 +86,10 @@ _PRIORITY = (
     "graph_pagerank", "graph_triangles",
     # newly registered this round — VERDICT ask #3 (1)
     "compact_small_files",
-    # new round-4 operators are appended here as they land (target: fill
-    # the remaining ~20 window slots with oracled keys)
+    # new round-4 operators (dimensional / time-series / curation)
+    "scd2_snapshot", "cdc_changelog", "agg_decimal_exact",
+    "agg_mode_listagg", "win_running_distinct", "skyline_pareto",
+    "interval_coverage", "resample_ohlc", "join_asof_nearest",
 )
 
 

@@ -1,0 +1,245 @@
+"""Time-series operators (round 4): overlapping-interval merge (coverage),
+OHLC resampling, and the nearest-direction as-of join.
+
+All three are classic hypertable/market-data shapes the reference's
+DataFusion surface gets asked for; each is one-or-two window passes or an
+as-of composition — no per-row subqueries, no collects — with DuckDB
+oracles (including DuckDB's native ASOF in both directions checking our
+union+window formulation).
+
+Determinism: every duration is integer microseconds (epoch_us both
+sides); open/high/low/close are SELECTIONS of raw doubles (min/max/
+first/last), never arithmetic, so they pass through bit-identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.operators import joins as J
+from experiments_datafusion_spark.queries import register
+
+
+def _us(col: str):
+    """Integer epoch microseconds; the parquet ts is TIMESTAMP_NTZ and the
+    session tz is UTC, so the cast is the identity DuckDB's epoch_us uses."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+@register(
+    "interval_coverage",
+    tags=("timeseries", "window"),
+    oracle="""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e_us,
+         event_id
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s_us > max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, min(s_us) AS lo, max(e_us) AS hi
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)                  AS n_islands,
+       CAST(sum(hi - lo) // 1000000 AS BIGINT)   AS covered_s
+FROM merged
+GROUP BY user_id
+""",
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge + total coverage per user (each event
+    opens a deterministic 1-10 minute interval).  The gaps-and-islands
+    pattern: an interval starts a new island iff its start exceeds the
+    running max end of everything before it; islands then reduce to
+    [min start, max end].  Two window passes + two keyed aggregates, all
+    integer-microsecond arithmetic — one shuffle on user_id, unchanged at
+    any scale."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("s_us"),
+        (_us("ts") + (60 + F.col("event_id") % 540) * 1_000_000).alias("e_us"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("e_us").over(wprev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s_us") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(wrun))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("lo"), F.max("e_us").alias("hi")
+    )
+    total = F.sum(F.col("hi") - F.col("lo"))
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        ((total - total % 1_000_000) / 1_000_000).cast("long").alias("covered_s"),
+    )
+
+
+@register(
+    "resample_ohlc",
+    tags=("timeseries", "agg"),
+    oracle="""
+SELECT
+  event_type,
+  strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+  first(value ORDER BY ts, event_id) AS open,
+  max(value)                         AS high,
+  min(value)                         AS low,
+  last(value ORDER BY ts, event_id)  AS close,
+  CAST(count(*) AS BIGINT)           AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling to 15-minute bars per event_type — the market-
+    data resample every hypertable ships.  open/close are first/last by
+    (ts, event_id); high/low are max/min.  All four are SELECTIONS of raw
+    doubles (no float arithmetic), so no rounding recipe is needed.  One
+    window pass for the edge ranks + one keyed aggregate."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", F.window("ts", "15 minutes")["start"]
+    )
+    part = Window.partitionBy("event_type", "bucket")
+    ra = F.row_number().over(part.orderBy("ts", "event_id"))
+    rd = F.row_number().over(part.orderBy(F.desc("ts"), F.desc("event_id")))
+    marked = ev.select(
+        "event_type", "bucket", "value", ra.alias("ra"), rd.alias("rd")
+    )
+    return marked.groupBy(
+        "event_type", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    ).agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    tags=("join", "asof", "timeseries"),
+    oracle="""
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+clicks    AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts, c.event_id AS bid, c.ts AS bts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+f AS (
+  SELECT p.event_id, c.event_id AS fid, c.ts AS fts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT
+  b.event_id,
+  b.user_id,
+  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  CASE WHEN bid IS NULL THEN fid
+       WHEN fid IS NULL THEN bid
+       WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+       THEN bid ELSE fid END AS click_id,
+  CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+       WHEN bid IS NULL THEN 'F'
+       WHEN fid IS NULL THEN 'B'
+       WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+       THEN 'B' ELSE 'F' END AS direction,
+  CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+       WHEN bid IS NULL THEN (epoch_us(fts) - epoch_us(b.ts)) // 1000000
+       WHEN fid IS NULL THEN (epoch_us(b.ts) - epoch_us(bts)) // 1000000
+       WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+       THEN (epoch_us(b.ts) - epoch_us(bts)) // 1000000
+       ELSE (epoch_us(fts) - epoch_us(b.ts)) // 1000000 END AS delta_s
+FROM b JOIN f USING (event_id)
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each purchase pairs with the closest
+    click in either direction (ties to the backward match — pandas
+    merge_asof direction='nearest' semantics).  Composed from two runs of
+    the union+window as-of operator — the forward pass simply negates the
+    time key, so one operator serves both directions; both passes are
+    checked against DuckDB's NATIVE ASOF in the matching direction.  Two
+    shuffles on user_id + one equi-join on the (unique) left key."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+
+    b = J.asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_cols=["event_id", "ts"]
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_event_id").alias("bid"),
+        F.col("right_ts").alias("bts"),
+    )
+    neg = lambda df: df.withColumn("tskey", -_us("ts"))  # noqa: E731
+    f = J.asof_join(
+        neg(purchases), neg(clicks), on="tskey", by=["user_id"], right_cols=["event_id", "ts"]
+    ).select(
+        "event_id",
+        F.col("right_event_id").alias("fid"),
+        F.col("right_ts").alias("fts"),
+    )
+    j = b.join(f, "event_id")
+    db = _us("ts") - _us("bts")
+    df_ = _us("fts") - _us("ts")
+    back_wins = db <= df_
+    dsec = lambda d: ((d - d % 1_000_000) / 1_000_000).cast("long")  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(F.col("bid").isNull(), F.col("fid"))
+        .when(F.col("fid").isNull(), F.col("bid"))
+        .when(back_wins, F.col("bid"))
+        .otherwise(F.col("fid"))
+        .alias("click_id"),
+        F.when(F.col("bid").isNull() & F.col("fid").isNull(), F.lit(None).cast("string"))
+        .when(F.col("bid").isNull(), "F")
+        .when(F.col("fid").isNull(), "B")
+        .when(back_wins, "B")
+        .otherwise("F")
+        .alias("direction"),
+        F.when(F.col("bid").isNull() & F.col("fid").isNull(), F.lit(None).cast("long"))
+        .when(F.col("bid").isNull(), dsec(df_))
+        .when(F.col("fid").isNull(), dsec(db))
+        .when(back_wins, dsec(db))
+        .otherwise(dsec(df_))
+        .alias("delta_s"),
+    )
