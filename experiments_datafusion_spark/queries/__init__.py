@@ -90,6 +90,9 @@ _PRIORITY = (
     "scd2_snapshot", "cdc_changelog", "agg_decimal_exact",
     "agg_mode_listagg", "win_running_distinct", "skyline_pareto",
     "interval_coverage", "resample_ohlc", "join_asof_nearest",
+    "docs_winnowing", "mix_epochs_fractional", "docs_ngram_novelty",
+    "ev_cep_pattern", "text_bm25", "docs_paragraph_dedup",
+    "embedding_pca_power",
 )
 
 

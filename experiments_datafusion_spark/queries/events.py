@@ -465,3 +465,65 @@ def ev_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.isNotNull().alias("observed"),
         interp.alias("value_interp"),
     )
+
+
+@register(
+    "ev_cep_pattern",
+    tags=("events", "window", "cep"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(ts, 2)         OVER w AS ts2,
+         lead(event_id, 2)   OVER w AS eid2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       event_id                            AS start_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S')   AS start_ts,
+       eid2                                AS end_event_id,
+       (epoch_us(ts2) - epoch_us(ts)) // 1000000 AS span_s
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(ts2) - epoch_us(ts) <= 86400000000
+""",
+)
+def ev_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — the MATCH_RECOGNIZE shape:
+    find every STRICTLY CONSECUTIVE view -> click -> purchase run per user
+    completing within 24 hours.  Expressed as one window pass with
+    lead() lookaheads (pattern length is static, so no NFA state is
+    needed); at 100 TB this is a single hash-partition + in-partition
+    sort, the streaming twin being transformWithState.  All span math in
+    integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+        F.lead("event_id", 2).over(w).alias("eid2"),
+    )
+    span_us = us("ts2") - us("ts")
+    return (
+        seq.where(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (span_us <= 86_400_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+            F.col("eid2").alias("end_event_id"),
+            ((span_us - span_us % 1_000_000) / 1_000_000).cast("long").alias("span_s"),
+        )
+    )

@@ -188,3 +188,334 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         F.round(F.col("n_dup") / F.col("n_spans"), 4).alias("dup_frac"),
     )
+
+
+# ---- round 4: winnowing fingerprints, fractional-epoch mixing, novelty ----
+
+_WIN_K = 8  # character k-gram length (winnowing)
+_WIN_W = 4  # window of consecutive k-gram hashes per fingerprint
+
+# just the sh_str/sh CTEs of the shared shingle fragment (everything up to
+# the pairwise `sizes`/`common`/`jac` stages, which novelty doesn't need)
+_SQL_SH_ONLY = _SQL_SHINGLE_CTE.split(",\nsizes")[0]
+
+
+@register(
+    "docs_winnowing",
+    tags=("llm", "dedup", "text"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, p.i AS pos,
+         CAST(('0x' || substr(md5(substr(text, p.i, {_WIN_K})), 1, 15)) AS BIGINT) AS g
+  FROM documents, UNNEST(generate_series(1, len(text) - {_WIN_K} + 1)) AS p(i)
+  WHERE len(text) >= {_WIN_K}
+),
+wins AS (
+  SELECT doc_id, pos,
+         min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos >= {_WIN_W}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       bit_xor(fp)              AS fp_xor
+FROM fps
+GROUP BY doc_id
+""",
+)
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local-fingerprinting algorithm): hash every 8-char k-gram, keep
+    the minimum hash of each window of 4 consecutive k-grams, and reduce
+    the distinct fingerprint set per doc to (count, order-insensitive
+    bit_xor).  Winnowing guarantees any shared substring of length
+    k + w - 1 = 11 yields a shared fingerprint — the recall guarantee the
+    stride-sampled text_dup_spans trades away.  Shape: one positions
+    explode (kept in codegen: substr+md5 column expressions), one window
+    pass, one keyed aggregate — posting-list scale behaviour, never
+    all-pairs."""
+    d = table(spark, sf_dir, "documents").where(F.length("text") >= _WIN_K)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), F.length("text") - _WIN_K + 1)).alias("_", "pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        T.hash64(F.substring("text", F.col("pos"), F.lit(_WIN_K))).alias("g"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    fps = (
+        grams.select("doc_id", "pos", F.min("g").over(w).alias("fp"))
+        .where(F.col("pos") >= _WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+    )
+
+
+@register(
+    "mix_epochs_fractional",
+    tags=("llm", "pipeline", "sampling"),
+    oracle="""
+WITH w AS (
+  SELECT source,
+         1000 + (CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 20) * 100
+           AS w_milli
+  FROM (SELECT DISTINCT source FROM documents)
+),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         w.w_milli // 1000
+         + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#epoch'), 1, 15)) AS BIGINT) % 1000
+                     < w.w_milli % 1000
+                THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN w USING (source)
+),
+expanded AS (
+  SELECT per_doc.doc_id, per_doc.source
+  FROM per_doc, UNNEST(generate_series(1, copies)) AS t(i)
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT)      AS n_docs,
+       CAST(count(*) AS BIGINT)                    AS n_copies,
+       CAST(count(*) * 1000 // count(DISTINCT doc_id) AS BIGINT)
+                                                   AS epochs_milli
+FROM expanded
+GROUP BY source
+""",
+)
+def mix_epochs_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch dataset mixing: each source gets a deterministic
+    weight in [1.0, 2.9] epochs (milli-units from a hash of the source
+    name); every doc is replicated floor(w) times and one extra time for a
+    hash-selected frac(w) fraction of docs — the standard way a training
+    mix upsamples high-quality sources by a NON-integer factor with zero
+    RNG state (reshard-stable, resumable).  Shape: broadcast the per-source
+    weight table, explode a sequence — row counts multiply, nothing
+    shuffles until the audit aggregate."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (1000 + F.pmod(T.hash64(F.col("source")), F.lit(20)) * 100).alias("w_milli"),
+        )
+    )
+    extra = (
+        F.pmod(T.hash64(F.concat(F.col("doc_id").cast("string"), F.lit("#epoch"))), F.lit(1000))
+        < F.col("w_milli") % 1000
+    )
+    per_doc = d.join(F.broadcast(w), "source").select(
+        "doc_id",
+        "source",
+        (
+            ((F.col("w_milli") - F.col("w_milli") % 1000) / 1000).cast("long")
+            + F.when(extra, 1).otherwise(0)
+        ).alias("copies"),
+    )
+    expanded = per_doc.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("i")
+    )
+    total = F.count(F.lit(1))
+    ndocs = F.countDistinct("doc_id")
+    return expanded.groupBy("source").agg(
+        ndocs.alias("n_docs"),
+        total.alias("n_copies"),
+        ((total * 1000 - (total * 1000) % ndocs) / ndocs).cast("long").alias("epochs_milli"),
+    )
+
+
+@register(
+    "docs_ngram_novelty",
+    tags=("llm", "text", "dedup"),
+    oracle=f"""
+WITH {_SQL_SH_ONLY},
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_milli
+FROM sh JOIN firsts f USING (s)
+GROUP BY sh.doc_id
+""",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the corpus ordered by doc_id:
+    the share of a doc's distinct 3-word shingles whose FIRST occurrence
+    (min doc_id) is this doc — the curriculum/dedup signal 'how much of
+    this document is new text'.  Shape: one posting list, one keyed min,
+    one join back on the shingle hash — identical scale behaviour to the
+    Jaccard posting-list join, never all-pairs."""
+    sh = D.doc_shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "shingle")
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return joined.groupBy("doc_id").agg(
+        total.alias("n_grams"),
+        novel.alias("n_novel"),
+        ((novel * 1000 - (novel * 1000) % total) / total).cast("long").alias("novelty_milli"),
+    )
+
+
+_BM25_TERMS = ("data", "model", "system", "learning")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(sum(dl) AS BIGINT) AS total_dl,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * dl.dl / (CAST(c.total_dl AS DOUBLE) / c.n_docs)))
+           * 1000000) AS BIGINT) AS s_u
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfreq d USING (term)
+  CROSS JOIN corpus c
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(s_u) AS BIGINT) AS score_u FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score_u, score_u / 1000000.0 AS bm25
+FROM per_doc
+ORDER BY score_u DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("text_bm25", tags=("llm", "text", "search"), oracle=_bm25_oracle())
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text relevance (k1=1.2, b=0.75) of every document against
+    a fixed query-term set; top-50 docs.  The Okapi formula runs on
+    identical per-row inputs in both engines (avgdl is an exact
+    integer-sum / count division, idf a single ln on identical doubles),
+    and per-term scores are floor-quantized to integer micro-units before
+    the cross-term sum — integer addition is associative, so the one
+    accumulation that crosses rows cannot diverge.  Shape: tokenize ->
+    two keyed aggregates -> broadcast (terms x df, 1-row corpus stats) ->
+    keyed sum; the df/corpus tables are tiny by construction."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    s = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.floor(s * 1_000_000).cast("long").alias("s_u"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("s_u").alias("score_u"))
+    return (
+        per_doc.select("doc_id", "score_u", (F.col("score_u") / 1_000_000.0).alias("bm25"))
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "docs_paragraph_dedup",
+    tags=("llm", "dedup", "text"),
+    oracle="""
+WITH paras0 AS (
+  SELECT doc_id, trim(p.part) AS para
+  FROM documents, UNNEST(string_split_regex(text, '\\.\\s+')) AS p(part)
+),
+paras AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(lower(para)), 1, 15)) AS BIGINT) AS h
+  FROM paras0 WHERE len(para) >= 40
+),
+posting AS (SELECT h, count(DISTINCT doc_id) AS nd FROM paras GROUP BY h)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN po.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN po.nd >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         AS shared_milli
+FROM paras p JOIN posting po USING (h)
+GROUP BY p.doc_id
+""",
+)
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/sentence-level exact dedup (the C4 recipe: drop text
+    units repeated across documents): split on sentence boundaries, hash
+    units >= 40 chars case-insensitively, count each doc's units that
+    appear in >= 2 documents.  Shape: explode -> posting list -> join
+    back, the same never-all-pairs dataflow as text_dup_spans but on
+    SEMANTIC units rather than fixed windows (catches boilerplate the
+    stride sampler can only see when aligned)."""
+    d = table(spark, sf_dir, "documents")
+    paras = (
+        spread(d)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", r"\.\s+")).alias("pidx", "para0"),
+        )
+        .select("doc_id", "pidx", F.trim("para0").alias("para"))
+        .where(F.length("para") >= 40)
+        .select("doc_id", "pidx", T.hash64(F.lower(F.col("para"))).alias("h"))
+    )
+    posting = paras.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return (
+        paras.join(posting, "h")
+        .groupBy("doc_id")
+        .agg(
+            total.alias("n_paras"),
+            shared.alias("n_shared"),
+            ((shared * 1000 - (shared * 1000) % total) / total).cast("long").alias("shared_milli"),
+        )
+    )

@@ -234,3 +234,106 @@ def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- power-iteration PCA (round 4) ------------------------------------------
+
+PCA_ITERS = 3
+PCA_U = 1 << 20  # binary grid for the quantized vector/matrix products
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iterations as chained CTEs — every cross-row
+    reduction is an integer sum of per-row floor-quantized terms, so the
+    oracle replays the Spark iteration exactly (integer addition is
+    associative; there is no accumulation-order anywhere)."""
+    U = PCA_U
+    ctes = [
+        f"y0 AS (SELECT list_transform(generate_series(1, {DIM}), i -> 0.015625) AS y)"
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(list_zip(embedding, (SELECT y FROM y{t - 1})),
+           p -> CAST(floor(CAST(p[1] AS DOUBLE) * p[2] * {U}) AS BIGINT))) AS s_u
+  FROM embeddings
+),
+z{t} AS (
+  SELECT t.j,
+         CAST(sum(CAST(floor(CAST(embedding[t.j] AS DOUBLE)
+                             * (s_u / {U}.0) * {U}) AS BIGINT)) AS BIGINT) AS z_u
+  FROM s{t}, UNNEST(range(1, {DIM + 1})) AS t(j)
+  GROUP BY t.j
+),
+sc{t} AS (SELECT max(abs(z_u)) AS scale FROM z{t}),
+y{t} AS (
+  SELECT list((CASE WHEN z_u >= 0 THEN (z_u * {U}) // scale
+                    ELSE -(((-z_u) * {U}) // scale) END) / {U}.0
+              ORDER BY j) AS y
+  FROM z{t} CROSS JOIN sc{t}
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT t.j AS dim,
+       CAST(CASE WHEN z_u >= 0 THEN (z_u * {U}) // scale
+                 ELSE -(((-z_u) * {U}) // scale) END AS BIGINT) AS y_u
+FROM z{PCA_ITERS} t CROSS JOIN sc{PCA_ITERS}
+ORDER BY dim
+"""
+
+
+@register("embedding_pca_power", tags=("ml", "iterative"), oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION
+    (3 steps of y <- X^T X y, renormalized to max |component| = 1), the
+    building block behind spectral embeddings / PCA whitening a curation
+    stack runs before clustering.
+
+    Same exactness construction as embedding_kmeans/graph_pagerank: both
+    matrix products are integer sums of per-row floor(term * 2^20) values
+    (floor of identical doubles; integer addition is associative), and the
+    renormalization is an integer truncating division by the max |sum| —
+    so every iteration is EXACT in both engines at any parallelism.
+    Integer budget: |z_u * 2^20| <= rows * maxabs(x)^2 * DIM * 2^40 —
+    ~5e16 here; a 1e9-row corpus would drop the grid to 2^12 (the same
+    knob, coarser — convergence only needs ~3 significant digits).
+
+    Scale shape per iteration: one broadcast-literal projection for s, one
+    all-to-one 64-column integer aggregate (map-side combined), one 64-row
+    collect — the codebook-size exception, like k-means."""
+    emb = table(spark, sf_dir, "embeddings")
+    y = [1.0 / 64.0] * DIM  # 0.015625: exactly representable
+    z_u = None
+    for _ in range(PCA_ITERS):
+        ylit = F.array(*[F.lit(v) for v in y])
+        terms = F.zip_with(
+            "embedding",
+            ylit,
+            lambda x, yy: F.floor(x.cast("double") * yy * PCA_U).cast("long"),
+        )
+        s_u = F.aggregate(terms, F.lit(0).cast("long"), lambda a, b: a + b)
+        with_s = emb.select(
+            "embedding", (s_u.cast("double") / PCA_U).alias("s")
+        )
+        sums = [
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", j + 1).cast("double") * F.col("s") * PCA_U
+                ).cast("long")
+            ).alias(f"z{j}")
+            for j in range(DIM)
+        ]
+        row = with_s.agg(*sums).collect()[0]
+        z_u = [int(row[f"z{j}"]) for j in range(DIM)]
+        scale = max(abs(v) for v in z_u)
+
+        def tdiv(a: int, b: int) -> int:
+            return -((-a) // b) if a < 0 else a // b
+
+        yu = [tdiv(v * PCA_U, scale) for v in z_u]
+        y = [u / PCA_U for u in yu]
+    out = [(j + 1, int(tdiv(v * PCA_U, scale))) for j, v in enumerate(z_u)]
+    return spark.createDataFrame(out, "dim bigint, y_u bigint").orderBy("dim")

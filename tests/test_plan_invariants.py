@@ -38,6 +38,7 @@ ALLOW_SCALAR_BROADCAST = {
     "quality_gate_percentile",   # p75 cutoff as 1-row broadcast
     "scalar_decimal",            # grand-total broadcast (round-1 fix)
     "shard_assign",              # corpus total for shard-balance shares
+    "text_bm25",                 # 1-row corpus stats (avgdl, N) for Okapi
     "text_tfidf",                # corpus doc count for idf
     "text_unigram_logprob",      # corpus token total for unigram probs
     "tpch_q11_important_parts",  # value-threshold scalar broadcast

@@ -20,21 +20,23 @@ def test_queries_oracle_keys_align():
     assert not missing, f"oracle_sql keys not in queries(): {missing}"
 
 
-def test_round3_driver_window_is_pinned():
+def test_round4_driver_window_is_pinned():
     """The driver's CORRECTNESS pass verifies a 50-key prefix of queries().
-    Round 3 aims that window at the keys with no driver verdict yet; a module
-    edit must not silently displace them (the round-2 lesson)."""
+    Round 4 aims that window at the final never-driver-verified backlog +
+    every new round-4 key; a module edit must not silently displace them
+    (the round-2 lesson)."""
     from experiments_datafusion_spark.queries import _PRIORITY
 
     keys = list(entrymod.queries())
-    assert len(_PRIORITY) == 50
-    assert keys[:50] == list(_PRIORITY)
-    # every priority key must actually be driver-checkable (oracled)
+    assert len(_PRIORITY) <= 50
+    assert keys[: len(_PRIORITY)] == list(_PRIORITY)
+    # every priority key is driver-checkable; the two sketch ops are the
+    # documented rows-only exceptions (estimates are implementation-defined)
     import experiments_datafusion_spark.queries as Q
 
     q = Q.all_queries()
     unoracled = [n for n in _PRIORITY if q[n].oracle is None]
-    assert not unoracled, unoracled
+    assert unoracled == ["agg_approx", "agg_sketch_rollup"], unoracled
 
 
 def test_table_sample_deterministic_and_bounded(spark, sf_dir):
