@@ -59,6 +59,9 @@ HEADLINE = [
     "text_quality",
     "text_dup_spans",  # round 3: substring-level dedup posting list
     "graph_pagerank",  # round 3: iterative graph analytics
+    "docs_winnowing",  # round 4: winnowing fingerprint posting list
+    "scd2_snapshot",  # round 4: SCD2 dimension build (one window pass)
+    "interval_coverage",  # round 4: gaps-and-islands interval merge
 ]
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
