@@ -59,6 +59,7 @@ _MODULES = (
     "graphalg",  # round 3: pagerank + triangles (behind the window)
     "dimensional",  # round 4: SCD2/CDC/decimal/mode/skyline
     "timeseries",  # round 4: interval merge, OHLC resample, nearest as-of
+    "modern",  # round 4: VARIANT, dynamic pivot, weighted median, dates
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
@@ -93,6 +94,8 @@ _PRIORITY = (
     "docs_winnowing", "mix_epochs_fractional", "docs_ngram_novelty",
     "ev_cep_pattern", "text_bm25", "docs_paragraph_dedup",
     "embedding_pca_power",
+    "scalar_variant", "scalar_dates2", "pivot_dynamic",
+    "agg_weighted_median",
 )
 
 
