@@ -1,0 +1,260 @@
+"""Seeded differential QUERY FUZZER (SQLancer-style TLP-lite): generate
+random filter/group/aggregate specs from one AST, lower the SAME spec to
+(a) a Spark DataFrame plan and (b) a DuckDB SQL string, and compare
+normalized results.  This probes the composition space BETWEEN the
+hand-written registry keys — random predicate/grouping/aggregate
+combinations neither suite enumerates.
+
+Determinism rules mirror the registry conventions (queries/__init__.py):
+  * float SUMs go through the exact integer-unit recipe (2dp money);
+  * min/max on doubles are selections (bit-identical pass-through);
+  * timestamps render as strings; every column aliased identically.
+
+Usage: python tools/fuzz_differential.py [n_specs] [seed] [sf_dir]
+Exit code 0 iff every spec matches.  tests/test_fuzz_differential.py runs
+a 40-spec pytest version at sf0.001.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+# ---- spec space -------------------------------------------------------------
+
+NUM_COLS = {
+    "lineitem": [
+        ("l_quantity", 1, 50),
+        ("l_extendedprice", 900.0, 95000.0),
+        ("l_discount", 0.0, 0.1),
+        ("l_orderkey", 1, 60000),
+        ("l_linenumber", 1, 7),
+    ],
+    "orders": [
+        ("o_totalprice", 900.0, 450000.0),
+        ("o_orderkey", 1, 60000),
+        ("o_custkey", 1, 15000),
+    ],
+}
+STR_COLS = {
+    "lineitem": [
+        ("l_returnflag", ["A", "N", "R"]),
+        ("l_linestatus", ["F", "O"]),
+    ],
+    "orders": [
+        ("o_orderstatus", ["F", "O", "P"]),
+        ("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]),
+    ],
+}
+DATE_COLS = {"lineitem": ["l_shipdate"], "orders": ["o_orderdate"]}
+GROUP_COLS = {
+    "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+}
+MONEY_COLS = {  # float cols aggregated via the exact integer-unit recipe
+    "lineitem": ["l_extendedprice", "l_quantity"],
+    "orders": ["o_totalprice"],
+}
+
+
+@dataclass
+class Pred:
+    col: str
+    op: str  # <, <=, >, >=, =, <>
+    lit: object  # number | str | date-string
+    kind: str  # num | str | date
+
+
+@dataclass
+class Agg:
+    kind: str  # count_star | count | sum_units | min | max | count_distinct
+    col: str | None
+    alias: str
+
+
+@dataclass
+class Spec:
+    table: str
+    preds: list[Pred]
+    conj: str  # AND | OR
+    groupby: list[str]
+    aggs: list[Agg] = field(default_factory=list)
+
+
+def gen_spec(rng: random.Random) -> Spec:
+    table = rng.choice(["lineitem", "orders"])
+    preds: list[Pred] = []
+    for _ in range(rng.randint(1, 3)):
+        r = rng.random()
+        if r < 0.5:
+            col, lo, hi = rng.choice(NUM_COLS[table])
+            lit = round(rng.uniform(lo, hi), 2)
+            if isinstance(lo, int) and rng.random() < 0.5:
+                lit = int(lit)
+            preds.append(Pred(col, rng.choice(["<", "<=", ">", ">=", "<>"]), lit, "num"))
+        elif r < 0.8:
+            col, vals = rng.choice(STR_COLS[table])
+            preds.append(Pred(col, rng.choice(["=", "<>", "<", ">"]), rng.choice(vals), "str"))
+        else:
+            col = rng.choice(DATE_COLS[table])
+            d = f"199{rng.randint(2, 8)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+            preds.append(Pred(col, rng.choice(["<", ">=", ">"]), d, "date"))
+    groupby = sorted(
+        rng.sample(GROUP_COLS[table], rng.randint(0, min(2, len(GROUP_COLS[table]))))
+    )
+    aggs = [Agg("count_star", None, "n")]
+    pool = [c for c, *_ in NUM_COLS[table]]
+    for i in range(rng.randint(1, 3)):
+        kind = rng.choice(["sum_units", "min", "max", "count_distinct", "count"])
+        col = rng.choice(MONEY_COLS[table] if kind == "sum_units" else pool)
+        aggs.append(Agg(kind, col, f"a{i}"))
+    return Spec(table, preds, rng.choice(["AND", "OR"]), groupby, aggs)
+
+
+# ---- lowering ---------------------------------------------------------------
+
+
+def _sql_lit(p: Pred) -> str:
+    if p.kind == "num":
+        return repr(p.lit)
+    if p.kind == "str":
+        return "'" + str(p.lit).replace("'", "''") + "'"
+    return f"TIMESTAMP '{p.lit}'"
+
+
+def to_sql(spec: Spec) -> str:
+    conds = f" {spec.conj} ".join(
+        f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds
+    )
+    parts = []
+    for a in spec.aggs:
+        if a.kind == "count_star":
+            parts.append(f"CAST(count(*) AS BIGINT) AS {a.alias}")
+        elif a.kind == "count":
+            parts.append(f"CAST(count({a.col}) AS BIGINT) AS {a.alias}")
+        elif a.kind == "count_distinct":
+            parts.append(f"CAST(count(DISTINCT {a.col}) AS BIGINT) AS {a.alias}")
+        elif a.kind == "sum_units":
+            parts.append(
+                f"CAST(sum(CAST(round(({a.col}) * 100, 0) AS BIGINT)) AS BIGINT) AS {a.alias}"
+            )
+        else:  # min / max — selections
+            parts.append(f"{a.kind}({a.col}) AS {a.alias}")
+    sel = (", ".join(spec.groupby) + ", " if spec.groupby else "") + ", ".join(parts)
+    sql = f"SELECT {sel} FROM {spec.table} WHERE {conds}"
+    if spec.groupby:
+        sql += " GROUP BY " + ", ".join(spec.groupby)
+    return sql
+
+
+def to_spark(spec: Spec, df):
+    cond = None
+    for p in spec.preds:
+        c = F.col(p.col)
+        lit = F.lit(p.lit).cast("timestamp") if p.kind == "date" else F.lit(p.lit)
+        e = {
+            "<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit,
+            "=": c == lit, "<>": c != lit,
+        }[p.op]
+        cond = e if cond is None else (cond & e if spec.conj == "AND" else cond | e)
+    out = df.where(cond)
+    aggs = []
+    for a in spec.aggs:
+        if a.kind == "count_star":
+            aggs.append(F.count(F.lit(1)).alias(a.alias))
+        elif a.kind == "count":
+            aggs.append(F.count(a.col).alias(a.alias))
+        elif a.kind == "count_distinct":
+            aggs.append(F.countDistinct(a.col).alias(a.alias))
+        elif a.kind == "sum_units":
+            aggs.append(
+                F.sum(F.round(F.col(a.col) * 100, 0).cast("long")).cast("bigint").alias(a.alias)
+            )
+        elif a.kind == "min":
+            aggs.append(F.min(a.col).alias(a.alias))
+        else:
+            aggs.append(F.max(a.col).alias(a.alias))
+    return (out.groupBy(*spec.groupby) if spec.groupby else out.groupBy()).agg(*aggs)
+
+
+# ---- harness ----------------------------------------------------------------
+
+
+def norm(df) -> list[str]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(f"{round(v, 6)}")
+            elif hasattr(v, "strftime"):
+                vals.append(v.strftime("%Y-%m-%d %H:%M:%S"))
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tuple]:
+    """Returns [(spec_idx, sql, ok, detail)] for every generated spec."""
+    import duckdb
+
+    from experiments_datafusion_spark.io import table as load_table
+
+    own_spark = spark is None
+    if own_spark:
+        from experiments_datafusion_spark.session import get_spark
+
+        spark = get_spark("fuzz-differential")
+    if con is None:
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    rng = random.Random(seed)
+    dfs = {t: load_table(spark, sf_dir, t) for t in ("lineitem", "orders")}
+    results = []
+    for i in range(n_specs):
+        spec = gen_spec(rng)
+        sql = to_sql(spec)
+        try:
+            got = norm(to_spark(spec, dfs[spec.table]).toPandas())
+            want = norm(con.execute(sql).df())
+            ok = got == want
+            detail = "" if ok else f"spark {len(got)} rows vs duck {len(want)}"
+            if not ok:
+                pairs = [(g, w) for g, w in zip(got, want) if g != w][:2]
+                detail += f" first diffs: {pairs}"
+        except Exception as exc:  # lowering bug — count as failure
+            ok, detail = False, f"exception: {exc}"
+        results.append((i, sql, ok, detail))
+    if own_spark:
+        spark.stop()
+    return results
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    results = run(n, seed, sf_dir)
+    fails = [r for r in results if not r[2]]
+    for i, sql, ok, detail in results:
+        mark = "ok  " if ok else "FAIL"
+        print(f"{mark} spec {i}: {sql[:110]}{' -- ' + detail if detail else ''}")
+    print(f"RESULT: {len(results) - len(fails)} pass, {len(fails)} fail (seed={seed})")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
