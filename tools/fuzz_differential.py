@@ -87,9 +87,15 @@ class Spec:
     conj: str  # AND | OR
     groupby: list[str]
     aggs: list[Agg] = field(default_factory=list)
+    join: str | None = None  # None | inner | left | semi (lineitem->orders)
+    join_preds: list[Pred] = field(default_factory=list)  # on the orders side
+    having_min_n: int | None = None  # HAVING n >= x
+    order_limit: int | None = None  # deterministic ORDER BY n DESC, keys LIMIT k
 
 
 def gen_spec(rng: random.Random) -> Spec:
+    if rng.random() < 0.4:
+        return _gen_join_spec(rng)
     table = rng.choice(["lineitem", "orders"])
     preds: list[Pred] = []
     for _ in range(rng.randint(1, 3)):
@@ -116,7 +122,64 @@ def gen_spec(rng: random.Random) -> Spec:
         kind = rng.choice(["sum_units", "min", "max", "count_distinct", "count"])
         col = rng.choice(MONEY_COLS[table] if kind == "sum_units" else pool)
         aggs.append(Agg(kind, col, f"a{i}"))
-    return Spec(table, preds, rng.choice(["AND", "OR"]), groupby, aggs)
+    spec = Spec(table, preds, rng.choice(["AND", "OR"]), groupby, aggs)
+    _maybe_having_order(rng, spec)
+    return spec
+
+
+def _gen_preds(rng: random.Random, table: str, n: int) -> list[Pred]:
+    preds = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.5:
+            col, lo, hi = rng.choice(NUM_COLS[table])
+            lit = round(rng.uniform(lo, hi), 2)
+            if isinstance(lo, int) and rng.random() < 0.5:
+                lit = int(lit)
+            preds.append(Pred(col, rng.choice(["<", "<=", ">", ">="]), lit, "num"))
+        elif r < 0.8:
+            col, vals = rng.choice(STR_COLS[table])
+            preds.append(Pred(col, rng.choice(["=", "<>"]), rng.choice(vals), "str"))
+        else:
+            col = rng.choice(DATE_COLS[table])
+            d = f"199{rng.randint(2, 8)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+            preds.append(Pred(col, rng.choice(["<", ">="]), d, "date"))
+    return preds
+
+
+def _maybe_having_order(rng: random.Random, spec: Spec) -> None:
+    if spec.groupby and rng.random() < 0.4:
+        spec.having_min_n = rng.randint(2, 50)
+    if spec.groupby and rng.random() < 0.4:
+        # ORDER BY n DESC + group keys is a TOTAL order (keys unique per
+        # output row), so LIMIT is deterministic in both engines
+        spec.order_limit = rng.randint(1, 5)
+
+
+def _gen_join_spec(rng: random.Random) -> Spec:
+    """lineitem -> orders on the orderkey: inner / left enrich each
+    lineitem row with orders columns; semi reduces to an existence filter."""
+    join = rng.choice(["inner", "left", "semi"])
+    preds = _gen_preds(rng, "lineitem", rng.randint(1, 2))
+    join_preds = _gen_preds(rng, "orders", rng.randint(1, 2))
+    group_pool = GROUP_COLS["lineitem"] + ([] if join == "semi" else ["o_orderstatus"])
+    groupby = sorted(rng.sample(group_pool, rng.randint(0, 2)))
+    aggs = [Agg("count_star", None, "n")]
+    pool = [c for c, *_ in NUM_COLS["lineitem"]]
+    if join != "semi":
+        pool = pool + ["o_totalprice", "o_custkey"]
+    for i in range(rng.randint(1, 2)):
+        kind = rng.choice(["sum_units", "min", "max", "count", "count_distinct"])
+        if kind == "sum_units":
+            col = rng.choice(
+                MONEY_COLS["lineitem"] + ([] if join == "semi" else ["o_totalprice"])
+            )
+        else:
+            col = rng.choice(pool)
+        aggs.append(Agg(kind, col, f"a{i}"))
+    spec = Spec("lineitem", preds, "AND", groupby, aggs, join=join, join_preds=join_preds)
+    _maybe_having_order(rng, spec)
+    return spec
 
 
 # ---- lowering ---------------------------------------------------------------
@@ -134,6 +197,20 @@ def to_sql(spec: Spec) -> str:
     conds = f" {spec.conj} ".join(
         f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds
     )
+    oconds = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.join_preds)
+    if spec.join == "inner":
+        frm = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        conds = f"({conds}) AND ({oconds})"
+    elif spec.join == "left":
+        frm = f"lineitem LEFT JOIN orders ON l_orderkey = o_orderkey AND ({oconds})"
+    elif spec.join == "semi":
+        frm = "lineitem"
+        conds = (
+            f"({conds}) AND l_orderkey IN "
+            f"(SELECT o_orderkey FROM orders WHERE {oconds})"
+        )
+    else:
+        frm = spec.table
     parts = []
     for a in spec.aggs:
         if a.kind == "count_star":
@@ -149,23 +226,40 @@ def to_sql(spec: Spec) -> str:
         else:  # min / max — selections
             parts.append(f"{a.kind}({a.col}) AS {a.alias}")
     sel = (", ".join(spec.groupby) + ", " if spec.groupby else "") + ", ".join(parts)
-    sql = f"SELECT {sel} FROM {spec.table} WHERE {conds}"
+    sql = f"SELECT {sel} FROM {frm} WHERE {conds}"
     if spec.groupby:
         sql += " GROUP BY " + ", ".join(spec.groupby)
+    if spec.having_min_n is not None:
+        sql += f" HAVING count(*) >= {spec.having_min_n}"
+    if spec.order_limit is not None:
+        sql += (
+            " ORDER BY count(*) DESC, "
+            + ", ".join(spec.groupby)
+            + f" LIMIT {spec.order_limit}"
+        )
     return sql
 
 
-def to_spark(spec: Spec, df):
+def _spark_cond(preds: list[Pred], conj: str):
     cond = None
-    for p in spec.preds:
+    for p in preds:
         c = F.col(p.col)
         lit = F.lit(p.lit).cast("timestamp") if p.kind == "date" else F.lit(p.lit)
         e = {
             "<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit,
             "=": c == lit, "<>": c != lit,
         }[p.op]
-        cond = e if cond is None else (cond & e if spec.conj == "AND" else cond | e)
-    out = df.where(cond)
+        cond = e if cond is None else (cond & e if conj == "AND" else cond | e)
+    return cond
+
+
+def to_spark(spec: Spec, df, orders=None):
+    out = df.where(_spark_cond(spec.preds, spec.conj))
+    if spec.join is not None:
+        # filtering the right side BEFORE the join == ON-clause extra preds
+        right = orders.where(_spark_cond(spec.join_preds, "AND"))
+        how = {"inner": "inner", "left": "left", "semi": "left_semi"}[spec.join]
+        out = out.join(right, out["l_orderkey"] == right["o_orderkey"], how)
     aggs = []
     for a in spec.aggs:
         if a.kind == "count_star":
@@ -182,7 +276,12 @@ def to_spark(spec: Spec, df):
             aggs.append(F.min(a.col).alias(a.alias))
         else:
             aggs.append(F.max(a.col).alias(a.alias))
-    return (out.groupBy(*spec.groupby) if spec.groupby else out.groupBy()).agg(*aggs)
+    res = (out.groupBy(*spec.groupby) if spec.groupby else out.groupBy()).agg(*aggs)
+    if spec.having_min_n is not None:
+        res = res.where(F.col("n") >= spec.having_min_n)
+    if spec.order_limit is not None:
+        res = res.orderBy(F.desc("n"), *spec.groupby).limit(spec.order_limit)
+    return res
 
 
 # ---- harness ----------------------------------------------------------------
@@ -228,7 +327,7 @@ def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tupl
         spec = gen_spec(rng)
         sql = to_sql(spec)
         try:
-            got = norm(to_spark(spec, dfs[spec.table]).toPandas())
+            got = norm(to_spark(spec, dfs[spec.table], orders=dfs["orders"]).toPandas())
             want = norm(con.execute(sql).df())
             ok = got == want
             detail = "" if ok else f"spark {len(got)} rows vs duck {len(want)}"
