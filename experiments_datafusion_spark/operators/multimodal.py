@@ -316,3 +316,110 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+# --- BMP: the third REAL stdlib codec (round 4) -----------------------------
+#
+# Windows BMP, 8-bit paletted grayscale, BI_RGB (uncompressed), bottom-up
+# rows padded to 4 bytes — the simplest widely-deployed container, and the
+# one with the most header foot-guns (signed height, stride padding, file
+# vs info header).  Same honest-boundary contract as the PNG codec: decode
+# exactly what this corpus writes, refuse everything else loudly.
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 23, 8 + doc_id % 19  # (width, height)
+
+
+def _encode_bmp_gray8(pixels: np.ndarray) -> bytes:
+    import struct
+
+    h, w = pixels.shape
+    stride = (w + 3) & ~3
+    offset = 14 + 40 + 256 * 4
+    img_size = stride * h
+    fh = struct.pack("<2sIHHI", b"BM", offset + img_size, 0, 0, offset)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, 256, 0)
+    pal = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    rows = b"".join(
+        pixels[y].astype(np.uint8).tobytes() + b"\x00" * (stride - w)
+        for y in range(h - 1, -1, -1)  # bottom-up, per spec
+    )
+    return fh + ih + pal + rows
+
+
+def _decode_bmp_gray8(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse both headers, validate the grayscale identity palette, undo
+    bottom-up row order and stride padding.  Raises ValueError on
+    malformed input and NotImplementedError on legal-but-unwritten BMP
+    features (top-down rows, non-8-bit, RLE compression, V4/V5 headers)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP headers")
+    filesize, _, _, offset = struct.unpack("<IHHI", payload[2:14])
+    hdr_size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if hdr_size != 40:
+        raise NotImplementedError("only BITMAPINFOHEADER (V1) is decoded here")
+    if bpp != 8 or comp != 0:
+        raise NotImplementedError("only 8-bit uncompressed (BI_RGB) is decoded here")
+    if h < 0:
+        raise NotImplementedError("top-down BMP is not decoded here")
+    if w <= 0:
+        raise ValueError("non-positive width")
+    pal = payload[54 : 54 + 256 * 4]
+    if len(pal) < 256 * 4:
+        raise ValueError("truncated palette")
+    for g in range(256):
+        b, gg, r, _ = pal[g * 4 : g * 4 + 4]
+        if not (b == gg == r == g):
+            raise NotImplementedError("only the identity grayscale palette")
+    stride = (w + 3) & ~3
+    if offset + stride * h > len(payload):
+        raise ValueError("truncated pixel data")
+    rows = [
+        np.frombuffer(payload[offset + y * stride : offset + y * stride + w], dtype=np.uint8)
+        for y in range(h - 1, -1, -1)  # undo bottom-up
+    ]
+    return w, h, np.vstack(rows)
+
+
+def attach_bmp_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a REAL BMP payload per document: 8-bit grayscale,
+    pixel[k] = (doc_id*13 + k) % 256 row-major over _bmp_dims(doc_id)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w, h = _bmp_dims(int(did))
+                k = np.arange(w * h, dtype=np.int64)
+                px = ((int(did) * 13 + k) % 256).reshape(h, w)
+                payloads.append(_encode_bmp_gray8(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL BMP decode per payload (headers, palette validation, stride /
+    bottom-up undo), then the same exact half-up mean as the other codecs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_pixels", "mean_pixel")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_bmp_gray8(bytes(payload))
+                n = w * h
+                s = int(px.astype(np.int64).sum())
+                mean4 = (s * 20_000 + n) // (2 * n)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["mean_pixel"].append(mean4 / 10_000.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PNG_FEATURE_SCHEMA)

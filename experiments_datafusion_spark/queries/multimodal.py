@@ -167,3 +167,44 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode remains the documented gate (decode_real)."""
     media = M.attach_png_media(table(spark, sf_dir, "documents"))
     return M.decode_png_features(media)
+
+
+@register(
+    "mm_bmp_features",
+    tags=("llm", "multimodal"),
+    oracle="""
+-- Closed-form replay of the BMP round trip (operators/multimodal.py
+-- attach_bmp_media: pixel[k] = (doc_id*13 + k) % 256 row-major over a
+-- (8 + doc_id%23) x (8 + doc_id%19) grayscale image; the Spark side
+-- decodes the actual BMP bytes — dual headers, palette validation,
+-- bottom-up rows, stride padding).  Same cycle + wrapped-run pixel-sum
+-- algebra and exact half-up mean as the PNG oracle.
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 23 AS w, 8 + doc_id % 19 AS h,
+         (doc_id * 13) % 256 AS a
+  FROM documents
+),
+e AS (
+  SELECT doc_id, w, h, a, w * h AS n, (w * h) % 256 AS r, (w * h) // 256 AS cyc
+  FROM d
+),
+f AS (
+  SELECT doc_id, w, h, n,
+         cyc * 32640 + r * a + r * (r - 1) // 2
+           - 256 * greatest(0, a + r - 256) AS s
+  FROM e
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       n AS n_pixels, ((s * 20000 + n) // (2 * n)) / 10000.0 AS mean_pixel
+FROM f
+""",
+)
+def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction #2: build spec-compliant 8-bit
+    paletted grayscale BMPs (closed-form pixels per doc_id), decode the
+    actual bytes — file+info headers, identity-palette validation,
+    bottom-up row order, 4-byte stride padding — and emit header + pixel
+    features.  Third real stdlib codec beside WAV and PNG; JPEG/video
+    remain the documented environment gate (decode_real)."""
+    media = M.attach_bmp_media(table(spark, sf_dir, "documents"))
+    return M.decode_bmp_features(media)

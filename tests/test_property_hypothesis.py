@@ -97,3 +97,40 @@ def test_kmeans_signed_trunc_div_matches_both_engines(s, n):
     import math
     want = math.trunc(decimal.Decimal(s) / decimal.Decimal(n))
     assert py == want
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_roundtrip_any_grayscale_image(w, h, seed):
+    """BMP encode->decode is pixel-exact for ARBITRARY content and every
+    stride-padding case (w % 4 in 0..3), not just the closed-form corpus."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    w2, h2, out = M._decode_bmp_gray8(M._encode_bmp_gray8(px))
+    assert (w2, h2) == (w, h)
+    assert (out == px).all()
+
+
+def test_bmp_honest_boundaries():
+    import pytest as _pytest
+
+    good = M._encode_bmp_gray8(np.zeros((4, 5), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        M._decode_bmp_gray8(b"XX" + good[2:])  # bad magic
+    with _pytest.raises(ValueError):
+        M._decode_bmp_gray8(good[:40])  # truncated headers
+    with _pytest.raises(ValueError):
+        M._decode_bmp_gray8(good[:-3])  # truncated pixels
+    import struct
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = struct.pack("<H", 24)
+    with _pytest.raises(NotImplementedError):
+        M._decode_bmp_gray8(bytes(bad_bpp))  # 24-bit refused loudly
+    topdown = bytearray(good)
+    topdown[22:26] = struct.pack("<i", -4)
+    with _pytest.raises(NotImplementedError):
+        M._decode_bmp_gray8(bytes(topdown))  # top-down refused loudly
