@@ -182,6 +182,100 @@ def _gen_join_spec(rng: random.Random) -> Spec:
     return spec
 
 
+# ---- window-function specs --------------------------------------------------
+
+WIN_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead", "sum_units_frame", "min_frame")
+
+
+@dataclass
+class WSpec:
+    """Window-function spec over lineitem: deterministic TOTAL order
+    (price, orderkey, linenumber) inside random partitions."""
+
+    preds: list[Pred]
+    partition: list[str]
+    funcs: list[tuple[str, str | None, int, str]]  # (kind, col, param, alias)
+
+
+def gen_wspec(rng: random.Random) -> WSpec:
+    preds = _gen_preds(rng, "lineitem", rng.randint(1, 2))
+    partition = sorted(
+        rng.sample(GROUP_COLS["lineitem"], rng.randint(1, 2))
+    )
+    funcs = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.choice(WIN_FUNCS)
+        col = None
+        param = 0
+        if kind in ("lag", "lead"):
+            col = rng.choice(["l_quantity", "l_extendedprice", "l_orderkey"])
+            param = rng.randint(1, 3)
+        elif kind == "sum_units_frame":
+            col = rng.choice(MONEY_COLS["lineitem"])
+            param = rng.randint(1, 5)  # ROWS k PRECEDING .. CURRENT
+        elif kind == "min_frame":
+            col = rng.choice(["l_quantity", "l_extendedprice"])
+            param = rng.randint(1, 5)
+        funcs.append((kind, col, param, f"w{i}"))
+    return WSpec(preds, partition, funcs)
+
+
+_WORDER = "l_extendedprice, l_orderkey, l_linenumber"  # total order
+
+
+def wspec_to_sql(spec: WSpec) -> str:
+    conds = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds)
+    over = f"OVER (PARTITION BY {', '.join(spec.partition)} ORDER BY {_WORDER}"
+    parts = []
+    for kind, col, param, alias in spec.funcs:
+        if kind in ("row_number", "rank", "dense_rank"):
+            parts.append(f"CAST({kind}() {over}) AS BIGINT) AS {alias}")
+        elif kind in ("lag", "lead"):
+            parts.append(f"{kind}({col}, {param}) {over}) AS {alias}")
+        elif kind == "sum_units_frame":
+            parts.append(
+                f"CAST(sum(CAST(round(({col}) * 100, 0) AS BIGINT)) "
+                f"{over} ROWS BETWEEN {param} PRECEDING AND CURRENT ROW) AS BIGINT) AS {alias}"
+            )
+        else:  # min_frame
+            parts.append(
+                f"min({col}) {over} ROWS BETWEEN {param} PRECEDING AND CURRENT ROW) AS {alias}"
+            )
+    keys = "l_orderkey, l_linenumber"
+    return (
+        f"SELECT {keys}, {', '.join(parts)} FROM lineitem WHERE {conds}"
+    )
+
+
+def wspec_to_spark(spec: WSpec, df):
+    from pyspark.sql import Window
+
+    out = df.where(_spark_cond(spec.preds, "AND"))
+    base = Window.partitionBy(*spec.partition).orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cols = [F.col("l_orderkey"), F.col("l_linenumber")]
+    for kind, col, param, alias in spec.funcs:
+        if kind == "row_number":
+            c = F.row_number().over(base).cast("bigint")
+        elif kind == "rank":
+            c = F.rank().over(base).cast("bigint")
+        elif kind == "dense_rank":
+            c = F.dense_rank().over(base).cast("bigint")
+        elif kind == "lag":
+            c = F.lag(col, param).over(base)
+        elif kind == "lead":
+            c = F.lead(col, param).over(base)
+        elif kind == "sum_units_frame":
+            w = base.rowsBetween(-param, 0)
+            c = F.sum(F.round(F.col(col) * 100, 0).cast("long")).over(w).cast("bigint")
+        else:
+            w = base.rowsBetween(-param, 0)
+            c = F.min(col).over(w)
+        cols.append(c.alias(alias))
+    return out.select(*cols)
+
+
 # ---- lowering ---------------------------------------------------------------
 
 
@@ -324,10 +418,16 @@ def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tupl
     dfs = {t: load_table(spark, sf_dir, t) for t in ("lineitem", "orders")}
     results = []
     for i in range(n_specs):
-        spec = gen_spec(rng)
-        sql = to_sql(spec)
+        if rng.random() < 0.25:
+            wspec = gen_wspec(rng)
+            sql = wspec_to_sql(wspec)
+            builder = lambda: wspec_to_spark(wspec, dfs["lineitem"])  # noqa: B023,E731
+        else:
+            spec = gen_spec(rng)
+            sql = to_sql(spec)
+            builder = lambda: to_spark(spec, dfs[spec.table], orders=dfs["orders"])  # noqa: B023,E731
         try:
-            got = norm(to_spark(spec, dfs[spec.table], orders=dfs["orders"]).toPandas())
+            got = norm(builder().toPandas())
             want = norm(con.execute(sql).df())
             ok = got == want
             detail = "" if ok else f"spark {len(got)} rows vs duck {len(want)}"
