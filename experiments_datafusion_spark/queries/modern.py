@@ -164,3 +164,76 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "grouping_id_flags",
+    tags=("agg", "grouping"),
+    oracle="""
+SELECT coalesce(l_returnflag, '(all)')                      AS rf,
+       coalesce(l_linestatus, '(all)')                      AS ls,
+       CAST(grouping(l_returnflag) * 2
+            + grouping(l_linestatus) AS BIGINT)             AS gid,
+       CAST(count(*) AS BIGINT)                             AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                                            AS price_units
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING flags: the gid column disambiguates a real NULL
+    group key from a rollup super-aggregate row — the part of grouping
+    sets every reporting layer needs and coalesced labels alone can't
+    provide.  gid is composed from per-column grouping() bits so both
+    engines agree on bit order by construction."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("price_units"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+        "gid",
+        "n",
+        "price_units",
+    )
+
+
+@register(
+    "group_collated",
+    tags=("agg", "string", "collation"),
+    oracle="""
+WITH mixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lower(lang) END AS m
+  FROM documents
+)
+SELECT lower(m) AS lang_ci, CAST(count(*) AS BIGINT) AS n
+FROM mixed
+GROUP BY lower(m)
+""",
+)
+def group_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 string collations): a mixed-case
+    column grouped under UTF8_LCASE — the engine treats 'EN' and 'en' as
+    one group natively, no lower() rewrite in the grouping key.  The
+    rendered label is lowercased for the oracle, which replays the
+    semantics with an explicit lower() (DuckDB has no collation-typed
+    grouping)."""
+    d = table(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.lower("lang"))
+        .alias("m")
+    )
+    return (
+        mixed.groupBy(F.collate("m", "UTF8_LCASE").alias("mc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("mc").cast("string")).alias("lang_ci"), "n")
+    )
