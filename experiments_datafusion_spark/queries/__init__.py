@@ -99,8 +99,8 @@ _PRIORITY = (
 )
 
 # Round-5 window plan: after CORRECTNESS_r04 lands, every key except the
-# three registered after the round-4 window filled (mm_bmp_features,
-# grouping_id_flags, group_collated — all judge-sweep green at both
+# four registered after the round-4 window filled (mm_bmp_features,
+# grouping_id_flags, group_collated, sql_parameterized — all green at both
 # scales) will have a lifetime driver verdict — lead the next window with
 # those three, then rotate in whatever round 5 adds.
 

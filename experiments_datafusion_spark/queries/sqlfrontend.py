@@ -128,3 +128,49 @@ def view_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(_VIEW_SQL)
+
+
+@register(
+    "sql_parameterized",
+    tags=("sql", "frontend"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_units
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the injection-safe frontend surface: named
+    parameter markers bound via spark.sql(query, args=...), composed with
+    EXECUTE IMMEDIATE ... USING (the dynamic-SQL form).  Both execute the
+    SAME statement text; the oracle pins the expected literals.  Parameter
+    binding happens at parse time, so Catalyst sees plain literals and
+    every pushdown applies exactly as in the static twin."""
+    register_views(spark, sf_dir, ("orders",))
+    stmt = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS price_units
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+    """
+    args = {"cutoff": "1995-01-01", "status": "O"}
+    bound = spark.sql(stmt, args=args)
+    # EXECUTE IMMEDIATE twin must produce identical rows (checked here so
+    # the registered result covers both surfaces in one key)
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt_txt STRING")
+    spark.sql("SET VAR stmt_txt = :s", args={"s": stmt})
+    immediate = spark.sql(
+        "EXECUTE IMMEDIATE stmt_txt USING :cutoff AS cutoff, :status AS status",
+        args=args,
+    )
+    a = sorted(map(str, bound.collect()))
+    b = sorted(map(str, immediate.collect()))
+    assert a == b, "EXECUTE IMMEDIATE diverged from parameterized sql()"
+    return bound
