@@ -60,6 +60,7 @@ _MODULES = (
     "dimensional",  # round 4: SCD2/CDC/decimal/mode/skyline
     "timeseries",  # round 4: interval merge, OHLC resample, nearest as-of
     "modern",  # round 4: VARIANT, dynamic pivot, weighted median, dates
+    "search",  # round 4/5: RRF rank fusion, token-pair co-occurrence mining
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
@@ -98,11 +99,13 @@ _PRIORITY = (
     "agg_weighted_median",
 )
 
-# Round-5 window plan: after CORRECTNESS_r04 lands, every key except the
-# four registered after the round-4 window filled (mm_bmp_features,
-# grouping_id_flags, group_collated, sql_parameterized — all green at both
-# scales) will have a lifetime driver verdict — lead the next window with
-# those three, then rotate in whatever round 5 adds.
+# Round-5 window plan: after CORRECTNESS_r04 lands, every key except those
+# registered after the round-4 window filled (mm_bmp_features,
+# grouping_id_flags, group_collated, sql_parameterized, plus the search/
+# recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma — all green
+# at both scales via tools/drive_entry.py) will have a lifetime driver
+# verdict — lead the next window with those, then rotate in whatever round 5
+# adds.
 
 
 @dataclass(frozen=True)

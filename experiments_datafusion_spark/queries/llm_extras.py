@@ -382,11 +382,9 @@ _BM25_TERMS = ("data", "model", "system", "learning")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-
-def _bm25_oracle() -> str:
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
-    return f"""
-WITH toks AS (
+# shared tokenize / doc-length / corpus-stat CTEs (composed by text_bm25 here
+# and by search.search_rrf_fusion, which scores TWO term sets over one corpus)
+_BM25_BASE_CTES = """toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
   FROM documents
@@ -396,28 +394,43 @@ corpus AS (
   SELECT CAST(sum(dl) AS BIGINT) AS total_dl,
          CAST(count(*) AS BIGINT) AS n_docs
   FROM dl
-),
-tf AS (
+)"""
+
+
+def _bm25_scored_ctes(terms: tuple[str, ...], sfx: str = "") -> str:
+    """CTE fragment `per_doc{sfx}(doc_id, score_u)`: Okapi BM25 of every doc
+    against `terms`, per-term scores floor-quantized to integer micro-units
+    before the cross-term sum (integer addition is associative, so the one
+    cross-row accumulation cannot diverge between engines).  Expects the
+    `toks`/`dl`/`corpus` CTEs from _BM25_BASE_CTES in scope."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""tf{sfx} AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
-  WHERE term IN ({terms}) GROUP BY doc_id, term
+  WHERE term IN ({tlist}) GROUP BY doc_id, term
 ),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-scored AS (
-  SELECT tf.doc_id,
+dfreq{sfx} AS (SELECT term, count(*) AS df FROM tf{sfx} GROUP BY term),
+scored{sfx} AS (
+  SELECT tf{sfx}.doc_id,
          CAST(floor(
            ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
-           * (tf.tf * ({_BM25_K1} + 1))
-           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+           * (tf{sfx}.tf * ({_BM25_K1} + 1))
+           / (tf{sfx}.tf + {_BM25_K1} * (1 - {_BM25_B}
               + {_BM25_B} * dl.dl / (CAST(c.total_dl AS DOUBLE) / c.n_docs)))
            * 1000000) AS BIGINT) AS s_u
-  FROM tf
+  FROM tf{sfx}
   JOIN dl USING (doc_id)
-  JOIN dfreq d USING (term)
+  JOIN dfreq{sfx} d USING (term)
   CROSS JOIN corpus c
 ),
-per_doc AS (
-  SELECT doc_id, CAST(sum(s_u) AS BIGINT) AS score_u FROM scored GROUP BY doc_id
-)
+per_doc{sfx} AS (
+  SELECT doc_id, CAST(sum(s_u) AS BIGINT) AS score_u FROM scored{sfx} GROUP BY doc_id
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_BM25_BASE_CTES},
+{_bm25_scored_ctes(_BM25_TERMS)}
 SELECT doc_id, score_u, score_u / 1000000.0 AS bm25
 FROM per_doc
 ORDER BY score_u DESC, doc_id
@@ -425,25 +438,21 @@ LIMIT 50
 """
 
 
-@register("text_bm25", tags=("llm", "text", "search"), oracle=_bm25_oracle())
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 full-text relevance (k1=1.2, b=0.75) of every document against
-    a fixed query-term set; top-50 docs.  The Okapi formula runs on
-    identical per-row inputs in both engines (avgdl is an exact
-    integer-sum / count division, idf a single ln on identical doubles),
-    and per-term scores are floor-quantized to integer micro-units before
-    the cross-term sum — integer addition is associative, so the one
-    accumulation that crosses rows cannot diverge.  Shape: tokenize ->
-    two keyed aggregates -> broadcast (terms x df, 1-row corpus stats) ->
-    keyed sum; the df/corpus tables are tiny by construction."""
-    docs = table(spark, sf_dir, "documents")
+def bm25_tok_stats(docs: DataFrame):
+    """(toks, dl, corpus) DataFrames shared by every BM25 scoring pass."""
     toks = spread(docs).select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs")
-    )
+    corpus = dl.agg(F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs"))
+    return toks, dl, corpus
+
+
+def bm25_per_doc(toks: DataFrame, dl: DataFrame, corpus: DataFrame,
+                 terms: tuple[str, ...]) -> DataFrame:
+    """Per-doc BM25 (doc_id, score_u) against `terms` — the Spark twin of
+    _bm25_scored_ctes: tokenize -> two keyed aggregates -> broadcast
+    (terms x df, 1-row corpus stats) -> keyed integer sum."""
     tf = (
-        toks.where(F.col("term").isin(*_BM25_TERMS))
+        toks.where(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -463,7 +472,23 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corpus))
         .select("doc_id", F.floor(s * 1_000_000).cast("long").alias("s_u"))
     )
-    per_doc = scored.groupBy("doc_id").agg(F.sum("s_u").alias("score_u"))
+    return scored.groupBy("doc_id").agg(F.sum("s_u").alias("score_u"))
+
+
+@register("text_bm25", tags=("llm", "text", "search"), oracle=_bm25_oracle())
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text relevance (k1=1.2, b=0.75) of every document against
+    a fixed query-term set; top-50 docs.  The Okapi formula runs on
+    identical per-row inputs in both engines (avgdl is an exact
+    integer-sum / count division, idf a single ln on identical doubles),
+    and per-term scores are floor-quantized to integer micro-units before
+    the cross-term sum — integer addition is associative, so the one
+    accumulation that crosses rows cannot diverge.  Shape: tokenize ->
+    two keyed aggregates -> broadcast (terms x df, 1-row corpus stats) ->
+    keyed sum; the df/corpus tables are tiny by construction."""
+    docs = table(spark, sf_dir, "documents")
+    toks, dl, corpus = bm25_tok_stats(docs)
+    per_doc = bm25_per_doc(toks, dl, corpus, _BM25_TERMS)
     return (
         per_doc.select("doc_id", "score_u", (F.col("score_u") / 1_000_000.0).alias("bm25"))
         .orderBy(F.desc("score_u"), "doc_id")

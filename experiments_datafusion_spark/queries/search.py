@@ -1,0 +1,209 @@
+"""Retrieval-layer operators on top of the text suite: reciprocal-rank
+fusion of multiple BM25 rankings (the standard way multi-query retrieval —
+query rewrites, hybrid lexical+dense — combines ranked lists into one), and
+frequent token-pair co-occurrence mining (association mining over the
+document corpus, the market-basket shape).
+
+Both are integer-exact end to end: RRF contributions are 1e6 div (k + rank)
+integer divisions over deterministic (score desc, doc_id) rankings, and the
+co-occurrence support/lift columns are pure counts and integer divisions —
+nothing for cross-engine float accumulation to diverge on.
+
+Scale notes are per-operator; the common theme is top-k via
+TakeOrderedAndProject (never a global sort), broadcast of provably-small
+sides only (query-term df rows, 1-row corpus stats), and a document-frequency
+cap bounding the co-occurrence join fan-out.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import spread, table
+from experiments_datafusion_spark.operators import text as T
+from experiments_datafusion_spark.queries import register
+from experiments_datafusion_spark.queries.llm_extras import (
+    _BM25_BASE_CTES,
+    _BM25_TERMS,
+    _bm25_scored_ctes,
+    bm25_per_doc,
+    bm25_tok_stats,
+)
+
+_RRF_K = 60  # the conventional RRF damping constant
+_RRF_TOPN = 50  # fuse the top-50 of each ranking
+_RRF_SCALE = 1_000_000  # contributions in integer micro-units
+# second query variant: physical-operator vocabulary, disjoint from
+# _BM25_TERMS' modelling vocabulary — two genuinely different lexical angles
+_TERMS_B = ("join", "hash", "scan", "filter")
+
+_PAIR_MIN_DF = 5  # drop ultra-rare terms (noise)
+# df-cap: drop terms present in > 80% of docs (stop-word shaped; also THE
+# scale knob — bounds every posting list and the per-doc pair fan-out)
+_PAIR_MAX_DF_PCT = 80
+_PAIR_MIN_SUPPORT_PCT = 60  # report pairs co-occurring in >= 60% of docs
+
+
+def _ranked_sql(sfx: str) -> str:
+    return f"""rank{sfx} AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_u DESC, doc_id) AS rnk
+    FROM per_doc{sfx})
+  WHERE rnk <= {_RRF_TOPN}
+)"""
+
+
+@register(
+    "search_rrf_fusion",
+    tags=("llm", "text", "search"),
+    oracle=f"""
+WITH {_BM25_BASE_CTES},
+{_bm25_scored_ctes(_BM25_TERMS, "_a")},
+{_bm25_scored_ctes(_TERMS_B, "_b")},
+{_ranked_sql("_a")},
+{_ranked_sql("_b")}
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + a.rnk), 0)
+            + coalesce({_RRF_SCALE} // ({_RRF_K} + b.rnk), 0) AS BIGINT) AS rrf_u,
+       CAST((CASE WHEN a.rnk IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN b.rnk IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists
+FROM rank_a a FULL JOIN rank_b b ON a.doc_id = b.doc_id
+""",
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF, k=60) of two
+    BM25 rankings of the corpus — one per query-term set (a modelling
+    vocabulary and a physical-operator vocabulary), the standard recipe for
+    fusing multi-query / hybrid retrieval.  Each list contributes
+    1e6 div (60 + rank) integer micro-units; docs in both lists sum.
+
+    Shape: the corpus is tokenized and length-profiled ONCE (shared
+    toks/dl/corpus subtree), each ranking reduces to its top-50 via
+    orderBy+limit — Spark compiles that to TakeOrderedAndProject, a
+    per-partition heap + driver merge, never a global sort — and only the
+    two 50-row lists meet in the full-outer fusion join.  The row_number
+    window runs AFTER the limit, over 50 rows, so the single-partition
+    window (normally an anti-pattern) touches k rows, not the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks, dl, corpus = bm25_tok_stats(docs)
+
+    def ranked(terms: tuple[str, ...], sfx: str) -> DataFrame:
+        per_doc = bm25_per_doc(toks, dl, corpus, terms)
+        top = per_doc.orderBy(F.desc("score_u"), "doc_id").limit(_RRF_TOPN)
+        w = Window.orderBy(F.desc("score_u"), "doc_id")
+        return top.select(
+            F.col("doc_id").alias(f"doc{sfx}"),
+            F.row_number().over(w).alias(f"rnk{sfx}"),
+        )
+
+    a, b = ranked(_BM25_TERMS, "_a"), ranked(_TERMS_B, "_b")
+    fused = a.join(b, a["doc_a"] == b["doc_b"], "full_outer")
+    contrib_a = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk_a)")
+    contrib_b = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk_b)")
+    return fused.select(
+        F.coalesce("doc_a", "doc_b").alias("doc_id"),
+        (F.coalesce(contrib_a, F.lit(0)) + F.coalesce(contrib_b, F.lit(0)))
+        .cast("long")
+        .alias("rrf_u"),
+        (
+            F.col("rnk_a").isNotNull().cast("int")
+            + F.col("rnk_b").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("n_lists"),
+    )
+
+
+@register(
+    "freq_token_pairs",
+    tags=("llm", "text", "analytics"),
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+d AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+kept AS (
+  SELECT t.doc_id, t.term, d.df
+  FROM toks t JOIN d USING (term) CROSS JOIN stats s
+  WHERE d.df >= {_PAIR_MIN_DF} AND d.df * 100 <= s.n_docs * {_PAIR_MAX_DF_PCT}
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         any_value(a.df) AS df_a, any_value(b.df) AS df_b,
+         count(*) AS support
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b,
+       CAST(support AS BIGINT) AS support,
+       CAST(support * 1000 // s.n_docs AS BIGINT) AS support_milli,
+       CAST(support * s.n_docs * 1000000 // (df_a * df_b) AS BIGINT) AS lift_micro
+FROM pairs CROSS JOIN stats s
+WHERE support * 100 >= s.n_docs * {_PAIR_MIN_SUPPORT_PCT}
+""",
+)
+def freq_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent token-pair co-occurrence mining (the A-priori first pass /
+    market-basket shape): distinct (doc, term) pairs, document-frequency
+    cap, per-document pair expansion via a doc-keyed self-join, then
+    support counting with relative-threshold filtering plus integer lift
+    (support * n_docs / (df_a * df_b), micro-units).
+
+    Scale: the df-cap is the load-bearing knob — dropping terms in > 80% of
+    docs (stop-word shaped) bounds both posting-list length and the O(k^2)
+    per-doc pair fan-out of the self-join, exactly the hot-shingle cap the
+    jaccard posting-list join documents.  The join itself is hash-partitioned
+    on doc_id (co-located, no broadcast of the big side); only the term->df
+    table (vocab-sized AFTER the cap) and the 1-row n_docs stats broadcast.
+    All thresholds are relative to corpus size, so the same constants hold
+    at any scale factor."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("term")
+    )
+    stats = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        toks.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            (F.col("df") >= _PAIR_MIN_DF)
+            & (F.col("df") * 100 <= F.col("n_docs") * _PAIR_MAX_DF_PCT)
+        )
+        .select("doc_id", "term", "df")
+    )
+    a = kept.select(
+        F.col("doc_id"), F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = kept.select(
+        F.col("doc_id"), F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+            F.count(F.lit(1)).alias("support"),
+        )
+    )
+    n_docs = F.col("n_docs")
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .where(F.col("support") * 100 >= n_docs * _PAIR_MIN_SUPPORT_PCT)
+        .select(
+            "term_a",
+            "term_b",
+            F.col("support").cast("long").alias("support"),
+            F.expr("(support * 1000) div n_docs").cast("long").alias("support_milli"),
+            F.expr("(support * n_docs * 1000000) div (df_a * df_b)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )

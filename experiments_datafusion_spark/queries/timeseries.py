@@ -243,3 +243,75 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dsec(df_))
         .alias("delta_s"),
     )
+
+
+# ---- integer-exact EWMA: per-key linear recurrence via applyInPandas ----
+
+_EWMA_NUM = 3  # alpha = 0.3 as the rational 3/10 — recurrence stays integer
+_EWMA_DEN = 10
+
+
+@register(
+    "ev_ewma",
+    tags=("timeseries", "stateful", "udf"),
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_u,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, s) AS (
+  SELECT user_id, rn, v_u FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         ({_EWMA_NUM} * e.v_u + ({_EWMA_DEN} - {_EWMA_NUM}) * w.s) // {_EWMA_DEN}
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, CAST(s AS BIGINT) AS ewma_u FROM walk
+""",
+)
+def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over the event stream
+    — the canonical per-key LINEAR RECURRENCE (s_t = a*x_t + (1-a)*s_{t-1})
+    that no built-in window frame expresses exactly.  Run entirely in
+    integer micro-units with a rational alpha (3/10) and floor division, so
+    the Spark recurrence and the DuckDB recursive-CTE fixed point are
+    bit-identical — the float formulation would accumulate ulp drift
+    differently in each engine.
+
+    Shape: groupBy(user_id).applyInPandas — ONE shuffle to co-locate each
+    key, then a sequential walk inside the Arrow batch.  This is the
+    batch twin of the transformWithState streaming shape: parallelism is
+    across keys (millions at 100 TB), state is O(1) per key, and no
+    driver-side anything.  The quadratic alternative (window with pow()
+    weights) is both float-divergent and O(n^2) per key; the recurrence is
+    O(n)."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events")
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        v = np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64")
+        s = np.empty_like(v)
+        acc = 0
+        for i, x in enumerate(v):
+            x = int(x)
+            acc = x if i == 0 else (_EWMA_NUM * x + (_EWMA_DEN - _EWMA_NUM) * acc) // _EWMA_DEN
+            s[i] = acc
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "rn": np.arange(1, len(v) + 1, dtype="int64"),
+                "ewma_u": s,
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(walk, schema="user_id long, rn long, ewma_u long")
+    )

@@ -33,10 +33,12 @@ ALLOW_SCALAR_BROADCAST = {
     "docs_heavy_hitters",        # corpus-total row for frequency cutoff
     "docs_length_histogram",     # total-docs row for bucket shares
     "ev_funnel",                 # step-1 cohort size as 1-row denominator
+    "freq_token_pairs",          # 1-row n_docs stats for relative thresholds
     "graph_triangles",           # three 1-row summary aggregates stitched
     "mix_temperature",           # corpus token total for temperature rates
     "quality_gate_percentile",   # p75 cutoff as 1-row broadcast
     "scalar_decimal",            # grand-total broadcast (round-1 fix)
+    "search_rrf_fusion",         # 1-row corpus stats inside both BM25 passes
     "shard_assign",              # corpus total for shard-balance shares
     "text_bm25",                 # 1-row corpus stats (avgdl, N) for Okapi
     "text_tfidf",                # corpus doc count for idf
