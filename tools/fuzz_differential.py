@@ -1,7 +1,10 @@
 """Seeded differential QUERY FUZZER (SQLancer-style TLP-lite): generate
 random filter/group/aggregate specs from one AST, lower the SAME spec to
 (a) a Spark DataFrame plan and (b) a DuckDB SQL string, and compare
-normalized results.  This probes the composition space BETWEEN the
+normalized results.  Spec families: filter/group/aggregate (with joins,
+HAVING, deterministic ORDER+LIMIT), window functions, set operations
+(all six UNION/INTERSECT/EXCEPT forms), and per-row scalar expressions
+(string/date/arithmetic/conditional).  This probes the composition space BETWEEN the
 hand-written registry keys — random predicate/grouping/aggregate
 combinations neither suite enumerates.
 
@@ -276,6 +279,150 @@ def wspec_to_spark(spec: WSpec, df):
     return out.select(*cols)
 
 
+# ---- set-operation specs ----------------------------------------------------
+
+SETOPS = {  # spark method name -> SQL keyword
+    "union_all": "UNION ALL",
+    "union": "UNION",
+    "intersect": "INTERSECT",
+    "intersect_all": "INTERSECT ALL",
+    "except": "EXCEPT",
+    "except_all": "EXCEPT ALL",
+}
+# low-cardinality projection so INTERSECT/EXCEPT branches genuinely overlap;
+# l_quantity is whole-valued, so the int cast can't hit the round-vs-truncate
+# divergence between engines
+_SET_COLS = "l_returnflag, l_linestatus, l_linenumber, CAST(l_quantity AS INT) AS qty"
+
+
+@dataclass
+class SetSpec:
+    op: str  # key of SETOPS
+    preds_a: list[Pred]
+    preds_b: list[Pred]
+
+
+def gen_setspec(rng: random.Random) -> SetSpec:
+    return SetSpec(
+        rng.choice(sorted(SETOPS)),
+        _gen_preds(rng, "lineitem", rng.randint(1, 2)),
+        _gen_preds(rng, "lineitem", rng.randint(1, 2)),
+    )
+
+
+def setspec_to_sql(spec: SetSpec) -> str:
+    ca = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds_a)
+    cb = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds_b)
+    return (
+        "SELECT l_returnflag, l_linestatus, l_linenumber, qty, "
+        "CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT {_SET_COLS} FROM lineitem WHERE {ca} "
+        f"{SETOPS[spec.op]} "
+        f"SELECT {_SET_COLS} FROM lineitem WHERE {cb}"
+        ") GROUP BY 1, 2, 3, 4"
+    )
+
+
+def setspec_to_spark(spec: SetSpec, df):
+    def side(preds):
+        return df.where(_spark_cond(preds, "AND")).select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_linenumber",
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+
+    a, b = side(spec.preds_a), side(spec.preds_b)
+    combined = {
+        "union_all": lambda: a.unionByName(b),
+        "union": lambda: a.unionByName(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except": lambda: a.exceptAll(b).distinct(),
+        "except_all": lambda: a.exceptAll(b),
+    }[spec.op]()
+    return combined.groupBy(
+        "l_returnflag", "l_linestatus", "l_linenumber", "qty"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ---- scalar-expression specs ------------------------------------------------
+
+SCALAR_KINDS = (
+    "concat_flags", "yearmonth", "mod_units", "case_qty",
+    "substr_key", "len_key", "greatest2", "coalesce_nullif",
+)
+
+
+@dataclass
+class SSpec:
+    """Per-row scalar-expression spec over lineitem: deterministic string /
+    integer / date expressions keyed by (orderkey, linenumber)."""
+
+    preds: list[Pred]
+    exprs: list[tuple[str, int, str]]  # (kind, param, alias)
+
+
+def gen_sspec(rng: random.Random) -> SSpec:
+    preds = _gen_preds(rng, "lineitem", rng.randint(1, 2))
+    kinds = rng.sample(SCALAR_KINDS, rng.randint(2, 4))
+    exprs = []
+    for i, kind in enumerate(kinds):
+        param = {
+            "mod_units": rng.choice([7, 31, 97]),
+            "case_qty": rng.randint(10, 40),
+            "substr_key": rng.randint(1, 4),
+        }.get(kind, 0)
+        exprs.append((kind, param, f"s{i}"))
+    return SSpec(preds, exprs)
+
+
+_SCALAR_SQL = {
+    "concat_flags": lambda p: "upper(l_returnflag) || '-' || l_linestatus",
+    "yearmonth": lambda p: "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)",
+    "mod_units": lambda p: f"CAST(round(l_extendedprice * 100, 0) AS BIGINT) % {p}",
+    "case_qty": lambda p: f"CASE WHEN l_quantity < {p} THEN 'lo' ELSE 'hi' END",
+    "substr_key": lambda p: f"substr(CAST(l_orderkey AS VARCHAR), 1, {p})",
+    "len_key": lambda p: "CAST(length(CAST(l_partkey AS VARCHAR)) AS BIGINT)",
+    "greatest2": lambda p: "CAST(greatest(l_quantity, l_linenumber * 10) AS BIGINT)",
+    "coalesce_nullif": lambda p: "coalesce(nullif(l_returnflag, 'A'), 'x')",
+}
+
+
+def _scalar_spark(kind: str, p: int):
+    if kind == "concat_flags":
+        return F.concat(F.upper("l_returnflag"), F.lit("-"), F.col("l_linestatus"))
+    if kind == "yearmonth":
+        return (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("bigint")
+    if kind == "mod_units":
+        return (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") % p)
+    if kind == "case_qty":
+        return F.when(F.col("l_quantity") < p, "lo").otherwise("hi")
+    if kind == "substr_key":
+        return F.substring(F.col("l_orderkey").cast("string"), 1, p)
+    if kind == "len_key":
+        return F.length(F.col("l_partkey").cast("string")).cast("bigint")
+    if kind == "greatest2":
+        return F.greatest(F.col("l_quantity"), F.col("l_linenumber") * 10).cast("bigint")
+    return F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("A")), F.lit("x"))
+
+
+def sspec_to_sql(spec: SSpec) -> str:
+    conds = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds)
+    parts = [f"{_SCALAR_SQL[k](p)} AS {alias}" for k, p, alias in spec.exprs]
+    return (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(parts)} "
+        f"FROM lineitem WHERE {conds}"
+    )
+
+
+def sspec_to_spark(spec: SSpec, df):
+    out = df.where(_spark_cond(spec.preds, "AND"))
+    cols = [F.col("l_orderkey"), F.col("l_linenumber")]
+    cols += [_scalar_spark(k, p).alias(alias) for k, p, alias in spec.exprs]
+    return out.select(*cols)
+
+
 # ---- lowering ---------------------------------------------------------------
 
 
@@ -418,10 +565,19 @@ def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tupl
     dfs = {t: load_table(spark, sf_dir, t) for t in ("lineitem", "orders")}
     results = []
     for i in range(n_specs):
-        if rng.random() < 0.25:
+        r = rng.random()
+        if r < 0.2:
             wspec = gen_wspec(rng)
             sql = wspec_to_sql(wspec)
             builder = lambda: wspec_to_spark(wspec, dfs["lineitem"])  # noqa: B023,E731
+        elif r < 0.35:
+            sspec = gen_setspec(rng)
+            sql = setspec_to_sql(sspec)
+            builder = lambda: setspec_to_spark(sspec, dfs["lineitem"])  # noqa: B023,E731
+        elif r < 0.5:
+            cspec = gen_sspec(rng)
+            sql = sspec_to_sql(cspec)
+            builder = lambda: sspec_to_spark(cspec, dfs["lineitem"])  # noqa: B023,E731
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
