@@ -651,3 +651,155 @@ def topk_ivfpq(
             F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
         )
     )
+
+# --- trained product quantization (round 4): Lloyd-refined codebooks --------
+#
+# The closed-form seed codebook above is oracle-convenient; production PQ
+# TRAINS per-subspace codebooks with k-means.  This tier runs the
+# integer-grid Lloyd recipe proven in queries/ml.py (embedding_kmeans) once
+# per subspace — all 8 subspaces advance together in ONE DataFrame pass per
+# iteration, since the subspace id is just another grouping key — and the
+# DuckDB oracle replays the identical unrolled iterations as chained CTEs.
+
+PQ_ITERS = 2  # Lloyd refinements of the seed codebook (matches ml.py ITERS)
+PQ_CUNIT = 1 << 20  # centroid binary grid (2^-20): floor products are exact
+PQ_DUNIT = 1 << 14  # argmin distance grid: floor has no tie semantics
+
+
+def _pq_floor_argmin(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vid, m, subvec) x broadcast codebook -> (vid, m, code, subvec):
+    nearest-centroid id by floor(d * 2^14)-quantized squared L2, ties to
+    the lower k — the tie-free integer grid of the kmeans recipe (unlike
+    pq_encode's round(d, 4), which keeps the seed tier's historical
+    contract)."""
+    d = _pq_sqdist(F.col("subvec"), F.col("cent"))
+    di = F.floor(d * PQ_DUNIT).cast("long")
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .groupBy("vid", "m")
+        .agg(
+            F.min(F.struct(di.alias("d"), F.col("k").alias("k"))).alias("mn"),
+            F.any_value("subvec").alias("subvec"),  # constant per (vid, m)
+        )
+        .select("vid", "m", F.col("mn.k").alias("code"), "subvec")
+    )
+
+
+def _pq_tdiv(s: int, n: int) -> int:
+    """Truncating integer division on Python bigints, sign-matched to the
+    oracle's CASE // formula (and to ml.py's tdiv)."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def pq_train_codebook(
+    corpus: DataFrame, id_col: str = "vec_id", iters: int = PQ_ITERS
+) -> list[tuple[int, int, list[float]]]:
+    """Per-subspace Lloyd k-means (K=PQ_K, deterministic init from the
+    PQ_K smallest ids, `iters` centroid updates) on the 2^-20 integer
+    grid: per-row units are floor(x * 2^20) (exact — power-of-two
+    scaling), summed as integers on the executors, divided by the member
+    count with truncating division ON THE DRIVER, re-materialized as
+    q / 2^20 — an exactly-representable double.  No round(double)
+    anywhere, so cross-engine assignment flips are impossible by
+    construction (the ml.py hardening).  The only driver-side data is the
+    128-row codebook per iteration — the documented codebook exception.
+    Returns [(m, k, cent)] sorted by (m, k); clusters that lose all
+    members drop out (identically in the oracle's GROUP BY)."""
+    import math
+
+    spark = corpus.sparkSession
+    seed_rows = corpus.where(F.col(id_col) < PQ_K).select(id_col, "embedding").collect()
+    cb: list[tuple[int, int, list[float]]] = []
+    for r in seed_rows:
+        emb = [float(x) for x in r["embedding"]]
+        k = int(r[id_col])
+        for m in range(PQ_M):
+            cb.append(
+                (m, k, [math.floor(v * PQ_CUNIT) / PQ_CUNIT
+                        for v in emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]])
+            )
+    cb.sort()
+    sub = _pq_subspaces(corpus, id_col, "vid")
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(cb, "m int, k int, cent array<double>")
+        assigned = _pq_floor_argmin(sub, cb_df)
+        dim_sums = [
+            F.sum(
+                F.floor(F.element_at("subvec", i + 1).cast("double") * PQ_CUNIT)
+                .cast("long")
+            ).alias(f"s{i}")
+            for i in range(PQ_SUBDIM)
+        ]
+        rows = (
+            assigned.groupBy("m", "code")
+            .agg(F.count(F.lit(1)).alias("cnt"), *dim_sums)
+            .collect()
+        )
+        cb = sorted(
+            (
+                int(r["m"]),
+                int(r["code"]),
+                [_pq_tdiv(int(r[f"s{i}"]), int(r["cnt"])) / PQ_CUNIT
+                 for i in range(PQ_SUBDIM)],
+            )
+            for r in rows
+        )
+    return cb
+
+
+def topk_pq_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """ANN top-k by ADC over a TRAINED product quantizer — the
+    production-faithful upgrade of topk_pq (r3 VERDICT stretch #8): train
+    with pq_train_codebook, encode on the same floor-grid argmin, then the
+    identical broadcast equi-join ADC scan with floor(d * 1e6) integer
+    distance tables (floor, not round — no tie semantics anywhere in this
+    tier).  Scale shape is unchanged from topk_pq: training adds
+    `iters` broadcast-join + keyed-aggregate passes (each one shuffle),
+    and the scan still never touches raw corpus vectors."""
+    import math
+
+    cb = pq_train_codebook(corpus, id_col, iters)
+    q_rows = queries.select(id_col, "embedding").collect()
+    qtab_rows: list[tuple] = []
+    for r in q_rows:
+        qid = int(r[id_col])
+        emb = [float(x) for x in r["embedding"]]
+        for m, kk, c in cb:
+            sub = emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            # left-associated accumulation — same order as _pq_sqdist
+            # (Spark codegen) and the oracle's sequential list_sum fold
+            d = (sub[0] - c[0]) ** 2
+            for j in range(1, PQ_SUBDIM):
+                d = d + (sub[j] - c[j]) ** 2
+            qtab_rows.append((qid, m, kk, math.floor(d * PQ_SCALE)))
+    spark = corpus.sparkSession
+    cb_df = spark.createDataFrame(cb, "m int, k int, cent array<double>")
+    qtab = spark.createDataFrame(
+        qtab_rows, "query_id bigint, m int, code int, d_int bigint"
+    )
+    codes = _pq_floor_argmin(
+        _pq_subspaces(corpus, id_col, "vid"), cb_df
+    ).select("vid", "m", "code")
+    scored = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .where(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d_int").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
+        )
+    )
