@@ -101,11 +101,11 @@ _PRIORITY = (
 
 # Round-5 window plan: after CORRECTNESS_r04 lands, every key except those
 # registered after the round-4 window filled (mm_bmp_features,
-# grouping_id_flags, group_collated, sql_parameterized, plus the search/
-# recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma — all green
-# at both scales via tools/drive_entry.py) will have a lifetime driver
-# verdict — lead the next window with those, then rotate in whatever round 5
-# adds.
+# grouping_id_flags, group_collated, sql_parameterized, the search/
+# recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma, and
+# sim_topk_pq_trained — all green at both scales via tools/drive_entry.py)
+# will have a lifetime driver verdict — lead the next window with those
+# eight, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)
