@@ -126,3 +126,61 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- streaming EWMA: the stateful twin of queries/timeseries.ev_ewma --------
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("ewma_u", LongType()),
+    ]
+)
+
+EWMA_STATE = StructType(
+    [
+        StructField("rn", LongType()),
+        StructField("s", LongType()),
+    ]
+)
+
+
+def _ewma_update(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch rows (sorted by event time) through the
+    integer EWMA recurrence, carrying (row_count, last_smoothed) as state.
+    Same arithmetic as queries/timeseries.ev_ewma: v_u = floor(value * 1e6),
+    s = (3*v + 7*s_prev) // 10 — exact integers, so stream == batch
+    bit-for-bit whenever arrival respects per-key event-time order (the
+    operator's documented contract; a production deployment fronts this
+    with a watermark + in-batch sort, as here)."""
+    import numpy as np
+
+    (user_id,) = key
+    rn, s = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"], kind="mergesort")
+    v = np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64")
+    rns, outs = [], []
+    for x in v:
+        x = int(x)
+        s = x if rn == 0 else (3 * x + 7 * s) // 10
+        rn += 1
+        rns.append(rn)
+        outs.append(s)
+    state.update((rn, s))
+    yield pd.DataFrame({"user_id": [user_id] * len(v), "rn": rns, "ewma_u": outs})
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA with explicit state — the stream twin of the
+    ev_ewma batch key (same integer recurrence, same output schema).
+    State is one (rn, s) tuple per user: bounded by active users."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -176,3 +176,33 @@ def test_transform_with_state_converges_or_is_gated(spark, sf_dir, tmp_path):
         for r in running_user_totals(load_table(spark, sf_dir, "events")).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_ewma_matches_batch_key(spark, sf_dir, tmp_path):
+    """The stateful streaming EWMA must reproduce the batch ev_ewma key
+    row-for-row (same integer recurrence, state carried across the
+    availableNow replay)."""
+    from experiments_datafusion_spark.queries import all_queries
+    from experiments_datafusion_spark.streaming.stateful import streaming_ewma
+
+    d = tmp_path / "ewma"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    out = streaming_ewma(_src(spark, d, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["rn"]): r["ewma_u"]
+        for r in spark.table("sink_ewma").collect()
+    }
+    batch = {
+        (r["user_id"], r["rn"]): r["ewma_u"]
+        for r in all_queries()["ev_ewma"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
