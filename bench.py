@@ -62,6 +62,10 @@ HEADLINE = [
     "docs_winnowing",  # round 4: winnowing fingerprint posting list
     "scd2_snapshot",  # round 4: SCD2 dimension build (one window pass)
     "interval_coverage",  # round 4: gaps-and-islands interval merge
+    "search_rrf_fusion",  # round 4: two BM25 passes + rank fusion
+    "freq_token_pairs",  # round 4: df-capped co-occurrence self-join
+    "ev_ewma",  # round 4: per-key integer recurrence (applyInPandas)
+    "sim_topk_pq_trained",  # round 4: Lloyd-trained PQ (train + encode + ADC)
 ]
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)

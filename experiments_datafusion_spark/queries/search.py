@@ -88,6 +88,12 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (normally an anti-pattern) touches k rows, not the corpus."""
     docs = table(spark, sf_dir, "documents")
     toks, dl, corpus = bm25_tok_stats(docs)
+    # Both rankings consume the same tokenize subtree.  A/B at sf0.1:
+    # materializing the EXPLODED token relation (localCheckpoint) loses —
+    # 2.3M materialized rows cost more than the second filtered scan
+    # (1.63s vs 1.17s) — so only the small per-doc length table is
+    # checkpointed; the token scan stays lazy and re-runs per ranking.
+    dl = dl.localCheckpoint(eager=True)
 
     def ranked(terms: tuple[str, ...], sfx: str) -> DataFrame:
         per_doc = bm25_per_doc(toks, dl, corpus, terms)
@@ -163,9 +169,12 @@ def freq_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All thresholds are relative to corpus size, so the same constants hold
     at any scale factor."""
     docs = table(spark, sf_dir, "documents")
+    # three consumers (corpus stats, df table, the kept posting list) would
+    # each re-scan and re-explode the corpus; materialize the distinct
+    # (doc, term) relation once
     toks = spread(docs).select(
         "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("term")
-    )
+    ).localCheckpoint(eager=True)
     stats = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     kept = (

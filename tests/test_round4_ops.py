@@ -163,3 +163,32 @@ def test_bm25_scores_positive_and_ranked(spark, sf_dir):
     scores = [r["score_u"] for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bloom_prefilter_prunes_and_is_sound(spark, sf_dir):
+    """The Bloom prefilter must (a) actually prune probe rows hard — the
+    sizing rule keeps false positives ~0.5%, so the pass-set tracks the
+    true match rate — and (b) never drop a true match (no false
+    negatives)."""
+    import experiments_datafusion_spark.queries.advanced_joins as AJ
+    from experiments_datafusion_spark.io import table as load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    signed, mbits = AJ._bloom_build(build, "o_orderkey")
+    passed = AJ.bloom_filter_probe(li, "l_orderkey", signed, mbits)
+
+    n_total, n_passed = li.count(), passed.count()
+    true_matches = li.join(build, li["l_orderkey"] == build["o_orderkey"], "left_semi")
+    n_true = true_matches.count()
+    # no false negatives: every true match passes
+    missed = true_matches.join(
+        passed.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    ).count()
+    assert missed == 0
+    assert n_true <= n_passed  # pass-set is a superset of matches
+    # and it prunes: false-positive overhead under 5% of the non-matches
+    assert (n_passed - n_true) <= 0.05 * (n_total - n_true)
