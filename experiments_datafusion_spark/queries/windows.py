@@ -195,3 +195,58 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("l_partkey").over(w).alias("last_part"),
         F.nth_value("l_partkey", 2).over(w).alias("second_part"),
     )
+
+
+@register(
+    "win_rolling_median",
+    tags=("window", "frame", "percentile"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       median(cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 50
+)
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over a sliding ROWS frame — the order-statistic
+    window no running aggregate expresses.  Spark disallows median() with a
+    window frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the Spark
+    side CONSTRUCTS the order statistic: collect_list over the frame,
+    array_sort, midpoint — while the oracle uses DuckDB's native windowed
+    median(); two independent formulations, one answer.  Inputs are
+    quantized to integer cents first, so the only arithmetic either engine
+    performs is the even-count midpoint (x + y) / 2 of two exact integers —
+    exactly representable, immune to accumulation order (both engines
+    define median as the continuous 0.5-quantile).  Scale shape: one hash
+    partition + in-partition sort (the standard window exchange); the
+    collected frame is O(7) per row, bounded by the frame literal."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.array_sort(F.collect_list(cents).over(w)).alias("_a"),
+        )
+        .withColumn("_n", F.size("_a"))
+        .withColumn(
+            "med_cents",
+            F.expr(
+                "CASE WHEN _n % 2 = 1"
+                "  THEN CAST(element_at(_a, CAST((_n + 1) div 2 AS INT)) AS DOUBLE)"
+                "  ELSE (element_at(_a, CAST(_n div 2 AS INT)) + element_at(_a, CAST(_n div 2 + 1 AS INT))) / 2.0"
+                " END"
+            ),
+        )
+        .drop("_a", "_n")
+    )

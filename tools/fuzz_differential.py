@@ -338,7 +338,12 @@ def setspec_to_spark(spec: SetSpec, df):
         "union": lambda: a.unionByName(b).distinct(),
         "intersect": lambda: a.intersect(b),
         "intersect_all": lambda: a.intersectAll(b),
-        "except": lambda: a.exceptAll(b).distinct(),
+        # subtract == EXCEPT DISTINCT; exceptAll().distinct() is WRONG (a
+        # row with more copies in a than b would survive the multiset
+        # difference and the dedup, but SQL EXCEPT drops any row present in
+        # b).  The fuzzer itself caught this lowering bug (seeds 1001,
+        # 31337 at sf0.01).
+        "except": lambda: a.subtract(b),
         "except_all": lambda: a.exceptAll(b),
     }[spec.op]()
     return combined.groupBy(
