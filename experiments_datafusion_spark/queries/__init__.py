@@ -102,10 +102,11 @@ _PRIORITY = (
 # Round-5 window plan: after CORRECTNESS_r04 lands, every key except those
 # registered after the round-4 window filled (mm_bmp_features,
 # grouping_id_flags, group_collated, sql_parameterized, the search/
-# recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma, and
-# sim_topk_pq_trained — all green at both scales via tools/drive_entry.py)
+# recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma,
+# sim_topk_pq_trained, join_bloom_prefilter, win_rolling_median and
+# text_containment — all green at both scales via tools/drive_entry.py)
 # will have a lifetime driver verdict — lead the next window with those
-# eight, then rotate in whatever round 5 adds.
+# eleven, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)

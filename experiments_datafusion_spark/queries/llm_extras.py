@@ -550,3 +550,76 @@ def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((shared * 1000 - (shared * 1000) % total) / total).cast("long").alias("shared_milli"),
         )
     )
+
+
+# shingle CTEs through `common` (sh_str/sh/sizes/common) for containment
+_SQL_SH_COMMON = _SQL_SHINGLE_CTE.split(",\njac")[0]
+
+_CONT_MILLI = 600  # report pairs where either containment >= 60%
+
+
+@register(
+    "text_containment",
+    tags=("llm", "dedup", "text"),
+    oracle=f"""
+WITH {_SQL_SH_COMMON},
+pairs AS (
+  SELECT x, y, c,
+         sa.n_sh AS n_x, sb.n_sh AS n_y,
+         c * 1000 // sa.n_sh AS cont_x_milli,
+         c * 1000 // sb.n_sh AS cont_y_milli
+  FROM common
+  JOIN sizes sa ON x = sa.doc_id
+  JOIN sizes sb ON y = sb.doc_id
+)
+SELECT x, y,
+       CAST(c AS BIGINT) AS n_common,
+       CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+       CAST(cont_x_milli AS BIGINT) AS cont_x_milli,
+       CAST(cont_y_milli AS BIGINT) AS cont_y_milli
+FROM pairs
+WHERE cont_x_milli >= {_CONT_MILLI} OR cont_y_milli >= {_CONT_MILLI}
+""",
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup detection: |A ∩ B| / |A| — the
+    direction-aware measure that catches quote/substring duplication a
+    symmetric Jaccard misses (a short doc fully quoted inside a long one
+    has low Jaccard but containment ~1 in one direction).  Reports every
+    pair where EITHER direction's containment >= 60%, with exact integer
+    milli-unit scores (c * 1000 // |side| — no float division anywhere).
+
+    Shape: identical scale behaviour to the exact-Jaccard join — one
+    posting-list self-join on 60-bit shingle hashes (high-cardinality
+    partitioning, no all-pairs), two broadcast-size size joins; the only
+    change vs jaccard_pairs is the denominator."""
+    sh = D.doc_shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("x") == F.col("sa.doc_id"))
+        .join(sb, F.col("y") == F.col("sb.doc_id"))
+        .select(
+            "x",
+            "y",
+            F.col("c").cast("long").alias("n_common"),
+            F.col("sa.n_sh").cast("long").alias("n_x"),
+            F.col("sb.n_sh").cast("long").alias("n_y"),
+        )
+        .withColumn("cont_x_milli", F.expr("(n_common * 1000) div n_x").cast("long"))
+        .withColumn("cont_y_milli", F.expr("(n_common * 1000) div n_y").cast("long"))
+        .where(
+            (F.col("cont_x_milli") >= _CONT_MILLI)
+            | (F.col("cont_y_milli") >= _CONT_MILLI)
+        )
+    )
