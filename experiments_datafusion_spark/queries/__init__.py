@@ -104,9 +104,10 @@ _PRIORITY = (
 # grouping_id_flags, group_collated, sql_parameterized, the search/
 # recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma,
 # sim_topk_pq_trained, join_bloom_prefilter, win_rolling_median and
-# text_containment — all green at both scales via tools/drive_entry.py)
+# text_containment, sql_recursive_spine and sql_scripting_block — all
+# green at both scales via tools/drive_entry.py)
 # will have a lifetime driver verdict — lead the next window with those
-# eleven, then rotate in whatever round 5 adds.
+# thirteen, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)

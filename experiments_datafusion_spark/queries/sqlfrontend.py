@@ -174,3 +174,81 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sorted(map(str, immediate.collect()))
     assert a == b, "EXECUTE IMMEDIATE diverged from parameterized sql()"
     return bound
+
+
+@register(
+    "sql_recursive_spine",
+    tags=("sql", "frontend", "recursive"),
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1992-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1998-12-01'
+)
+SELECT strftime(m, '%Y-%m-%d') AS month_start,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+""",
+)
+def sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (WITH RECURSIVE ... UNION ALL): generate the
+    1992-01..1998-12 month spine recursively, then LEFT JOIN order counts —
+    the classic gap-filled date-spine warehouse pattern, now expressible in
+    the text-SQL frontend (no DataFrame sequence()/explode needed).  Spark
+    4.1 supports UNION ALL recursion only (UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE), so the spine is the honest acyclic use; fixed-point
+    algorithms (components, closure) still go through the iterative
+    DataFrame operators (operators/graph.py).  Scale: the recursion
+    produces 84 driver-side rows; the join/aggregate are the ordinary
+    distributed plan."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1992-01-01'
+  UNION ALL
+  SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '1998-12-01'
+)
+SELECT date_format(m, 'yyyy-MM-dd') AS month_start,
+       count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+GROUP BY m
+""")
+
+
+@register(
+    "sql_scripting_block",
+    tags=("sql", "frontend", "scripting"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+GROUP BY o_orderpriority
+""",
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN ... END with DECLARE/SET): compute a
+    dynamic threshold into a session variable, then run the dependent
+    aggregate — the procedural pattern warehouses use for parameterized
+    maintenance jobs, expressed entirely in the SQL frontend.  The block's
+    LAST statement's result is returned.  Determinism: the threshold is a
+    SELECTION (max) scaled by a constant — both engines compute the
+    identical double — and money sums use the exact integer-cent recipe."""
+    register_views(spark, sf_dir, ("orders",))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 0;
+  SET cutoff = (SELECT max(o_totalprice) * 0.9 FROM orders);
+  SELECT o_orderpriority,
+         count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders
+  WHERE o_totalprice > cutoff
+  GROUP BY o_orderpriority;
+END
+""")
