@@ -134,15 +134,25 @@ def _gen_preds(rng: random.Random, table: str, n: int) -> list[Pred]:
     preds = []
     for _ in range(n):
         r = rng.random()
-        if r < 0.5:
+        if r < 0.4:
             col, lo, hi = rng.choice(NUM_COLS[table])
             lit = round(rng.uniform(lo, hi), 2)
             if isinstance(lo, int) and rng.random() < 0.5:
                 lit = int(lit)
             preds.append(Pred(col, rng.choice(["<", "<=", ">", ">="]), lit, "num"))
-        elif r < 0.8:
+        elif r < 0.55:  # BETWEEN on a numeric range
+            col, lo, hi = rng.choice(NUM_COLS[table])
+            a = round(rng.uniform(lo, hi), 2)
+            b = round(rng.uniform(lo, hi), 2)
+            lo2, hi2 = (a, b) if a <= b else (b, a)
+            preds.append(Pred(col, "between", (lo2, hi2), "num_between"))
+        elif r < 0.7:
             col, vals = rng.choice(STR_COLS[table])
             preds.append(Pred(col, rng.choice(["=", "<>"]), rng.choice(vals), "str"))
+        elif r < 0.82:  # IN-list over a random value subset
+            col, vals = rng.choice(STR_COLS[table])
+            subset = tuple(sorted(rng.sample(vals, rng.randint(1, min(3, len(vals))))))
+            preds.append(Pred(col, "in", subset, "str_in"))
         else:
             col = rng.choice(DATE_COLS[table])
             d = f"199{rng.randint(2, 8)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
@@ -227,7 +237,7 @@ _WORDER = "l_extendedprice, l_orderkey, l_linenumber"  # total order
 
 
 def wspec_to_sql(spec: WSpec) -> str:
-    conds = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds)
+    conds = " AND ".join(_sql_pred(p) for p in spec.preds)
     over = f"OVER (PARTITION BY {', '.join(spec.partition)} ORDER BY {_WORDER}"
     parts = []
     for kind, col, param, alias in spec.funcs:
@@ -311,8 +321,8 @@ def gen_setspec(rng: random.Random) -> SetSpec:
 
 
 def setspec_to_sql(spec: SetSpec) -> str:
-    ca = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds_a)
-    cb = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds_b)
+    ca = " AND ".join(_sql_pred(p) for p in spec.preds_a)
+    cb = " AND ".join(_sql_pred(p) for p in spec.preds_b)
     return (
         "SELECT l_returnflag, l_linestatus, l_linenumber, qty, "
         "CAST(count(*) AS BIGINT) AS n FROM ("
@@ -413,7 +423,7 @@ def _scalar_spark(kind: str, p: int):
 
 
 def sspec_to_sql(spec: SSpec) -> str:
-    conds = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds)
+    conds = " AND ".join(_sql_pred(p) for p in spec.preds)
     parts = [f"{_SCALAR_SQL[k](p)} AS {alias}" for k, p, alias in spec.exprs]
     return (
         f"SELECT l_orderkey, l_linenumber, {', '.join(parts)} "
@@ -439,11 +449,21 @@ def _sql_lit(p: Pred) -> str:
     return f"TIMESTAMP '{p.lit}'"
 
 
+def _sql_pred(p: Pred) -> str:
+    if p.kind == "num_between":
+        lo, hi = p.lit
+        return f"({p.col} BETWEEN {lo!r} AND {hi!r})"
+    if p.kind == "str_in":
+        vals = ", ".join("'" + str(v).replace("'", "''") + "'" for v in p.lit)
+        return f"({p.col} IN ({vals}))"
+    return f"({p.col} {p.op} {_sql_lit(p)})"
+
+
 def to_sql(spec: Spec) -> str:
     conds = f" {spec.conj} ".join(
-        f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.preds
+        _sql_pred(p) for p in spec.preds
     )
-    oconds = " AND ".join(f"({p.col} {p.op} {_sql_lit(p)})" for p in spec.join_preds)
+    oconds = " AND ".join(_sql_pred(p) for p in spec.join_preds)
     if spec.join == "inner":
         frm = "lineitem JOIN orders ON l_orderkey = o_orderkey"
         conds = f"({conds}) AND ({oconds})"
@@ -490,6 +510,15 @@ def _spark_cond(preds: list[Pred], conj: str):
     cond = None
     for p in preds:
         c = F.col(p.col)
+        if p.kind == "num_between":
+            lo, hi = p.lit
+            e = c.between(F.lit(lo), F.lit(hi))
+            cond = e if cond is None else (cond & e if conj == "AND" else cond | e)
+            continue
+        if p.kind == "str_in":
+            e = c.isin(*p.lit)
+            cond = e if cond is None else (cond & e if conj == "AND" else cond | e)
+            continue
         lit = F.lit(p.lit).cast("timestamp") if p.kind == "date" else F.lit(p.lit)
         e = {
             "<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit,
