@@ -104,10 +104,11 @@ _PRIORITY = (
 # grouping_id_flags, group_collated, sql_parameterized, the search/
 # recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma,
 # sim_topk_pq_trained, join_bloom_prefilter, win_rolling_median and
-# text_containment, sql_recursive_spine and sql_scripting_block — all
+# text_containment, sql_recursive_spine, sql_scripting_block and
+# dq_expectations — all
 # green at both scales via tools/drive_entry.py)
 # will have a lifetime driver verdict — lead the next window with those
-# thirteen, then rotate in whatever round 5 adds.
+# fourteen, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)

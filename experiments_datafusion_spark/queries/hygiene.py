@@ -256,3 +256,70 @@ def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("target_rate", 2).alias("target_rate"), "actual_rate",
         )
     )
+
+
+@register(
+    "dq_expectations",
+    tags=("hygiene", "quality", "audit"),
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+              OR o_orderdate > TIMESTAMP '1998-12-31 23:59:59'
+              OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v3,
+    count(*) - count(DISTINCT o_orderkey) AS v4,
+    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+              OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v5
+  FROM orders
+)
+SELECT 'totalprice_positive' AS rule, CAST(n AS BIGINT) AS n_checked,
+       CAST(v1 AS BIGINT) AS n_violations, CAST(v1 = 0 AS BIGINT) AS pass FROM a
+UNION ALL SELECT 'orderdate_in_range', CAST(n AS BIGINT), CAST(v2 AS BIGINT), CAST(v2 = 0 AS BIGINT) FROM a
+UNION ALL SELECT 'custkey_not_null', CAST(n AS BIGINT), CAST(v3 AS BIGINT), CAST(v3 = 0 AS BIGINT) FROM a
+UNION ALL SELECT 'orderkey_unique', CAST(n AS BIGINT), CAST(v4 AS BIGINT), CAST(v4 = 0 AS BIGINT) FROM a
+UNION ALL SELECT 'status_in_domain', CAST(n AS BIGINT), CAST(v5 AS BIGINT), CAST(v5 = 0 AS BIGINT) FROM a
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ / Great Expectations
+    shape): a rule set — positivity, domain membership, null checks, date
+    range, key uniqueness — evaluated in ONE scan as conditional aggregates
+    (uniqueness rides the same aggregate as count - count(DISTINCT key)),
+    then unpivoted to a (rule, n_checked, n_violations, pass) report.
+    Scale: one partial+final aggregate over the table no matter how many
+    rules; adding a rule adds a column, not a pass.  The 5-row unpivot is
+    driver-trivial."""
+    o = table(spark, sf_dir, "orders")
+    viol = [
+        ("totalprice_positive",
+         F.sum(F.when(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1).otherwise(0))),
+        ("orderdate_in_range",
+         F.sum(F.when(
+             F.col("o_orderdate").isNull()
+             | (F.col("o_orderdate") < F.lit("1992-01-01 00:00:00").cast("timestamp"))
+             | (F.col("o_orderdate") > F.lit("1998-12-31 23:59:59").cast("timestamp")),
+             1).otherwise(0))),
+        ("custkey_not_null",
+         F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))),
+        ("orderkey_unique",
+         F.count(F.lit(1)) - F.count_distinct("o_orderkey")),
+        ("status_in_domain",
+         F.sum(F.when(
+             F.col("o_orderstatus").isNull()
+             | ~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))),
+    ]
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[c.cast("long").alias(f"v{i}") for i, (_, c) in enumerate(viol)],
+    )
+    stack_args = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(viol))
+    return agg.selectExpr(
+        f"stack({len(viol)}, {stack_args}) AS (rule, n_violations)", "n"
+    ).select(
+        "rule",
+        F.col("n").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).cast("long").alias("pass"),
+    )
