@@ -105,10 +105,10 @@ _PRIORITY = (
 # recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma,
 # sim_topk_pq_trained, join_bloom_prefilter, win_rolling_median and
 # text_containment, sql_recursive_spine, sql_scripting_block and
-# dq_expectations — all
+# dq_expectations and join_interval_overlap — all
 # green at both scales via tools/drive_entry.py)
 # will have a lifetime driver verdict — lead the next window with those
-# fourteen, then rotate in whatever round 5 adds.
+# fifteen, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)

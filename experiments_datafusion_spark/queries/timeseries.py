@@ -315,3 +315,95 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(walk, schema="user_id long, rn long, ewma_u long")
     )
+
+
+# ---- interval x interval overlap join (bucketed; oracle = theta join) ------
+
+_OVL_G_US = 600 * 1_000_000  # 10-minute co-location buckets
+
+
+@register(
+    "join_interval_overlap",
+    tags=("timeseries", "join", "interval"),
+    oracle="""
+WITH a AS (
+  SELECT user_id, event_id AS a_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (60 + event_id % 540) * 1000000 AS e
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT user_id, event_id AS b_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (30 + event_id % 300) * 1000000 AS e
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, a_id, b_id,
+       CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (meetings x outages shape — distinct
+    from join_range_bands' point-in-interval): purchase-session intervals
+    against click-attention intervals per user, reporting exact integer-µs
+    overlap.  The Spark side runs the SCALABLE formulation — explode each
+    interval into 10-minute co-location buckets (interval length is bounded
+    by 10 min here, so <= 2 buckets each), equi-join on (user, bucket),
+    dedup the pair, then apply the exact overlap predicate — while the
+    oracle is the direct theta join, so the differential proves the
+    bucketed rewrite semantically invisible (the join_salted pattern).
+    At 100 TB the equi-join shuffles on (user, bucket) — co-located,
+    bounded fan-out — where the theta join would be a per-user cross
+    product."""
+    ev = table(spark, sf_dir, "events")
+
+    def intervals(kind: str, base: int, mod: int, id_alias: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == kind)
+        s = _us("ts")
+        return e.select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            s.alias(f"{id_alias}_s"),
+            (s + (F.lit(base) + F.col("event_id") % mod) * 1_000_000).alias(
+                f"{id_alias}_e"
+            ),
+        )
+
+    a = intervals("purchase", 60, 540, "a_id")
+    b = intervals("click", 30, 300, "b_id")
+
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{id_alias}_s") / _OVL_G_US),
+                    F.floor(F.col(f"{id_alias}_e") / _OVL_G_US),
+                )
+            ).alias("bucket"),
+        )
+
+    # equi-join on (user, bucket): expressed via the join condition so both
+    # sides keep their own column names
+    ab = bucketed(a, "a_id").alias("A").join(
+        bucketed(b, "b_id").alias("B"),
+        (F.col("A.user_id") == F.col("B.user_id"))
+        & (F.col("A.bucket") == F.col("B.bucket")),
+    )
+    return (
+        ab.where(
+            (F.col("A.a_id_s") < F.col("B.b_id_e"))
+            & (F.col("B.b_id_s") < F.col("A.a_id_e"))
+        )
+        .select(
+            F.col("A.user_id").alias("user_id"),
+            "a_id",
+            "b_id",
+            (
+                F.least(F.col("A.a_id_e"), F.col("B.b_id_e"))
+                - F.greatest(F.col("A.a_id_s"), F.col("B.b_id_s"))
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .distinct()
+    )
