@@ -664,6 +664,14 @@ def topk_ivfpq(
 PQ_ITERS = 2  # Lloyd refinements of the seed codebook (matches ml.py ITERS)
 PQ_CUNIT = 1 << 20  # centroid binary grid (2^-20): floor products are exact
 PQ_DUNIT = 1 << 14  # argmin distance grid: floor has no tie semantics
+# Training-sample cap: codebooks train on the deterministic prefix
+# vec_id < PQ_TRAIN_CAP (FAISS practice: PQ trains on a bounded sample, not
+# the corpus — faiss clustering warns above ~256k points per centroid set).
+# At the test scale factors the corpus is < 2k rows so the cap covers
+# everything (the DuckDB oracle replays the same WHERE); at 100 TB it is the
+# knob that keeps the driver-side trainer bounded while encode + ADC stay
+# fully distributed.
+PQ_TRAIN_CAP = 1 << 15
 
 
 def _pq_floor_argmin(sub: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -747,6 +755,86 @@ def pq_train_codebook(
     return cb
 
 
+def pq_train_codebook_local(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    iters: int = PQ_ITERS,
+    train_cap: int = PQ_TRAIN_CAP,
+) -> tuple[list[tuple[int, int, list[float]]], list]:
+    """The FAISS-shaped trainer: ONE narrow union collect fetches the
+    bounded training prefix (vec_id < train_cap) AND the query panel, then
+    runs the per-subspace integer-grid Lloyd loop driver-side in numpy —
+    bit-for-bit the same math as the distributed pq_train_codebook
+    (asserted equal in tests/test_llm_ops.py):
+
+    - distances accumulate per-dimension LEFT-ASSOCIATED (`d = d + term`
+      one dim at a time over the whole matrix — elementwise IEEE adds in
+      the same order as _pq_sqdist's codegen fold and the oracle's
+      sequential list_sum);
+    - argmin on floor(d * 2^14) with np.argmin's first-min = lowest k;
+    - centroid updates sum floor(x * 2^20) as exact int64 and divide with
+      the sign-matched truncating division.
+
+    Replaces `iters` driver-sequenced Spark jobs (broadcast join +
+    keyed aggregate + collect per iteration — the pagerank scheduling-floor
+    shape, ~1 s/iteration of overhead at sf0.1 for ~5 ms of math) with one
+    sub-second collect.  Production note: this is how PQ is actually
+    trained at 100 TB too — on a bounded sample, never the corpus; only
+    encode and the ADC scan are corpus-sized, and those stay distributed.
+    Returns (codebook, query_rows) with codebook sorted by (m, k)."""
+    import numpy as np
+
+    both = (
+        corpus.where(F.col(id_col) < train_cap)
+        .select(F.lit(0).alias("side"), F.col(id_col).alias("k"), "embedding")
+        .unionByName(
+            queries.select(F.lit(1).alias("side"), F.col(id_col).alias("k"), "embedding")
+        )
+        .collect()
+    )
+    train_rows = [r for r in both if r["side"] == 0]
+    q_rows = [r for r in both if r["side"] == 1]
+    train_rows.sort(key=lambda r: int(r["k"]))
+    # (n, PQ_M, PQ_SUBDIM) float64 — float->double widening is exact
+    X = np.array(
+        [[float(x) for x in r["embedding"]] for r in train_rows], dtype=np.float64
+    ).reshape(len(train_rows), PQ_M, PQ_SUBDIM)
+    U = np.floor(X * PQ_CUNIT).astype(np.int64)  # 2^20 scaling: exact
+    # seed: centroid (m, k) = subspace m of vector with id k, floor-gridded
+    ids = np.array([int(r["k"]) for r in train_rows])
+    seed_idx = np.nonzero(ids < PQ_K)[0]
+    cents = {
+        m: [(int(ids[i]), np.floor(X[i, m] * PQ_CUNIT) / PQ_CUNIT) for i in seed_idx]
+        for m in range(PQ_M)
+    }
+    for _ in range(iters):
+        new_cents: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for m in range(PQ_M):
+            ks = [k for k, _ in cents[m]]  # ascending: argmin first-min = low k
+            C = np.stack([c for _, c in cents[m]])  # (nk, SUBDIM)
+            d = (X[:, m, None, 0] - C[None, :, 0]) ** 2
+            for j in range(1, PQ_SUBDIM):
+                d = d + (X[:, m, None, j] - C[None, :, j]) ** 2
+            assign = np.argmin(np.floor(d * PQ_DUNIT), axis=1)  # (n,)
+            out = []
+            for ki, k in enumerate(ks):
+                members = assign == ki
+                cnt = int(members.sum())
+                if cnt == 0:
+                    continue  # empty clusters drop out (oracle GROUP BY)
+                s = U[members, m, :].sum(axis=0)  # exact int64
+                out.append(
+                    (k, np.array([_pq_tdiv(int(v), cnt) for v in s]) / PQ_CUNIT)
+                )
+            new_cents[m] = out
+        cents = new_cents
+    cb = sorted(
+        (m, k, [float(v) for v in c]) for m in range(PQ_M) for k, c in cents[m]
+    )
+    return cb, q_rows
+
+
 def topk_pq_trained(
     corpus: DataFrame,
     queries: DataFrame,
@@ -756,19 +844,20 @@ def topk_pq_trained(
 ) -> DataFrame:
     """ANN top-k by ADC over a TRAINED product quantizer — the
     production-faithful upgrade of topk_pq (r3 VERDICT stretch #8): train
-    with pq_train_codebook, encode on the same floor-grid argmin, then the
-    identical broadcast equi-join ADC scan with floor(d * 1e6) integer
-    distance tables (floor, not round — no tie semantics anywhere in this
-    tier).  Scale shape is unchanged from topk_pq: training adds
-    `iters` broadcast-join + keyed-aggregate passes (each one shuffle),
-    and the scan still never touches raw corpus vectors."""
+    with the FAISS-shaped bounded-sample local trainer
+    (pq_train_codebook_local — one collect, numpy Lloyd, bit-identical to
+    the distributed pq_train_codebook kept for unbounded corpora), encode
+    on the same floor-grid argmin, then the identical broadcast equi-join
+    ADC scan with floor(d * 1e6) integer distance tables (floor, not
+    round — no tie semantics anywhere in this tier).  Scale shape: setup
+    is ONE narrow collect bounded by PQ_TRAIN_CAP; encode + scan stay
+    corpus-sized and fully distributed, never touching raw vectors."""
     import math
 
-    cb = pq_train_codebook(corpus, id_col, iters)
-    q_rows = queries.select(id_col, "embedding").collect()
+    cb, q_rows = pq_train_codebook_local(corpus, queries, id_col, iters)
     qtab_rows: list[tuple] = []
     for r in q_rows:
-        qid = int(r[id_col])
+        qid = int(r["k"])
         emb = [float(x) for x in r["embedding"]]
         for m, kk, c in cb:
             sub = emb[m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]

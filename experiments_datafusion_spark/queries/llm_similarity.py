@@ -359,16 +359,19 @@ def _pq_trained_ctes() -> str:
   SELECT e.vec_id, t.m, e.embedding[t.m*{sd}+1 : t.m*{sd}+{sd}] AS subvec
   FROM embeddings e, unnest(generate_series(0, {m - 1})) AS t(m)
 ),
+trainsub AS (
+  SELECT * FROM sub WHERE vec_id < {S.PQ_TRAIN_CAP}
+),
 cb0 AS (
   SELECT m, CAST(vec_id AS INT) AS k,
          list_transform(subvec,
            x -> CAST(floor(CAST(x AS DOUBLE) * {cu}) AS BIGINT) / {cu}.0) AS cent
-  FROM sub WHERE vec_id < {kc}
+  FROM trainsub WHERE vec_id < {kc}
 )"""]
     for i in range(it):
         ctes.append(f"""a{i} AS (
   SELECT s.vec_id, s.m, c.k, s.subvec
-  FROM sub s JOIN cb{i} c ON c.m = s.m
+  FROM trainsub s JOIN cb{i} c ON c.m = s.m
   QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m
     ORDER BY CAST(floor({sqd} * {du}) AS BIGINT) ASC, c.k ASC) = 1
 ),

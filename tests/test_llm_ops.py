@@ -284,6 +284,21 @@ def test_pq_trained_reduces_distortion_and_holds_recall(spark, emb, truth):
     assert _recall(trained, truth) >= _recall(seed, truth) - 1.0 / len(truth)
 
 
+def test_pq_trained_local_matches_distributed(spark, emb):
+    """The FAISS-shaped one-collect numpy trainer (pq_train_codebook_local)
+    must be BIT-IDENTICAL to the distributed Lloyd loop it replaces — same
+    floor grids, same left-associated distance accumulation, same
+    truncating division — at every iteration count, including the empty-
+    cluster drop behavior.  This is the guard that lets topk_pq_trained
+    keep the unchanged chained-CTE oracle."""
+    q = emb.where(F.col("vec_id") < NQ)
+    for iters in (0, 1, 2):
+        dist = S.pq_train_codebook(emb, iters=iters)
+        local, q_rows = S.pq_train_codebook_local(emb, q, iters=iters)
+        assert local == dist, f"trainer divergence at iters={iters}"
+    assert sorted(int(r["k"]) for r in q_rows) == list(range(NQ))
+
+
 def test_pq_trained_codebook_on_grid_and_sorted(spark, emb):
     """Every trained centroid component sits exactly on the 2^-20 binary
     grid (the no-round hardening), and the codebook is (m, k)-sorted with
