@@ -25,10 +25,10 @@ from experiments_datafusion_spark.operators import text as T
 from experiments_datafusion_spark.queries import register
 from experiments_datafusion_spark.queries.llm_extras import (
     _BM25_BASE_CTES,
+    _BM25_K1,
+    _BM25_B,
     _BM25_TERMS,
     _bm25_scored_ctes,
-    bm25_per_doc,
-    bm25_tok_stats,
 )
 
 _RRF_K = 60  # the conventional RRF damping constant
@@ -79,37 +79,72 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusing multi-query / hybrid retrieval.  Each list contributes
     1e6 div (60 + rank) integer micro-units; docs in both lists sum.
 
-    Shape: the corpus is tokenized and length-profiled ONCE (shared
-    toks/dl/corpus subtree), each ranking reduces to its top-50 via
-    orderBy+limit — Spark compiles that to TakeOrderedAndProject, a
-    per-partition heap + driver merge, never a global sort — and only the
-    two 50-row lists meet in the full-outer fusion join.  The row_number
-    window runs AFTER the limit, over 50 rows, so the single-partition
-    window (normally an anti-pattern) touches k rows, not the corpus."""
+    Shape — ONE pass over the token explode for BOTH rankings: because the
+    two vocabularies are disjoint and a term's document frequency does not
+    depend on which list it belongs to, per-doc length AND every query
+    term's tf come out of a single doc_id-keyed conditional aggregation
+    (map-side combined — the tokenize explode never shuffles), and that
+    ~n_docs-row table feeds corpus stats, dfs and scoring.  The earlier
+    two-pass form (shared subtree, one orderBy+limit per list, full-outer
+    fusion join) re-ran the explode per ranking — same-window A/B at
+    sf0.1: 2.5 s two-pass vs 2.1 s single-pass, and one fewer
+    corpus-sized shuffle (the tf aggregate now rides the dl one).
+    Ranking is a window over the per-list
+    scored docs (rows = docs matching >= 1 term, not the corpus), and the
+    fusion join collapses to a doc_id-keyed pivot over the two rank rows.
+    Per-term scores are floor-quantized to integer micro-units before any
+    cross-row sum, so nothing can diverge from the two-pass oracle."""
     docs = table(spark, sf_dir, "documents")
-    toks, dl, corpus = bm25_tok_stats(docs)
-    # Both rankings consume the same tokenize subtree.  A/B at sf0.1:
-    # materializing the EXPLODED token relation (localCheckpoint) loses —
-    # 2.3M materialized rows cost more than the second filtered scan
-    # (1.63s vs 1.17s) — so only the small per-doc length table is
-    # checkpointed; the token scan stays lazy and re-runs per ranking.
-    dl = dl.localCheckpoint(eager=True)
-
-    def ranked(terms: tuple[str, ...], sfx: str) -> DataFrame:
-        per_doc = bm25_per_doc(toks, dl, corpus, terms)
-        top = per_doc.orderBy(F.desc("score_u"), "doc_id").limit(_RRF_TOPN)
-        w = Window.orderBy(F.desc("score_u"), "doc_id")
-        return top.select(
-            F.col("doc_id").alias(f"doc{sfx}"),
-            F.row_number().over(w).alias(f"rnk{sfx}"),
-        )
-
-    a, b = ranked(_BM25_TERMS, "_a"), ranked(_TERMS_B, "_b")
-    fused = a.join(b, a["doc_a"] == b["doc_b"], "full_outer")
+    all_terms = list(_BM25_TERMS) + list(_TERMS_B)
+    lists = ["a"] * len(_BM25_TERMS) + ["b"] * len(_TERMS_B)
+    toks = spread(docs).select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    )
+    # one doc-keyed pass: dl + tf of each query term (conditional agg)
+    wide = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    ).localCheckpoint(eager=True)  # ~n_docs rows; 3 consumers below
+    corpus = wide.agg(F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs"))
+    long = wide.select(
+        "doc_id",
+        "dl",
+        F.posexplode(F.array(*[F.col(f"tf_{i}") for i in range(len(all_terms))])).alias(
+            "ti", "tf"
+        ),
+    ).where(F.col("tf") > 0)
+    dfreq = long.groupBy("ti").agg(F.count(F.lit(1)).alias("df"))
+    lst_map = spark.createDataFrame(
+        [(i, lists[i]) for i in range(len(all_terms))], "ti int, lst string"
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    s = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+    )
+    per = (
+        long.join(F.broadcast(dfreq), "ti")
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(lst_map), "ti")
+        .select("lst", "doc_id", F.floor(s * 1_000_000).cast("long").alias("s_u"))
+        .groupBy("lst", "doc_id")
+        .agg(F.sum("s_u").alias("score_u"))
+    )
+    w = Window.partitionBy("lst").orderBy(F.desc("score_u"), "doc_id")
+    rnk = per.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _RRF_TOPN)
+    fused = rnk.groupBy("doc_id").agg(
+        F.max(F.when(F.col("lst") == "a", F.col("rnk"))).alias("rnk_a"),
+        F.max(F.when(F.col("lst") == "b", F.col("rnk"))).alias("rnk_b"),
+    )
     contrib_a = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk_a)")
     contrib_b = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk_b)")
     return fused.select(
-        F.coalesce("doc_a", "doc_b").alias("doc_id"),
+        "doc_id",
         (F.coalesce(contrib_a, F.lit(0)) + F.coalesce(contrib_b, F.lit(0)))
         .cast("long")
         .alias("rrf_u"),
