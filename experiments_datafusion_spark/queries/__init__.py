@@ -105,10 +105,11 @@ _PRIORITY = (
 # recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma,
 # sim_topk_pq_trained, join_bloom_prefilter, win_rolling_median and
 # text_containment, sql_recursive_spine, sql_scripting_block and
-# dq_expectations and join_interval_overlap — all
-# green at both scales via tools/drive_entry.py)
+# dq_expectations and join_interval_overlap, plus the continuation batch
+# profile_columns / win_gap_islands / join_spatial_grid / ev_rate_limit —
+# all green at all three scales via tools/drive_entry.py)
 # will have a lifetime driver verdict — lead the next window with those
-# fifteen, then rotate in whatever round 5 adds.
+# nineteen, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)

@@ -323,3 +323,102 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).cast("long").alias("pass"),
     )
+
+
+# ---- one-pass column profiling (the Deequ "analyzer" shape) ----------------
+
+# (column, null-check expr suffix, min/max renderer) per orders column.  The
+# renderers are chosen for cross-engine determinism: integers/strings render
+# natively, money renders as half-up integer cents (floor(x*100 + 0.5) — one
+# IEEE multiply + floor, identical in both engines), timestamps render as
+# "yyyy-MM-dd HH:mm:ss".
+
+
+@register(
+    "profile_columns",
+    tags=("hygiene", "quality", "audit"),
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn0,
+    count(DISTINCT o_orderkey) AS nd0,
+    CAST(min(o_orderkey) AS VARCHAR) AS mn0, CAST(max(o_orderkey) AS VARCHAR) AS mx0,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+    count(DISTINCT o_custkey) AS nd1,
+    CAST(min(o_custkey) AS VARCHAR) AS mn1, CAST(max(o_custkey) AS VARCHAR) AS mx1,
+    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn2,
+    count(DISTINCT o_orderstatus) AS nd2,
+    min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn3,
+    count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS nd3,
+    CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS mn3,
+    CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS mx3,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn4,
+    count(DISTINCT o_orderdate) AS nd4,
+    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn4,
+    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx4,
+    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn5,
+    count(DISTINCT o_orderpriority) AS nd5,
+    min(o_orderpriority) AS mn5, max(o_orderpriority) AS mx5
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(nn0 AS BIGINT) AS n_nulls, CAST(nd0 AS BIGINT) AS n_distinct,
+       mn0 AS min_s, mx0 AS max_s FROM a
+UNION ALL SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nn1 AS BIGINT), CAST(nd1 AS BIGINT), mn1, mx1 FROM a
+UNION ALL SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nn2 AS BIGINT), CAST(nd2 AS BIGINT), mn2, mx2 FROM a
+UNION ALL SELECT 'o_totalprice_cents', CAST(n AS BIGINT), CAST(nn3 AS BIGINT), CAST(nd3 AS BIGINT), mn3, mx3 FROM a
+UNION ALL SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(nn4 AS BIGINT), CAST(nd4 AS BIGINT), mn4, mx4 FROM a
+UNION ALL SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(nn5 AS BIGINT), CAST(nd5 AS BIGINT), mn5, mx5 FROM a
+""",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the Deequ/Great Expectations "analyzer"
+    report): for every column of `orders` — null count, exact distinct
+    count, min and max rendered portably (money as half-up integer cents,
+    timestamps as yyyy-MM-dd HH:mm:ss) — emitted as one (col_name, n_rows,
+    n_nulls, n_distinct, min_s, max_s) row per column.
+
+    Shape: ALL profiles ride ONE partial+final aggregate over the table
+    (adding a column adds agg expressions, not a pass); Spark plans the
+    multi-count-distinct via a single expand + two-stage aggregate.  The
+    6-row unpivot is driver-trivial.  This is the audit every ingest step
+    of a 100 TB pipeline runs before accepting a drop."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    fmt_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    profs = [
+        ("o_orderkey", F.col("o_orderkey"),
+         lambda c: F.min(c).cast("string"), lambda c: F.max(c).cast("string")),
+        ("o_custkey", F.col("o_custkey"),
+         lambda c: F.min(c).cast("string"), lambda c: F.max(c).cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus"), F.min, F.max),
+        ("o_totalprice_cents", cents,
+         lambda c: F.min(c).cast("string"), lambda c: F.max(c).cast("string")),
+        ("o_orderdate", F.col("o_orderdate"),
+         lambda c: fmt_ts(F.min(c)), lambda c: fmt_ts(F.max(c))),
+        ("o_orderpriority", F.col("o_orderpriority"), F.min, F.max),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (_, col, mn, mx) in enumerate(profs):
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"nn{i}"),
+            F.count_distinct(col).alias(f"nd{i}"),
+            mn(col).alias(f"mn{i}"),
+            mx(col).alias(f"mx{i}"),
+        ]
+    agg = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn{i}, nd{i}, mn{i}, mx{i}" for i, (name, *_) in enumerate(profs)
+    )
+    return agg.selectExpr(
+        f"stack({len(profs)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_s, max_s)",
+        "n",
+    ).select(
+        "col_name",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    )

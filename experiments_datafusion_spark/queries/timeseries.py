@@ -407,3 +407,97 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---- per-key token-bucket rate limiting (clamped recurrence) ---------------
+
+_RL_CAP = 3_000_000  # bucket capacity: 3 tokens, in micro-tokens
+_RL_COST = 1_000_000  # one token per event
+_RL_DIV = 54000  # refill = dt_us // 54000 == 1 token per 15 h in micro-tokens
+# (15 h > the fixture's median 7.3 h inter-event gap, so the bucket DRAINS
+# under sustained traffic and both branches of the clamp are exercised)
+
+
+@register(
+    "ev_rate_limit",
+    tags=("timeseries", "stateful", "udf"),
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, ts_us, tok, acc) AS (
+  SELECT user_id, rn, ts_us,
+         CASE WHEN {_RL_CAP} >= {_RL_COST} THEN {_RL_CAP} - {_RL_COST}
+              ELSE {_RL_CAP} END,
+         CAST({_RL_CAP} >= {_RL_COST} AS BIGINT)
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts_us,
+         CASE WHEN least({_RL_CAP}, w.tok + (e.ts_us - w.ts_us) // {_RL_DIV}) >= {_RL_COST}
+              THEN least({_RL_CAP}, w.tok + (e.ts_us - w.ts_us) // {_RL_DIV}) - {_RL_COST}
+              ELSE least({_RL_CAP}, w.tok + (e.ts_us - w.ts_us) // {_RL_DIV}) END,
+         CAST(least({_RL_CAP}, w.tok + (e.ts_us - w.ts_us) // {_RL_DIV}) >= {_RL_COST} AS BIGINT)
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn,
+       CAST(tok AS BIGINT) AS tokens_u, CAST(acc AS BIGINT) AS accepted
+FROM walk
+""",
+)
+def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket rate limiting over the event stream — the
+    CLAMPED recurrence (tokens = min(CAP, tokens + refill(dt)) - cost if
+    affordable) that, unlike ev_ewma's linear form, is not expressible
+    even as a prefix product: the min() clamp forces a sequential walk.
+    Bucket: 3-token capacity, 1 token per 15 h refill, 1 token per event;
+    each event reports its post-decision balance and accept/reject.
+
+    All integer micro-tokens: refill is dt_us // 3600 (exact integer
+    division on nonnegative gaps), so the Spark walk and the DuckDB
+    recursive-CTE fixed point are bit-identical — the float formulation
+    would diverge on accumulated refills.
+
+    Shape: ONE shuffle to co-locate each user (groupBy.applyInPandas),
+    sequential walk inside the Arrow batch — O(1) state per key, keys
+    parallelize to millions at 100 TB; the streaming twin is the
+    applyInPandasWithState shape of streaming/stateful.py."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events")
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        n = len(ts_us)
+        tok_out = np.empty(n, dtype="int64")
+        acc_out = np.empty(n, dtype="int64")
+        tok = _RL_CAP
+        prev = None
+        for i in range(n):
+            if prev is not None:
+                tok = min(_RL_CAP, tok + (int(ts_us[i]) - prev) // _RL_DIV)
+            prev = int(ts_us[i])
+            if tok >= _RL_COST:
+                tok -= _RL_COST
+                acc_out[i] = 1
+            else:
+                acc_out[i] = 0
+            tok_out[i] = tok
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "rn": np.arange(1, n + 1, dtype="int64"),
+                "tokens_u": tok_out,
+                "accepted": acc_out,
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(walk, schema="user_id long, rn long, tokens_u long, accepted long")
+    )

@@ -250,3 +250,69 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_a", "_n")
     )
+
+
+# ---- gaps-and-islands: runs of equal adjacent values ------------------------
+
+
+@register(
+    "win_gap_islands",
+    tags=("window", "timeseries", "pattern"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM ordered
+)
+SELECT user_id, CAST(isl AS BIGINT) AS island, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS island_end,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_s
+FROM islands
+GROUP BY user_id, isl, event_type
+""",
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-typed events per
+    user (the value-change sessionization pattern — distinct from
+    win_sessionize's time-gap cut), reported as one row per island with its
+    span and size.  Implemented with the lag-flag + running-sum island id
+    rather than the two-row_number-difference trick, because BOTH windows
+    then share one partitioning (user_id) and one ordering (ts, event_id):
+    Catalyst plans a single exchange + a single sort, where the rn-diff
+    formulation would shuffle twice (user_id vs (user_id, event_type)).
+    Island ids restart per user; duration is exact integer seconds.
+    Scale: one hash shuffle on user_id, sequential scan per partition —
+    the same shape as any per-key window; no joins, no collect."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    # first row per user: lag NULL -> brk=1 matches the oracle's IS DISTINCT
+    # FROM; running sum then starts islands at 1
+    run = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    isl = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("isl", run)
+    )
+    dur = (F.unix_micros(F.max("ts").cast("timestamp"))
+           - F.unix_micros(F.min("ts").cast("timestamp")))
+    return isl.groupBy("user_id", "isl", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_end"),
+        ((dur - dur % 1_000_000) / 1_000_000).cast("long").alias("duration_s"),
+    ).select(
+        "user_id", F.col("isl").cast("long").alias("island"), "event_type",
+        "n_events", "island_start", "island_end", "duration_s",
+    )
