@@ -184,3 +184,82 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming token bucket: twin of queries/timeseries.ev_rate_limit -------
+
+RL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("tokens_u", LongType()),
+        StructField("accepted", LongType()),
+    ]
+)
+
+# (rows_seen, current balance, last event-time in epoch micros)
+RL_STATE = StructType(
+    [
+        StructField("rn", LongType()),
+        StructField("tok", LongType()),
+        StructField("prev_us", LongType()),
+    ]
+)
+
+
+def _rate_limit_update(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch rows through the token-bucket clamp,
+    carrying (rn, balance, last-ts) as state.  Same integer arithmetic as
+    queries/timeseries.ev_rate_limit (capacity/cost/refill constants
+    imported from it), so stream == batch bit-for-bit under per-key
+    event-time-ordered arrival — the same contract streaming_ewma
+    documents."""
+    from experiments_datafusion_spark.queries.timeseries import (
+        _RL_CAP,
+        _RL_COST,
+        _RL_DIV,
+    )
+
+    (user_id,) = key
+    rn, tok, prev_us = state.get if state.exists else (0, _RL_CAP, -1)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"], kind="mergesort")
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    rns, toks, accs = [], [], []
+    for t in ts_us:
+        t = int(t)
+        if rn > 0:
+            tok = min(_RL_CAP, tok + (t - prev_us) // _RL_DIV)
+        prev_us = t
+        if tok >= _RL_COST:
+            tok -= _RL_COST
+            acc = 1
+        else:
+            acc = 0
+        rn += 1
+        rns.append(rn)
+        toks.append(tok)
+        accs.append(acc)
+    state.update((rn, tok, prev_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rns),
+            "rn": rns,
+            "tokens_u": toks,
+            "accepted": accs,
+        }
+    )
+
+
+def streaming_rate_limit(events: DataFrame) -> DataFrame:
+    """Streaming per-user token-bucket rate limiter — the stream twin of
+    the ev_rate_limit batch key.  State is one (rn, balance, last-ts)
+    tuple per user: bounded by active users, O(1) per key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _rate_limit_update,
+        outputStructType=RL_OUTPUT,
+        stateStructType=RL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

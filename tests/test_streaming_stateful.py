@@ -206,3 +206,32 @@ def test_streaming_ewma_matches_batch_key(spark, sf_dir, tmp_path):
         for r in all_queries()["ev_ewma"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+def test_streaming_rate_limit_matches_batch_key(spark, sf_dir, tmp_path):
+    """The stateful streaming token bucket must reproduce the batch
+    ev_rate_limit key row-for-row (same clamped integer recurrence, state
+    carried across the availableNow replay)."""
+    from experiments_datafusion_spark.queries import all_queries
+    from experiments_datafusion_spark.streaming.stateful import streaming_rate_limit
+
+    d = tmp_path / "rl"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    out = streaming_rate_limit(_src(spark, d, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_rl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["rn"]): (r["tokens_u"], r["accepted"])
+        for r in spark.table("sink_rl").collect()
+    }
+    batch = {
+        (r["user_id"], r["rn"]): (r["tokens_u"], r["accepted"])
+        for r in all_queries()["ev_rate_limit"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
