@@ -253,3 +253,55 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n") >= 8) & (F.col("_raw_qty") > 100))
         .drop("_raw_qty")
     )
+
+
+# ---- bitmap-index activity aggregation -------------------------------------
+
+_BM_EPOCH_DAY = 19723  # 2024-01-01 as days-since-epoch; fixture day range 0-29
+_BM_WEEKEND = 202911840  # precomputed: bits of days 0..29 with day%7 in (5,6)
+# (2024-01-01 is a Monday, so day%7==5 is Saturday)
+
+
+@register(
+    "agg_activity_bitmap",
+    tags=("aggregate", "bitmap", "analytics"),
+    oracle=f"""
+WITH d AS (
+  SELECT user_id,
+         (1::BIGINT << CAST(epoch_us(ts) // 86400000000 - {_BM_EPOCH_DAY} AS INT)) AS daybit
+  FROM events
+)
+SELECT user_id,
+       CAST(bit_or(daybit) AS BIGINT) AS activity_mask,
+       CAST(bit_count(bit_or(daybit)) AS BIGINT) AS n_active_days,
+       CAST(bit_count(bit_or(daybit) & {_BM_WEEKEND}) AS BIGINT) AS n_weekend_days
+FROM d GROUP BY user_id
+""",
+)
+def agg_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index activity aggregation (the roaring-bitmap OLAP recipe,
+    single-word form): each event sets bit day_index in a per-user BIGINT
+    mask via a bit_or aggregate; day counts and calendar slices (weekend
+    days) are then O(1) bit_count/AND on the mask — no distinct-count, no
+    second pass.  The fixture's 30-day range fits one word; longer ranges
+    shard the same way into (user, word_index) rows with per-word bit_or —
+    the layout bitmap indexes use at any scale.  All integer bit math:
+    nothing to diverge cross-engine.
+
+    Scale: ONE partial+final aggregate keyed by user; masks combine
+    associatively (bit_or), so map-side partial aggregation does most of
+    the work before the shuffle — the same property that makes bitmap
+    indexes mergeable across segments."""
+    ev = table(spark, sf_dir, "events")
+    # ts >= 2024-01-01 so div truncation == floor; shiftleft via expr (the
+    # function form takes only a literal bit count)
+    daybit = F.expr(
+        "shiftleft(1L, CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        f" - {_BM_EPOCH_DAY} AS INT))"
+    )
+    mask = F.bit_or(F.col("daybit"))
+    return ev.select("user_id", daybit.alias("daybit")).groupBy("user_id").agg(
+        mask.cast("long").alias("activity_mask"),
+        F.bit_count(mask).cast("long").alias("n_active_days"),
+        F.bit_count(mask.bitwiseAND(F.lit(_BM_WEEKEND))).cast("long").alias("n_weekend_days"),
+    )

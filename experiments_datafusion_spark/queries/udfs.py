@@ -179,3 +179,84 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+# ---- cogrouped map: two tables, one Pandas function per key ----------------
+
+_CONV_WINDOW_US = 3600 * 1_000_000  # click-to-purchase attribution window
+
+
+@register(
+    "udf_cogroup",
+    tags=("udf", "cogroup"),
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+),
+users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type IN ('purchase', 'click')
+),
+conv AS (
+  SELECT p.user_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM c
+           WHERE c.user_id = p.user_id
+             AND c.us <= p.us AND c.us >= p.us - {_CONV_WINDOW_US}
+         ) THEN 1 ELSE 0 END AS f
+  FROM p
+)
+SELECT u.user_id,
+       CAST(coalesce((SELECT count(*) FROM p WHERE p.user_id = u.user_id), 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce((SELECT count(*) FROM c WHERE c.user_id = u.user_id), 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce((SELECT sum(f) FROM conv WHERE conv.user_id = u.user_id), 0) AS BIGINT) AS n_converted
+FROM users u
+""",
+)
+def udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas UDF — the LAST grouped-UDF API shape
+    (groupBy.cogroup(...).applyInPandas): each user's purchases AND clicks
+    arrive together as two aligned pandas frames, here computing which
+    purchases had a click in the preceding hour (the attribution metric
+    that needs both sides at once).  Keys present on either side appear —
+    a purchase-only user reports 0 clicks and vice versa.
+
+    The per-key merge uses numpy searchsorted on integer epoch-micros (no
+    float time math), so the result is exactly the oracle's EXISTS
+    subquery.  Scale: one shuffle co-partitions both inputs on user_id;
+    per-key work is O(p log c); parallelism across keys, like every
+    grouped-map op here."""
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+
+    def merge(pp: pd.DataFrame, cc: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pp["user_id"].iloc[0]) if len(pp) else int(cc["user_id"].iloc[0])
+        cus = np.sort(cc["us"].to_numpy(dtype="int64"))
+        pus = pp["us"].to_numpy(dtype="int64")
+        if len(cus):
+            # a click exists in [p - window, p] iff the first click >= p-window is <= p
+            idx = np.searchsorted(cus, pus - _CONV_WINDOW_US, side="left")
+            ok = (idx < len(cus)) & (cus[np.minimum(idx, len(cus) - 1)] <= pus)
+            n_conv = int(ok.sum())
+        else:
+            n_conv = 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(pp)],
+                "n_clicks": [len(cc)],
+                "n_converted": [n_conv],
+            }
+        )
+
+    return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        merge, schema="user_id long, n_purchases long, n_clicks long, n_converted long"
+    )
