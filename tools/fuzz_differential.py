@@ -81,6 +81,7 @@ class Agg:
     kind: str  # count_star | count | sum_units | min | max | count_distinct
     col: str | None
     alias: str
+    filt: "Pred | None" = None  # FILTER (WHERE ...) clause
 
 
 @dataclass
@@ -94,6 +95,7 @@ class Spec:
     join_preds: list[Pred] = field(default_factory=list)  # on the orders side
     having_min_n: int | None = None  # HAVING n >= x
     order_limit: int | None = None  # deterministic ORDER BY n DESC, keys LIMIT k
+    grouping: str | None = None  # None | rollup | cube
 
 
 def gen_spec(rng: random.Random) -> Spec:
@@ -124,9 +126,19 @@ def gen_spec(rng: random.Random) -> Spec:
     for i in range(rng.randint(1, 3)):
         kind = rng.choice(["sum_units", "min", "max", "count_distinct", "count"])
         col = rng.choice(MONEY_COLS[table] if kind == "sum_units" else pool)
-        aggs.append(Agg(kind, col, f"a{i}"))
+        # conditional-aggregate axis: FILTER (WHERE <pred>) on the extra
+        # aggs only — aggs[0] ("n") stays unfiltered because HAVING and the
+        # deterministic ORDER BY reference the plain count(*)
+        filt = _gen_preds(rng, table, 1)[0] if rng.random() < 0.3 else None
+        aggs.append(Agg(kind, col, f"a{i}", filt=filt))
     spec = Spec(table, preds, rng.choice(["AND", "OR"]), groupby, aggs)
     _maybe_having_order(rng, spec)
+    if spec.groupby and rng.random() < 0.35:
+        # multi-grain axis: the same spec through ROLLUP/CUBE; LIMIT is
+        # dropped because subtotal rows have NULL keys and the ORDER BY
+        # tiebreaker is no longer a total order across engines
+        spec.grouping = rng.choice(["rollup", "cube"])
+        spec.order_limit = None
     return spec
 
 
@@ -479,22 +491,29 @@ def to_sql(spec: Spec) -> str:
         frm = spec.table
     parts = []
     for a in spec.aggs:
+        filt = f" FILTER (WHERE {_sql_pred(a.filt)})" if a.filt is not None else ""
         if a.kind == "count_star":
-            parts.append(f"CAST(count(*) AS BIGINT) AS {a.alias}")
+            parts.append(f"CAST(count(*){filt} AS BIGINT) AS {a.alias}")
         elif a.kind == "count":
-            parts.append(f"CAST(count({a.col}) AS BIGINT) AS {a.alias}")
+            parts.append(f"CAST(count({a.col}){filt} AS BIGINT) AS {a.alias}")
         elif a.kind == "count_distinct":
-            parts.append(f"CAST(count(DISTINCT {a.col}) AS BIGINT) AS {a.alias}")
+            parts.append(f"CAST(count(DISTINCT {a.col}){filt} AS BIGINT) AS {a.alias}")
         elif a.kind == "sum_units":
             parts.append(
-                f"CAST(sum(CAST(round(({a.col}) * 100, 0) AS BIGINT)) AS BIGINT) AS {a.alias}"
+                f"CAST(sum(CAST(round(({a.col}) * 100, 0) AS BIGINT)){filt} AS BIGINT) AS {a.alias}"
             )
         else:  # min / max — selections
-            parts.append(f"{a.kind}({a.col}) AS {a.alias}")
+            parts.append(f"{a.kind}({a.col}){filt} AS {a.alias}")
     sel = (", ".join(spec.groupby) + ", " if spec.groupby else "") + ", ".join(parts)
     sql = f"SELECT {sel} FROM {frm} WHERE {conds}"
     if spec.groupby:
-        sql += " GROUP BY " + ", ".join(spec.groupby)
+        keys = ", ".join(spec.groupby)
+        if spec.grouping == "rollup":
+            sql += f" GROUP BY ROLLUP({keys})"
+        elif spec.grouping == "cube":
+            sql += f" GROUP BY CUBE({keys})"
+        else:
+            sql += f" GROUP BY {keys}"
     if spec.having_min_n is not None:
         sql += f" HAVING count(*) >= {spec.having_min_n}"
     if spec.order_limit is not None:
@@ -537,21 +556,32 @@ def to_spark(spec: Spec, df, orders=None):
         out = out.join(right, out["l_orderkey"] == right["o_orderkey"], how)
     aggs = []
     for a in spec.aggs:
+        # FILTER (WHERE f) lowers to agg(when(f, x)): the non-matching rows
+        # become NULL, which every aggregate here ignores
+        fc = _spark_cond([a.filt], "AND") if a.filt is not None else None
+        wrap = (lambda e: F.when(fc, e)) if fc is not None else (lambda e: e)
         if a.kind == "count_star":
-            aggs.append(F.count(F.lit(1)).alias(a.alias))
+            aggs.append(F.count(wrap(F.lit(1))).alias(a.alias))
         elif a.kind == "count":
-            aggs.append(F.count(a.col).alias(a.alias))
+            aggs.append(F.count(wrap(F.col(a.col))).alias(a.alias))
         elif a.kind == "count_distinct":
-            aggs.append(F.countDistinct(a.col).alias(a.alias))
+            aggs.append(F.countDistinct(wrap(F.col(a.col))).alias(a.alias))
         elif a.kind == "sum_units":
             aggs.append(
-                F.sum(F.round(F.col(a.col) * 100, 0).cast("long")).cast("bigint").alias(a.alias)
+                F.sum(wrap(F.round(F.col(a.col) * 100, 0).cast("long")))
+                .cast("bigint").alias(a.alias)
             )
         elif a.kind == "min":
-            aggs.append(F.min(a.col).alias(a.alias))
+            aggs.append(F.min(wrap(F.col(a.col))).alias(a.alias))
         else:
-            aggs.append(F.max(a.col).alias(a.alias))
-    res = (out.groupBy(*spec.groupby) if spec.groupby else out.groupBy()).agg(*aggs)
+            aggs.append(F.max(wrap(F.col(a.col))).alias(a.alias))
+    if spec.grouping == "rollup":
+        grouped = out.rollup(*spec.groupby)
+    elif spec.grouping == "cube":
+        grouped = out.cube(*spec.groupby)
+    else:
+        grouped = out.groupBy(*spec.groupby) if spec.groupby else out.groupBy()
+    res = grouped.agg(*aggs)
     if spec.having_min_n is not None:
         res = res.where(F.col("n") >= spec.having_min_n)
     if spec.order_limit is not None:
