@@ -623,3 +623,109 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cont_y_milli") >= _CONT_MILLI)
         )
     )
+
+
+# --- sparse TF-IDF cosine document-similarity join ---------------------------
+
+_TC_SCALE = 1000  # tf-idf weights quantized to integer milli-units
+_TC_MAX_DF_X2 = True  # df-cap: drop terms present in > 50% of docs
+
+
+@register(
+    "docs_tfidf_cosine",
+    tags=("llm", "text", "similarity"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+kept AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000) AS BIGINT) AS w_u
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE df >= 2 AND df * 2 <= n_docs
+),
+norms AS (SELECT doc_id, CAST(sum(w_u * w_u) AS BIGINT) AS n_u FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w_u * b.w_u) AS BIGINT) AS num
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, num,
+       round(CAST(num AS DOUBLE)
+             / (sqrt(CAST(na.n_u AS DOUBLE)) * sqrt(CAST(nb.n_u AS DOUBLE))), 6) AS cos_r
+FROM pairs
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE 4.0 * (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      >= CAST(na.n_u AS DOUBLE) * CAST(nb.n_u AS DOUBLE)
+""",
+)
+def docs_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document SPARSE cosine similarity (tf-idf weighted bag
+    of words) via an inverted-index self-join — the lexical complement of
+    the embedding-space near-dup tiers: pairs sharing informative terms
+    score by sum(w_a * w_b) / (|w_a| |w_b|), reported for cos >= 0.5.
+
+    Determinism by construction: weights are floor-quantized to integer
+    milli-units (tf * smoothed-idf, the text_tfidf convention), so the
+    cross-term dot product and both norms are EXACT integer sums; the
+    0.5 threshold is applied as 4*num^2 >= n_a*n_b — all operands exact
+    int64 converted losslessly to double (< 2^53), so the predicate is
+    the same boolean in both engines and no pair can flip at the
+    boundary.  Only the REPORTED cosine rounds a division (6dp).
+
+    Scale: the posting-list self-join with the 50%-df cap is the
+    jaccard_pairs shape — candidates are bounded by posting-list length,
+    never all pairs; norms join back on doc_id (hash-partitioned).  A
+    100 TB run adds the hot-term frequency cap jaccard documents."""
+    docs = table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    kept = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .where((F.col("df") >= 2) & (F.col("df") * 2 <= F.col("n_docs")))
+        .select(
+            "doc_id", "term",
+            F.floor(F.col("tf") * idf * _TC_SCALE).cast("long").alias("w_u"),
+        )
+        .localCheckpoint(eager=True)  # feeds norms + both join sides
+    )
+    norms = kept.groupBy("doc_id").agg(F.sum(F.col("w_u") * F.col("w_u")).alias("n_u"))
+    a = kept.select("term", F.col("doc_id").alias("doc_a"), F.col("w_u").alias("wa"))
+    b = kept.select("term", F.col("doc_id").alias("doc_b"), F.col("w_u").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+    )
+    na, nb = (norms.select(F.col("doc_id").alias(f"doc_{s}"),
+                           F.col("n_u").alias(f"n_{s}")) for s in ("a", "b"))
+    num_d = F.col("num").cast("double")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            F.lit(4.0) * (num_d * num_d)
+            >= F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        )
+        .select(
+            "doc_a", "doc_b", F.col("num").cast("long").alias("num"),
+            F.round(
+                num_d / (F.sqrt(F.col("n_a").cast("double"))
+                         * F.sqrt(F.col("n_b").cast("double"))), 6
+            ).alias("cos_r"),
+        )
+    )
