@@ -66,6 +66,7 @@ HEADLINE = [
     "freq_token_pairs",  # round 4: df-capped co-occurrence self-join
     "ev_ewma",  # round 4: per-key integer recurrence (applyInPandas)
     "sim_topk_pq_trained",  # round 4: Lloyd-trained PQ (train + encode + ADC)
+    "docs_tfidf_cosine",  # round 4 cont.: sparse-cosine inverted-index join
 ]
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
