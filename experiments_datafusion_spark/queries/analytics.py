@@ -640,3 +640,90 @@ def scalar_binary_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%08d", "s_suppkey").alias("key_padded"),
         F.octet_length(name_bin).alias("name_bytes"),
     ).orderBy("s_suppkey")
+
+
+# ---- RFM customer segmentation ----------------------------------------------
+
+
+@register(
+    "rfm_segmentation",
+    tags=("analytics", "window", "segmentation"),
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS t_ref FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', max(o_orderdate), any_value(t_ref)) AS BIGINT) AS recency_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_c
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         ntile(4) OVER (ORDER BY recency_d ASC,  custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_c DESC, custkey) AS m_score
+  FROM base
+)
+SELECT custkey, recency_d, frequency, monetary_c,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score = 1 THEN 'recent'
+            WHEN f_score = 1 THEN 'loyal'
+            WHEN r_score = 4 AND f_score = 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic composite: per customer,
+    Recency (days from last order to the corpus reference date),
+    Frequency (order count) and Monetary (exact integer cents, the
+    half-up floor recipe), each cut into quartiles with ntile(4) over a
+    TOTAL order (metric, custkey — deterministic ties), then labeled.
+    Quartile 1 is always the "best" end (most recent / most frequent /
+    highest spend).
+
+    Shape: one orders aggregate keyed by customer, the 1-row reference
+    date as a broadcast cross join, then three single-partition window
+    passes over the ~|customers| row table.  The single-partition ntile
+    is the documented trade at this output size; a 100 TB run swaps it
+    for the percentile-cut + broadcast-thresholds recipe
+    (quality_gate_percentile) which scores without a global sort."""
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("t_ref"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.any_value("t_ref"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_d"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary_c"),
+        )
+    )
+    r_w = Window.orderBy(F.asc("recency_d"), "custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "custkey")
+    m_w = Window.orderBy(F.desc("monetary_c"), "custkey")
+    scored = base.select(
+        "*",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when(F.col("r_score") == 1, "recent")
+        .when(F.col("f_score") == 1, "loyal")
+        .when((F.col("r_score") == 4) & (F.col("f_score") == 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey", "recency_d", "frequency", "monetary_c",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    )
