@@ -243,3 +243,73 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three 1-row aggregates stitched into the summary row: scalar
     # broadcasts, the documented O(n)-safe shape (test_plan_invariants.py)
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# ---- BFS hop distance (bounded-depth traversal) -----------------------------
+
+BFS_ITERS = 4  # unrolled relaxation rounds -> exact dist <= 4 frontier
+BFS_SEED_MOD = 50  # deterministic seed set: user_id % 50 == 0
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        _SQL_EDGE_CTE.strip(),
+        """eu AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM eu),
+d0 AS (SELECT node, 0 AS d FROM nodes WHERE node % """
+        + str(BFS_SEED_MOD)
+        + " = 0)",
+    ]
+    for it in range(BFS_ITERS):
+        ctes.append(f"""d{it + 1} AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{it}
+    UNION ALL
+    SELECT e.dst AS node, r.d + 1 AS d
+    FROM d{it} r JOIN eu e ON e.src = r.node
+  ) GROUP BY node)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS user_id, CAST(d AS BIGINT) AS dist
+FROM d{BFS_ITERS}
+"""
+    )
+
+
+@register("graph_bfs", tags=("graph", "iterative"), oracle=_bfs_oracle())
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the interaction graph: hop distance from
+    the deterministic seed set (user_id % 50 == 0) after 4 relaxation
+    rounds — the traversal member of the graph tier (components =
+    fixed-point labels, PageRank = weighted iteration, triangles =
+    closed wedges, BFS = frontier expansion).  Each round relaxes
+    dist(v) = min(dist(v), min over in-neighbors dist(u) + 1) — one
+    shuffle join + one keyed min per round, the Pregel dataflow, and the
+    DuckDB oracle unrolls the identical rounds as chained CTEs.
+    Distances are small exact integers; nothing can diverge.
+
+    Scale: frontier rows only ever carry (node, dist); localCheckpoint
+    truncates lineage per round like the other iterative ops; unreached
+    nodes simply never enter the relation (no sentinel infinities to
+    disagree on)."""
+    e = _edges(spark, sf_dir)
+    eu = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    nodes = eu.select(F.col("src").alias("node")).distinct()
+    dist = nodes.where(F.col("node") % BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).alias("d")
+    )
+    for _ in range(BFS_ITERS):
+        relaxed = dist.join(eu, dist["node"] == eu["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("node").alias("user_id"), F.col("d").cast("long").alias("dist"))
