@@ -29,3 +29,25 @@ def test_fuzz_40_specs(spark, sf_dir, duck):
     results = run(40, SEED, sf_dir, spark=spark, con=duck)
     fails = [(i, sql, d) for i, sql, ok, d in results if not ok]
     assert not fails, fails
+
+
+def test_empty_input_rollup_divergence_pinned(spark, duck):
+    """Engine-divergence exhibit (found by the fuzzer, seed 987654): on
+    EMPTY input the SQL standard's empty grouping set inside ROLLUP/CUBE
+    aggregates globally — DuckDB (like Postgres) emits one grand-total
+    row (NULL keys, count 0); Spark 4 returns NO rows, from both the
+    DataFrame API and SQL.  The fuzzer comparator accepts this exact
+    shape as a known divergence; this test pins BOTH behaviors so a
+    future Spark version that fixes the deviation fails here and the
+    comparator branch gets retired."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "a")], "k int, g string").where("k > 99")
+    assert df.rollup("g").agg(F.count(F.lit(1)).alias("n")).collect() == []
+    assert df.cube("g").agg(F.count(F.lit(1)).alias("n")).collect() == []
+    # the plain global aggregate DOES emit its one row — the asymmetry
+    assert df.groupBy().agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"] == 0
+    want = duck.execute(
+        "SELECT g, count(*) AS n FROM (SELECT 1 k, 'a' g) WHERE k > 99 GROUP BY ROLLUP(g)"
+    ).fetchall()
+    assert want == [(None, 0)]
