@@ -38,6 +38,7 @@ ALLOW_SCALAR_BROADCAST = {
     "graph_triangles",           # three 1-row summary aggregates stitched
     "mix_temperature",           # corpus token total for temperature rates
     "quality_gate_percentile",   # p75 cutoff as 1-row broadcast
+    "rfm_segmentation",          # 1-row corpus reference date for recency
     "scalar_decimal",            # grand-total broadcast (round-1 fix)
     "search_rrf_fusion",         # 1-row corpus stats inside both BM25 passes
     "shard_assign",              # corpus total for shard-balance shares
