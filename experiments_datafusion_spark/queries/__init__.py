@@ -61,6 +61,7 @@ _MODULES = (
     "timeseries",  # round 4: interval merge, OHLC resample, nearest as-of
     "modern",  # round 4: VARIANT, dynamic pivot, weighted median, dates
     "search",  # round 4/5: RRF rank fusion, token-pair co-occurrence mining
+    "stats",  # round 4/5: PSI/KS/chi2 drift, Markov chain, rules, MAD, KL
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

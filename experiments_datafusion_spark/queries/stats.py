@@ -1,0 +1,604 @@
+"""Distribution-drift and statistical-monitoring operators (round 4).
+
+The data-quality layer a 100 TB training pipeline runs BESIDE the curation
+ops: did this week's crawl shift against last week's (PSI, KS,
+chi-square)?  does one source's token distribution diverge from the corpus
+(KL)?  what transitions do users actually make (Markov)?  which tokens
+imply which (association rules)?  which values are robust outliers (MAD)?
+
+Reference parity: these extend the same DataFusion aggregate/window
+surface the reference pulls in (Cargo.toml:10) the way its users extend
+it — everything here is expressible as grouped aggregates + window
+functions, no UDFs anywhere.
+
+Determinism strategy (see exact.py and the repo's oracle recipes):
+- counts and totals are int64 end-to-end; ratios are emitted as integer
+  milli/micro-units via truncating `div` — zero float risk (KS, Markov,
+  association rules, expected counts).
+- where a statistic is intrinsically real-valued (PSI, chi-square, KL),
+  every input double is either a raw column value or an int64 < 2^53 cast
+  losslessly, and both engines evaluate the SAME IEEE expression tree, so
+  per-row/per-cell results are bit-identical; only KL sums such terms
+  across rows, and absorbs the engine fold-order difference with the same
+  round(, 4) that text_unigram_logprob has proven at three scales.
+- discrete medians (MAD) select the element at row (n+1)//2 ordered
+  ascending — verified equal to DuckDB's quantile_disc(x, 0.5) — so the
+  statistic is a SELECTION of a raw double, never arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import spread, table
+from experiments_datafusion_spark.operators import text as T
+from experiments_datafusion_spark.queries import register
+from experiments_datafusion_spark.queries.search import (
+    _PAIR_MAX_DF_PCT,
+    _PAIR_MIN_DF,
+    _PAIR_MIN_SUPPORT_PCT,
+)
+
+_PSI_BINS = 10
+_MAD_K = 3  # outlier threshold: dev > 3 * MAD
+
+
+def _us(col: str):
+    """Integer epoch microseconds (parquet ts is NTZ, session tz UTC)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# period split shared by PSI and chi-square: first half of the observed
+# time range is the reference window, second half is the current window —
+# integer-microsecond midpoint, no float time math
+_SQL_PERIOD_CTES = """
+tr AS (SELECT min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+       FROM events),
+pe AS (
+  SELECT e.*, CASE WHEN epoch_us(e.ts) < tr.min_us + (tr.max_us - tr.min_us) // 2
+                   THEN 0 ELSE 1 END AS period
+  FROM events e CROSS JOIN tr
+)"""
+
+
+@register(
+    "drift_psi",
+    tags=("stats", "drift", "events"),
+    oracle=f"""
+WITH {_SQL_PERIOD_CTES},
+vr AS (SELECT min(value) AS min_v, max(value) AS max_v FROM events),
+binned AS (
+  SELECT period,
+         least(CAST(floor((value - vr.min_v) * {_PSI_BINS}.0
+                          / (vr.max_v - vr.min_v)) AS BIGINT),
+               {_PSI_BINS - 1}) AS bin
+  FROM pe CROSS JOIN vr
+),
+spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+cnt AS (
+  SELECT s.bin,
+         CAST(coalesce(sum(CASE WHEN b.period = 0 THEN 1 END), 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(sum(CASE WHEN b.period = 1 THEN 1 END), 0) AS BIGINT) AS n_cur
+  FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+  GROUP BY s.bin
+),
+tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cnt)
+SELECT bin, n_ref, n_cur,
+       round(((n_ref + 1.0) / (t_ref + {_PSI_BINS}.0)
+              - (n_cur + 1.0) / (t_cur + {_PSI_BINS}.0))
+             * ln(((n_ref + 1.0) / (t_ref + {_PSI_BINS}.0))
+                  / ((n_cur + 1.0) / (t_cur + {_PSI_BINS}.0))), 6) AS psi_bin
+FROM cnt CROSS JOIN tot
+ORDER BY bin
+""",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream: equal-width decile bins over the GLOBAL value range,
+    Laplace-smoothed shares (+1 per bin, so empty bins never divide by
+    zero), per-bin contribution (p_ref - p_cur) * ln(p_ref / p_cur).
+    The credit-scoring / model-monitoring drift metric (>0.25 total =
+    population shift).
+
+    Shape at 100 TB: two 1-row scalar broadcasts (time range, value
+    range), ONE map-side-combined groupBy(period, bin) over the events
+    scan — 2x10 partial rows per task — then a 10-row spine join.  The
+    per-bin PSI term is pure IEEE arithmetic on int64-derived doubles:
+    both engines evaluate the identical expression tree, so even the ln
+    is bit-for-bit; no cross-row float accumulation anywhere."""
+    e = table(spark, sf_dir, "events")
+    tr = e.agg(
+        F.min(_us("ts")).alias("min_us"),
+        F.max(_us("ts")).alias("max_us"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(tr))
+        .select(
+            F.when(
+                _us("ts") < F.expr("min_us + (max_us - min_us) div 2"), 0
+            )
+            .otherwise(1)
+            .alias("period"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("min_v"))
+                    * float(_PSI_BINS)
+                    / (F.col("max_v") - F.col("min_v"))
+                ).cast("long"),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ).alias("bin"),
+        )
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    cnt = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 0, 1)), F.lit(0)
+            ).cast("long").alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)
+            ).cast("long").alias("n_cur"),
+        )
+    )
+    tot = cnt.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + float(_PSI_BINS))
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + float(_PSI_BINS))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((p_ref - p_cur) * F.ln(p_ref / p_cur), 6).alias("psi_bin"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "drift_ks",
+    tags=("stats", "drift", "events"),
+    oracle="""
+WITH v AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM events GROUP BY value
+),
+c AS (
+  SELECT value,
+         sum(c_a) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_a,
+         sum(c_b) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_b
+  FROM v
+),
+t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b
+      FROM v)
+SELECT t.n_a, t.n_b,
+       CAST(max(abs(cum_a * t.n_b - cum_b * t.n_a)) AS BIGINT) AS ks_num,
+       CAST(t.n_a * t.n_b AS BIGINT) AS ks_den,
+       CAST(max(abs(cum_a * t.n_b - cum_b * t.n_a)) * 1000
+            // (t.n_a * t.n_b) AS BIGINT) AS ks_milli
+FROM c CROSS JOIN t
+GROUP BY t.n_a, t.n_b
+""",
+)
+def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of 'click' events and everything else: group by distinct
+    value, running cumulative counts, D = max |ECDF_a - ECDF_b| carried as
+    the INTEGER cross product |cum_a*n_b - cum_b*n_a| over the common
+    denominator n_a*n_b — the whole statistic is int64-exact, reported in
+    truncated milli-units.
+
+    Shape: one map-side-combined groupBy(value) collapses the scan to
+    |distinct values| rows; the single-partition running-sum window over
+    that reduced relation is the documented small-output trade (same as
+    rfm_segmentation's ntile) — the 100 TB variant pre-bins values to a
+    fixed grid first (drift_psi's binning), making the window spine
+    constant-width, or computes per-partition cumulative offsets in a
+    second pass."""
+    e = table(spark, sf_dir, "events")
+    is_a = F.col("event_type") == "click"
+    v = e.groupBy("value").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("c_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        "value",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    t = v.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    d = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(d).cast("long").alias("ks_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("ks_den"),
+            F.expr("ks_num * 1000 div (n_a * n_b)").cast("long").alias("ks_milli"),
+        )
+    )
+
+
+@register(
+    "drift_chi2",
+    tags=("stats", "drift", "events"),
+    oracle=f"""
+WITH {_SQL_PERIOD_CTES},
+o AS (
+  SELECT event_type, period, CAST(count(*) AS BIGINT) AS obs
+  FROM pe GROUP BY event_type, period
+),
+m AS (
+  SELECT event_type, period, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS rt,
+         sum(obs) OVER (PARTITION BY period)     AS ct,
+         sum(obs) OVER ()                        AS n
+  FROM o
+)
+SELECT event_type, period, obs,
+       CAST(rt * ct * 1000000 // n AS BIGINT) AS exp_micro,
+       round(
+         (CAST(obs * n - rt * ct AS DOUBLE) * CAST(obs * n - rt * ct AS DOUBLE))
+         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) * CAST(n AS DOUBLE)),
+         6) AS chi2_cell
+FROM m
+ORDER BY event_type, period
+""",
+)
+def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity cells for the event_type x period(half)
+    contingency table: observed counts, expected counts as exact integer
+    micro-units (row_total * col_total * 1e6 div N), and the per-cell
+    contribution (obs - exp)^2 / exp computed entirely from int64-derived
+    doubles — the numerator is the EXACT integer obs*N - rt*ct (< 2^53)
+    cast losslessly, so both engines square and divide identical doubles;
+    no cross-row accumulation, every output cell independently exact.
+
+    Shape: one groupBy over the scan to a |types| x 2 relation; the three
+    marginal sums are windows over those ~10 rows (trivially small by
+    construction — the contingency table IS the reduction)."""
+    e = table(spark, sf_dir, "events")
+    tr = e.agg(F.min(_us("ts")).alias("min_us"), F.max(_us("ts")).alias("max_us"))
+    pe = e.crossJoin(F.broadcast(tr)).select(
+        "event_type",
+        F.when(_us("ts") < F.expr("min_us + (max_us - min_us) div 2"), 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    o = pe.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    m = o.select(
+        "*",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("period")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    dev = (F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+    den = (
+        F.col("rt").cast("double") * F.col("ct").cast("double") * F.col("n").cast("double")
+    )
+    return m.select(
+        "event_type",
+        "period",
+        "obs",
+        F.expr("rt * ct * 1000000 div n").cast("long").alias("exp_micro"),
+        F.round(dev * dev / den, 6).alias("chi2_cell"),
+    ).orderBy("event_type", "period")
+
+
+@register(
+    "ev_markov_chain",
+    tags=("stats", "events", "window"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_milli
+FROM tr
+ORDER BY from_type, to_type
+""",
+)
+def ev_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag() pairs each event with its predecessor (deterministic (ts,
+    event_id) ordering), transition counts, and row-normalized
+    probabilities in truncated integer milli-units — the user-behavior /
+    next-event-prediction shape.
+
+    Shape at 100 TB: ONE shuffle on user_id for the lag window (sequences
+    are per-user local), then a map-side-combined groupBy collapsing to
+    the |types|^2 transition matrix; the normalizing row-sum is a window
+    over those ~25 rows."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row = Window.partitionBy("from_type")
+    return tr.withColumn("total_from", F.sum("n").over(row)).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000 div total_from").cast("long").alias("p_milli"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "assoc_rules",
+    tags=("llm", "text", "analytics", "stats"),
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+d AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+kept AS (
+  SELECT t.doc_id, t.term, d.df
+  FROM toks t JOIN d USING (term) CROSS JOIN stats s
+  WHERE d.df >= {_PAIR_MIN_DF} AND d.df * 100 <= s.n_docs * {_PAIR_MAX_DF_PCT}
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         any_value(a.df) AS df_a, any_value(b.df) AS df_b,
+         count(*) AS support
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b,
+       CAST(support AS BIGINT)                      AS support,
+       CAST(support * 1000 // df_a AS BIGINT)       AS conf_a2b_milli,
+       CAST(support * 1000 // df_b AS BIGINT)       AS conf_b2a_milli,
+       CAST(support * s.n_docs * 1000000 // (df_a * df_b) AS BIGINT)
+                                                    AS lift_micro
+FROM pairs CROSS JOIN stats s
+WHERE support * 100 >= s.n_docs * {_PAIR_MIN_SUPPORT_PCT}
+ORDER BY term_a, term_b
+""",
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule generation over the frequent token pairs (the
+    A-priori second step on top of freq_token_pairs' first pass): for each
+    supported pair, DIRECTIONAL confidence conf(a=>b) = support/df_a and
+    conf(b=>a) = support/df_b in truncated milli-units, plus symmetric
+    lift — all integer divisions of exact counts.
+
+    Shape: identical to freq_token_pairs (same df-cap bounding the
+    doc-keyed self-join fan-out; only the capped vocab df table and 1-row
+    corpus stats broadcast); the rule metrics add zero extra passes —
+    they're projections of columns the pair aggregate already carries."""
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(T.words(F.col("text")))).alias("term"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        toks.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .where(
+            (F.col("df") >= _PAIR_MIN_DF)
+            & (F.col("df") * 100 <= F.col("n_docs") * _PAIR_MAX_DF_PCT)
+        )
+        .select("doc_id", "term", "df")
+    )
+    a = kept.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = kept.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+            F.count(F.lit(1)).cast("long").alias("support"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .where(F.col("support") * 100 >= F.col("n_docs") * _PAIR_MIN_SUPPORT_PCT)
+        .select(
+            "term_a",
+            "term_b",
+            "support",
+            F.expr("support * 1000 div df_a").cast("long").alias("conf_a2b_milli"),
+            F.expr("support * 1000 div df_b").cast("long").alias("conf_b2a_milli"),
+            F.expr("support * n_docs * 1000000 div (df_a * df_b)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy("term_a", "term_b")
+    )
+
+
+@register(
+    "anomaly_mad",
+    tags=("stats", "events", "window"),
+    oracle=f"""
+WITH m AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med, m.n
+  FROM events e JOIN m USING (event_type)
+),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY event_type)
+SELECT d.event_type,
+       any_value(d.n)   AS n,
+       any_value(d.med) AS med,
+       any_value(md.mad) AS mad,
+       CAST(sum(CASE WHEN d.dev > {_MAD_K} * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via Median Absolute
+    Deviation: discrete median (the element at row (n+1)//2 ordered
+    ascending — equal by construction to DuckDB's quantile_disc, verified
+    for odd/even/tied inputs), MAD = discrete median of |value - median|,
+    outliers = deviations beyond 3*MAD.  Unlike the z-score twin
+    (anomaly_zscore), medians don't move when the outliers themselves get
+    bigger — the robust-statistics point.
+
+    Determinism: both medians are SELECTIONS of raw doubles (duplicate
+    values make the selected value invariant to tie order); |v - med| and
+    the 3*MAD comparison are single identical IEEE expressions.
+
+    Shape: two window passes partitioned by event_type (rank to select
+    the median element) with tiny per-type median relations broadcast
+    back — counts and flags aggregate map-side.  Per-type partitions carry
+    the full type's rows; the 100 TB variant swaps the exact rank-select
+    for a fixed-grid histogram median (drift_psi's binning) when a single
+    type outgrows a partition."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    ranked = e.select(
+        "*",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = (
+        ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("value").alias("med"), F.col("n"))
+    )
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+        "n",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    mad = (
+        d.select("*", F.row_number().over(wd).alias("rn"))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > _MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "kl_source_divergence",
+    tags=("stats", "llm", "text"),
+    oracle="""
+WITH w AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS term
+  FROM documents
+),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+       FROM w GROUP BY source, term),
+ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+g  AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_g FROM st GROUP BY term),
+tt AS (SELECT CAST(sum(c_st) AS BIGINT) AS t FROM st)
+SELECT st.source,
+       any_value(ns.n_s)                 AS n_tokens,
+       CAST(count(*) AS BIGINT)          AS n_terms,
+       round(sum((CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                 * ln(CAST(st.c_st * tt.t AS DOUBLE)
+                      / CAST(ns.n_s * g.c_g AS DOUBLE))), 4) AS kl
+FROM st JOIN ns USING (source) JOIN g USING (term) CROSS JOIN tt
+GROUP BY st.source
+ORDER BY st.source
+""",
+)
+def kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the corpus
+    distribution, KL(source || corpus) = sum_t p_s(t) * ln(p_s(t)/p_g(t))
+    — the source-skew monitor a mixing pipeline reads before setting
+    weights (mix_weighted_sources' diagnostic sibling).
+
+    Determinism: every ratio is a quotient of EXACT int64 products cast
+    losslessly to double (c_st * T < 2^53), so each term is bit-identical
+    across engines; only the final per-source sum crosses rows, and
+    round(, 4) absorbs the partial-vs-sequential fold difference exactly
+    as text_unigram_logprob does (green at three scales).
+
+    Shape at 100 TB: explode + map-side-combined groupBy(source, term) is
+    the only corpus-sized pass; n_s is a |sources|-row broadcast, the
+    global term distribution joins hash-on-term against the per-source
+    one, and T is a 1-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    w = spread(docs).select(
+        "source", F.explode(T.words(F.col("text"))).alias("term")
+    )
+    st = w.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    g = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_g"))
+    tt = st.agg(F.sum("c_st").cast("long").alias("t"))
+    term = (F.col("c_st").cast("double") / F.col("n_s").cast("double")) * F.ln(
+        (F.col("c_st") * F.col("t")).cast("double")
+        / (F.col("n_s") * F.col("c_g")).cast("double")
+    )
+    return (
+        st.join(F.broadcast(ns), "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("source")
+        .agg(
+            F.any_value("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum(term), 4).alias("kl"),
+        )
+        .orderBy("source")
+    )

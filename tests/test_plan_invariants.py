@@ -30,7 +30,12 @@ ALLOW_QUADRATIC = {
 # build side, scale-correct; still named explicitly so any NEW nested-loop
 # shape fails review until justified here.
 ALLOW_SCALAR_BROADCAST = {
+    "assoc_rules",               # 1-row n_docs stats for relative thresholds
     "docs_heavy_hitters",        # corpus-total row for frequency cutoff
+    "drift_chi2",                # 1-row time-range scalars for the period split
+    "drift_ks",                  # 1-row sample-size totals for the D statistic
+    "drift_psi",                 # 1-row time/value-range scalars for binning
+    "kl_source_divergence",      # 1-row corpus token total for p_g
     "docs_length_histogram",     # total-docs row for bucket shares
     "ev_funnel",                 # step-1 cohort size as 1-row denominator
     "freq_token_pairs",          # 1-row n_docs stats for relative thresholds
