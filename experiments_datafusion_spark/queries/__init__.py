@@ -101,16 +101,20 @@ _PRIORITY = (
 )
 
 # Round-5 window plan: after CORRECTNESS_r04 lands, every key except those
-# registered after the round-4 window filled (mm_bmp_features,
-# grouping_id_flags, group_collated, sql_parameterized, the search/
-# recurrence trio search_rrf_fusion / freq_token_pairs / ev_ewma,
-# sim_topk_pq_trained, join_bloom_prefilter, win_rolling_median and
-# text_containment, sql_recursive_spine, sql_scripting_block and
-# dq_expectations and join_interval_overlap, plus the continuation batch
-# profile_columns / win_gap_islands / join_spatial_grid / ev_rate_limit —
-# all green at all three scales via tools/drive_entry.py)
-# will have a lifetime driver verdict — lead the next window with those
-# nineteen, then rotate in whatever round 5 adds.
+# registered after the round-4 window filled will have a lifetime driver
+# verdict.  The post-window backlog (all green at all three scales via
+# tools/drive_entry.py): mm_bmp_features, grouping_id_flags,
+# group_collated, sql_parameterized, the search/recurrence trio
+# search_rrf_fusion / freq_token_pairs / ev_ewma, sim_topk_pq_trained,
+# join_bloom_prefilter, win_rolling_median, text_containment,
+# sql_recursive_spine, sql_scripting_block, dq_expectations,
+# join_interval_overlap, the continuation batch profile_columns /
+# win_gap_islands / join_spatial_grid / ev_rate_limit /
+# agg_activity_bitmap / udf_cogroup / docs_tfidf_cosine,
+# rfm_segmentation, graph_bfs, and the statistical-monitoring tier
+# drift_psi / drift_ks / drift_chi2 / ev_markov_chain / assoc_rules /
+# anomaly_mad / kl_source_divergence — 31 keys.  Lead the round-5 window
+# with those, then rotate in whatever round 5 adds.
 
 
 @dataclass(frozen=True)
