@@ -72,10 +72,24 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join: pairs sharing >=1 shingle are
     candidates (posting-list self-join grouped on the pair), then
-    |A ∩ B| / (|A| + |B| - |A ∩ B|) filters by threshold."""
+    |A ∩ B| / (|A| + |B| - |A ∩ B|) filters by threshold.
+
+    ``max_df`` is the 100 TB knob: shingles appearing in more than
+    ``max_df`` documents (boilerplate headers, license blurbs — the
+    posting-list join's skew AND its fan-out bomb: a shingle shared by f
+    docs emits f^2/2 candidate rows) are dropped BEFORE the self-join, and
+    Jaccard is computed exactly over the CAPPED shingle universe.  The
+    heavy-hitter set is small by construction (|hot| <= total_postings /
+    max_df), so it ships as a broadcast anti-join — no extra shuffle.
+    Semantics trade, documented: similarity that lives ONLY in
+    boilerplate no longer counts (those pairs drop — usually the goal),
+    while pairs whose overlap is in body text keep their score to within
+    the share of capped shingles (tests/test_dedup.py pins both
+    directions on a boilerplate fixture)."""
     # EAGER local checkpoint: the posting list feeds 3+ DAG branches (both
     # join sides + sizes); checkpointing computes it once instead of per
     # branch (~16s CPU per evaluation at sf0.1).  Eager, not lazy: lazy
@@ -83,6 +97,16 @@ def jaccard_pairs(
     # RDD — the losing stage attempt is canceled and its zombie tasks spam
     # "non-existent accumulator" errors (the BENCH_r01 noise).
     sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+            eager=True
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

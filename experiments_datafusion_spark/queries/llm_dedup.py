@@ -99,6 +99,58 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(table(spark, sf_dir, "documents"), 0.5)
 
 
+# max_df=5 bites on the synthetic corpus (max shingle df at sf0.01 is 7),
+# so the driver exercises the capped path for real, not the no-op branch.
+_JACCARD_MAX_DF = 5
+
+_SQL_CAPPED_SHINGLE_CTE = f"""
+sh_str AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s0 FROM documents
+),
+sh_all AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s0), 1, 15)) AS BIGINT) AS s FROM sh_str
+),
+hot AS (
+  SELECT s FROM sh_all GROUP BY s HAVING count(*) > {_JACCARD_MAX_DF}
+),
+sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT x, y, c * 1.0 / (sa.n_sh + sb.n_sh - c) AS jaccard_raw
+  FROM common
+  JOIN sizes sa ON x = sa.doc_id
+  JOIN sizes sb ON y = sb.doc_id
+)
+"""
+
+
+@register(
+    "dedup_jaccard_capped",
+    tags=("llm", "dedup"),
+    oracle=f"""
+WITH {_SQL_CAPPED_SHINGLE_CTE}
+SELECT x, y, round(jaccard_raw, 4) AS jaccard FROM jac WHERE jaccard_raw >= 0.5
+""",
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard with the document-frequency cap engaged (max_df=5):
+    shingles present in >5 docs — boilerplate, the posting-list join's
+    f^2/2 fan-out bomb — are dropped via a broadcast anti-join before the
+    self-join, and Jaccard is computed exactly over the capped universe.
+    The oracle replays the cap, so the scores (which MOVE when hot
+    shingles drop out of intersections and sizes) are differential-tested,
+    not just the survivor set.  This is the knob the 100 TB run of
+    dedup_jaccard turns (operators/dedup.py:jaccard_pairs docstring)."""
+    return D.jaccard_pairs(
+        table(spark, sf_dir, "documents"), 0.5, max_df=_JACCARD_MAX_DF
+    )
+
+
 def _minhash_oracle() -> str:
     P, A, B = D.MINHASH_P, D.MINHASH_A, D.MINHASH_B
     mh_exprs = ",\n    ".join(

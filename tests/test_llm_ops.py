@@ -89,6 +89,45 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert len(missed) / len(high) <= 0.1
 
 
+def test_jaccard_df_cap_drops_boilerplate_keeps_near_dups(spark):
+    """The max_df knob's contract (operators/dedup.py:jaccard_pairs): pairs
+    whose similarity lives ONLY in corpus-wide boilerplate disappear, true
+    near-dup pairs (body overlap, low-df shingles) survive, and a cap that
+    never bites reproduces the uncapped result exactly."""
+    boiler = (
+        "all rights reserved by the example corporation contact the legal "
+        "department for licensing terms and reuse conditions on every page"
+    )
+    rows = [
+        (
+            i,
+            f"body {i} alpha{i} beta{i} gamma{i} " + boiler,
+        )
+        for i in range(12)
+    ]
+    dup = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while the miller sleeps"
+    )
+    rows.append((100, dup + " " + boiler))
+    rows.append((101, dup + " today " + boiler))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {(r["x"], r["y"]) for r in D.jaccard_pairs(docs, 0.3).collect()}
+    capped = {(r["x"], r["y"]) for r in D.jaccard_pairs(docs, 0.3, max_df=5).collect()}
+    # uncapped: the shared boilerplate (df=14 > 5) dominates every doc, so
+    # boilerplate-ONLY pairs cross the threshold — the false positives
+    boiler_only = {(x, y) for (x, y) in uncapped if y < 100}
+    assert boiler_only, "fixture should produce boilerplate-only pairs uncapped"
+    # capped: every boilerplate-only pair is gone...
+    assert not {(x, y) for (x, y) in capped if y < 100}
+    # ...while the true near-dup pair (body df=2 <= 5) is retained
+    assert (100, 101) in capped
+    # a cap that never bites is a no-op: identical pair set
+    loose = {(r["x"], r["y"]) for r in D.jaccard_pairs(docs, 0.3, max_df=10**9).collect()}
+    assert loose == uncapped
+
+
 def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     sig = D.simhash(docs)
