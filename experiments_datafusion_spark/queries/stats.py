@@ -535,6 +535,99 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_autocorr",
+    tags=("stats", "timeseries", "events", "window"),
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS y,
+         lag(CAST(floor(value * 1000) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*)   AS BIGINT) AS n,
+         CAST(sum(x)     AS BIGINT) AS sx,
+         CAST(sum(y)     AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p WHERE x IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr
+FROM s
+WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+ORDER BY event_type
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of value per event_type (the time-series
+    seasonality/momentum diagnostic): lag() pairs each value with its
+    predecessor in (ts, event_id) order, then Pearson r over the pairs.
+
+    Determinism: values quantize per-row to integer milli-units (floor of
+    an identical double — single-op deterministic), the SIX moment sums
+    are associative int64 additions (y <= 5.6e5 -> x*y <= 3.2e11; 2e7
+    pairs of headroom per type before 2^63 — beyond that drop to
+    centi-units or Spark decimal(38) partials), and the closing Pearson
+    formula is ONE identical IEEE expression on losslessly-cast int64s —
+    the drift_chi2 trick, so no round(sum(double)) anywhere.  Zero-
+    variance groups are excluded in both engines (NaN has no portable
+    hash).
+
+    Shape at 100 TB: one shuffle on event_type for the lag window (the
+    per-type sequence is the partition), map-side-combined moment sums
+    collapse each partition to one row."""
+    e = table(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = e.select(
+        "event_type", y.alias("y"), F.lag(y).over(w).alias("x")
+    ).where(F.col("x").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = F.col("n").cast("double")
+    num = d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    varx = d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vary = d * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    # the guard compares the DOUBLE variance expressions (identical IEEE in
+    # both engines), not n*sxx vs sx*sx — those int64 products overflow
+    return (
+        s.where((varx > 0) & (vary > 0))
+        .select(
+            "event_type",
+            "n",
+            F.round(num / F.sqrt(varx * vary), 6).alias("autocorr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "kl_source_divergence",
     tags=("stats", "llm", "text"),
     oracle="""

@@ -501,3 +501,73 @@ def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(walk, schema="user_id long, rn long, tokens_u long, accepted long")
     )
+
+
+@register(
+    "period_over_period",
+    tags=("timeseries", "window", "warehouse"),
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT month, n_orders, revenue_cents,
+       lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+       CASE WHEN lag(revenue_cents) OVER (ORDER BY month) > 0 THEN
+         CAST((revenue_cents - lag(revenue_cents) OVER (ORDER BY month)) * 10000
+              // (lag(revenue_cents) OVER (ORDER BY month)) AS BIGINT)
+       END AS delta_bp
+FROM m
+ORDER BY month
+""",
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the warehouse KPI staple: monthly
+    revenue as an EXACT integer-cents sum (per-row round(price*100) is a
+    single identical double op in both engines; the sum is associative
+    int64 addition — the exact.py recipe), previous month via lag(), and
+    growth in truncated integer basis points (delta * 10000 div prev) —
+    no float division to diverge.  First month emits NULL delta in both
+    engines.
+
+    Shape at 100 TB: one map-side-combined groupBy(month) collapses the
+    orders scan to |months| rows; the lag window runs on that tiny
+    relation (single partition by construction — the reduction IS the
+    spine, same documented trade as drift_ks)."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return (
+        m.select(
+            "month",
+            "n_orders",
+            "revenue_cents",
+            F.lag("revenue_cents").over(w).alias("prev_cents"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "revenue_cents",
+            "prev_cents",
+            F.when(
+                F.col("prev_cents") > 0,
+                F.expr("(revenue_cents - prev_cents) * 10000 div prev_cents"),
+            )
+            .cast("long")
+            .alias("delta_bp"),
+        )
+        .orderBy("month")
+    )
