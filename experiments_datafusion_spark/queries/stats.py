@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from experiments_datafusion_spark.io import spread, table
+from experiments_datafusion_spark.operators import sketches as SK
 from experiments_datafusion_spark.operators import text as T
 from experiments_datafusion_spark.queries import register
 from experiments_datafusion_spark.queries.search import (
@@ -531,6 +532,70 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+_HH_K = 1024  # MG counters per task; sound for thresholds above N/1024
+# heavy hitter = bigram with count * 750 > corpus tokens; 750 < k keeps the
+# pigeonhole soundness margin AND lands inside the synthetic corpus's
+# near-uniform count range at every test scale (non-empty output at
+# sf0.001/0.01/0.1 — an empty result would make the hash check vacuous)
+_HH_DIV = 750
+
+
+@register(
+    "heavy_hitters_sketch",
+    tags=("stats", "sketch", "llm", "text"),
+    oracle=f"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+    AS term
+  FROM w
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM bi)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM bi CROSS JOIN tot
+GROUP BY term, tot.n_tok
+HAVING count(*) * {_HH_DIV} > tot.n_tok
+ORDER BY n DESC, term
+""",
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram heavy hitters via the TWO-PASS Misra-Gries sketch
+    (operators/sketches.py): pass 1 runs k=1024 MG counters per task —
+    bounded memory, a guaranteed candidate SUPERSET of anything above
+    N/1024 by the per-partition pigeonhole argument — pass 2 exactly
+    recounts only the candidates (broadcast semi-join) and keeps bigrams
+    above N/600.  Because 1/600 > 1/1024, the output is provably EXACT —
+    identical to the full groupBy — which is why a hash oracle can check a
+    sketch: the oracle computes the plain exact answer.
+
+    Shape at 100 TB: pass 1 shuffles NOTHING (mapInPandas is
+    partition-local, k rows of state per task); only the tiny candidate
+    set and their recount shuffle.  The full-vocabulary groupBy the oracle
+    runs is exactly what this operator avoids."""
+    docs = table(spark, sf_dir, "documents")
+    d = spread(docs).select(T.words(F.lower(F.col("text"))).alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    items = d.select(F.explode(bigrams).alias("term"))
+    tot = items.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    counts = (
+        items.join(F.broadcast(SK.mg_candidates(items, "term", _HH_K)), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * _HH_DIV > F.col("n_tok"))
+        .select("term", "n")
+        .orderBy(F.desc("n"), F.asc("term"))
     )
 
 

@@ -39,6 +39,7 @@ ALLOW_SCALAR_BROADCAST = {
     "docs_length_histogram",     # total-docs row for bucket shares
     "ev_funnel",                 # step-1 cohort size as 1-row denominator
     "freq_token_pairs",          # 1-row n_docs stats for relative thresholds
+    "heavy_hitters_sketch",      # 1-row corpus-token total for the threshold
     "join_bloom_prefilter",      # 1-row bitmap relation (the bloom filter)
     "graph_triangles",           # three 1-row summary aggregates stitched
     "mix_temperature",           # corpus token total for temperature rates

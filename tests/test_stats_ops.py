@@ -122,3 +122,60 @@ def test_kl_nonnegative_per_source(spark, sf_dir):
     for r in rows:
         assert r["kl"] >= -0.0001
         assert 1 <= r["n_terms"] <= r["n_tokens"]
+
+
+# ---- Misra-Gries two-pass heavy hitters (operators/sketches.py) ----------
+
+
+def _zipf_items(spark, n_parts):
+    """Adversarial fixture: one dominant item, a mid tier, and a long tail
+    sized to force decrement churn at small k."""
+    rows = (
+        [("hot",)] * 300
+        + [(f"mid{i}",) for i in range(6) for _ in range(40)]
+        + [(f"tail{i}",) for i in range(400)]
+    )
+    return spark.createDataFrame(rows, ["term"]).repartition(n_parts)
+
+
+def test_mg_candidates_superset_and_bounded(spark):
+    """With k=8 (<< 406 distinct items, so decrements fire constantly):
+    every item with global freq > N/k must appear in the candidate union,
+    and each partition contributes at most k survivors."""
+    from experiments_datafusion_spark.operators import sketches as SK
+
+    for n_parts in (1, 7):
+        items = _zipf_items(spark, n_parts)
+        n = items.count()
+        k = 8
+        cand = {r["term"] for r in SK.mg_candidates(items, "term", k).collect()}
+        assert len(cand) <= k * n_parts
+        exact = {
+            r["term"]
+            for r in items.groupBy("term").count().where(F.col("count") > n / k).collect()
+        }
+        assert exact <= cand, f"missed heavy hitters: {exact - cand}"
+
+
+def test_mg_two_pass_equals_exact_groupby(spark):
+    """heavy_hitters_exact with min_count > N/k returns EXACTLY the full
+    groupBy answer, independent of partitioning — the property that makes
+    the sketch hash-oracle-able."""
+    from experiments_datafusion_spark.operators import sketches as SK
+
+    for n_parts in (1, 3, 7):
+        items = _zipf_items(spark, n_parts)
+        n = items.count()
+        k, min_count = 8, n // 8 + 1
+        got = {
+            (r["term"], r["n"])
+            for r in SK.heavy_hitters_exact(items, "term", k, min_count).collect()
+        }
+        want = {
+            (r["term"], r["n"])
+            for r in items.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .where(F.col("n") >= min_count)
+            .collect()
+        }
+        assert got == want
