@@ -305,3 +305,47 @@ def agg_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(mask).cast("long").alias("n_active_days"),
         F.bit_count(mask.bitwiseAND(F.lit(_BM_WEEKEND))).cast("long").alias("n_weekend_days"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    tags=("aggregate",),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                 AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+       CAST(count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d'))
+            AS BIGINT)                          AS n_days,
+       CAST(count(DISTINCT value) AS BIGINT)    AS n_values
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE count(DISTINCT ...) on three different columns in one
+    aggregate — the shape Catalyst's RewriteDistinctAggregates handles by
+    Expand-ing each row once per distinct group and double-aggregating.
+    Worth owning as a key because naive engines either reject it or fall
+    back to joins of separate aggregates; Spark keeps it one pipeline
+    (plan shows a single Expand feeding two HashAggregate layers).
+
+    Scale note: Expand multiplies scan rows by the number of distinct
+    specs (3x here) BEFORE the partial aggregate — acceptable because the
+    partials collapse per (group, spec); for very wide fan-outs prefer
+    approx_count_distinct (agg_approx) or separate aggregates."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            )
+            .cast("long")
+            .alias("n_days"),
+            F.countDistinct("value").cast("long").alias("n_values"),
+        )
+        .orderBy("event_type")
+    )

@@ -760,3 +760,93 @@ def kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "winsorize_stats",
+    tags=("stats", "events", "window"),
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*)     OVER (PARTITION BY event_type)                AS n
+  FROM events
+),
+lo AS (SELECT event_type, value AS lo
+       FROM r WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))),
+hi AS (SELECT event_type, value AS hi
+       FROM r WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(lo.lo)         AS p05,
+       any_value(hi.hi)         AS p95,
+       CAST(sum(CAST(floor(least(greatest(e.value, lo.lo), hi.hi) * 1000)
+                     AS BIGINT)) AS BIGINT)          AS sum_milli,
+       CAST(sum(CAST(floor(least(greatest(e.value, lo.lo), hi.hi) * 1000)
+                     AS BIGINT)) // count(*) AS BIGINT) AS mean_milli
+FROM events e JOIN lo USING (event_type) JOIN hi USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type statistics: clamp value into [p05, p95] — the
+    standard outlier-robust preprocessing before scaling/training — and
+    report the clamped sum/mean.  The cutoffs are rank SELECTIONS of raw
+    doubles (rn == ceil(q*n), tie-invariant: equal values give the same
+    selected VALUE whatever the tie order), the clamp is least/greatest
+    on identical doubles, and the sum is associative int64 milli-units —
+    the anomaly_mad determinism recipe end to end; mean is truncating
+    integer division.
+
+    Shape at 100 TB: one shuffle on event_type for the rank window, tiny
+    per-type cutoff relations broadcast back, clamped sums aggregate
+    map-side (same trade as anomaly_mad; histogram-median swap applies
+    if one type outgrows a partition)."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    ranked = e.select(
+        "*",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    lo = ranked.where(
+        F.col("rn") == F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")))
+    ).select("event_type", F.col("value").alias("lo"))
+    hi = ranked.where(F.col("rn") == F.ceil(0.95 * F.col("n"))).select(
+        "event_type", F.col("value").alias("hi")
+    )
+    clamped = (
+        e.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            F.floor(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+                * 1000
+            )
+            .cast("long")
+            .alias("v_milli"),
+        )
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.any_value("lo").alias("p05"),
+            F.any_value("hi").alias("p95"),
+            F.sum("v_milli").cast("long").alias("sum_milli"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p05",
+            "p95",
+            "sum_milli",
+            F.expr("sum_milli div n").cast("long").alias("mean_milli"),
+        )
+        .orderBy("event_type")
+    )
