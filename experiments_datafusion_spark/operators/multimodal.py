@@ -423,3 +423,46 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = (
+    "media_id bigint, width int, height int, thumb_sum bigint, thumb_mean double"
+)
+
+
+def resize_thumbnail(media: DataFrame, s: int = 8) -> DataFrame:
+    """REAL image resize: decode the PNG payload (full chunk/CRC/inflate/
+    unfilter path), nearest-neighbor downsample to s x s — sampled pixel
+    (i, j) = src[(i*h) div s, (j*w) div s], the standard floor-mapping NN
+    kernel — and emit the thumbnail's exact integer pixel sum plus the
+    half-up 4dp mean (the codec tier's rounding recipe).  Integer
+    index math end to end, so the sampled COORDINATES are replayable in
+    SQL and the whole resize is differential-testable.
+
+    Shape: partition-preserving mapInPandas over (media_id, payload);
+    per-row cost is the decode + an O(s^2) gather — no shuffle, no
+    collect.  At 100 TB this is the canonical decode-then-shrink
+    preprocessing pass (thumbnails, vision-encoder inputs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("media_id", "width", "height", "thumb_sum", "thumb_mean")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_png_gray8(bytes(payload))
+                img = px.reshape(h, w)
+                yi = (np.arange(s, dtype=np.int64) * h) // s
+                xj = (np.arange(s, dtype=np.int64) * w) // s
+                thumb = img[np.ix_(yi, xj)].astype(np.int64)
+                ts = int(thumb.sum())
+                n = s * s
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_sum"].append(ts)
+                out["thumb_mean"].append(((ts * 20_000 + n) // (2 * n)) / 10_000.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, THUMB_SCHEMA)

@@ -208,3 +208,40 @@ def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain the documented environment gate (decode_real)."""
     media = M.attach_bmp_media(table(spark, sf_dir, "documents"))
     return M.decode_bmp_features(media)
+
+
+@register(
+    "mm_thumbnail",
+    tags=("llm", "multimodal"),
+    oracle="""
+-- Closed-form replay of decode + nearest-neighbor 8x8 resize: the PNG
+-- payload's pixel[k] = (doc_id*7 + k) % 256 row-major over
+-- (16 + doc_id%17) x (16 + doc_id%13) (operators/multimodal.py
+-- attach_png_media), and the NN kernel samples k = ((i*h)//8)*w + (j*w)//8
+-- for i,j in 0..7 — all integer index math, so the 64 sampled values are
+-- reproduced exactly; the Spark side decodes and gathers REAL bytes.
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+         (doc_id * 7) % 256 AS a
+  FROM documents
+),
+g AS (SELECT unnest(generate_series(0, 7)) AS i),
+t AS (
+  SELECT d.doc_id, d.w, d.h,
+         (d.a + ((gi.i * d.h) // 8) * d.w + ((gj.i * d.w) // 8)) % 256 AS val
+  FROM d CROSS JOIN g gi CROSS JOIN g gj
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum(val) AS BIGINT) AS thumb_sum,
+       ((sum(val) * 20000 + 64) // 128) / 10000.0 AS thumb_mean
+FROM t GROUP BY doc_id, w, h
+""",
+)
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode each grayscale PNG payload and
+    nearest-neighbor downsample to 8x8 (operators/multimodal.py
+    resize_thumbnail) — the decode-then-shrink preprocessing pass of a
+    vision-data pipeline, differential-tested because the sampling
+    indices are exact integer math over closed-form pixels."""
+    media = M.attach_png_media(table(spark, sf_dir, "documents"))
+    return M.resize_thumbnail(media)
