@@ -850,3 +850,63 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "histogram_equidepth",
+    tags=("stats", "profile", "events", "window"),
+    oracle="""
+WITH v AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY value
+),
+cu AS (
+  SELECT value, c,
+         sum(c) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM v
+),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v)
+SELECT CAST(1 + ((cum - c) * 10) // t.n AS BIGINT) AS bucket,
+       CAST(sum(c) AS BIGINT)  AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       min(value) AS lo,
+       max(value) AS hi
+FROM cu CROSS JOIN t
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of value — the optimizer/profiler
+    statistic equal-WIDTH bins (docs_length_histogram, drift_psi) can't
+    substitute for on skewed data: each distinct value lands in bucket
+    1 + (rows_before * 10) div N, so buckets hold ~N/10 rows except where
+    a single heavy value straddles (it stays whole — deterministic, and
+    exactly the real histogram-builder behavior).  All integer: counts,
+    cumulative sums, and the bucket index; lo/hi are raw-value selections.
+
+    Shape at 100 TB: one map-side-combined groupBy(value) collapses the
+    scan to |distinct| rows; the running sum over that reduced relation is
+    the drift_ks documented trade (pre-bin to a fixed grid when |distinct|
+    itself outgrows a partition), then a 10-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    v = e.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cu = v.select("value", "c", F.sum("c").over(w).alias("cum"))
+    t = v.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cu.crossJoin(F.broadcast(t))
+        .select(
+            "value",
+            "c",
+            (F.lit(1) + F.expr("((cum - c) * 10) div n")).cast("long").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
