@@ -111,10 +111,14 @@ _PRIORITY = (
 # join_interval_overlap, the continuation batch profile_columns /
 # win_gap_islands / join_spatial_grid / ev_rate_limit /
 # agg_activity_bitmap / udf_cogroup / docs_tfidf_cosine,
-# rfm_segmentation, graph_bfs, and the statistical-monitoring tier
+# rfm_segmentation, graph_bfs, the statistical-monitoring tier
 # drift_psi / drift_ks / drift_chi2 / ev_markov_chain / assoc_rules /
-# anomaly_mad / kl_source_divergence — 31 keys.  Lead the round-5 window
-# with those, then rotate in whatever round 5 adds.
+# anomaly_mad / kl_source_divergence, and the late batch
+# dedup_jaccard_capped / ts_autocorr / period_over_period /
+# heavy_hitters_sketch / agg_multi_distinct /
+# winsorize_stats / mm_thumbnail / histogram_equidepth — 39 keys.
+# Lead the round-5 window with those, then rotate in whatever round 5
+# adds.
 
 
 @dataclass(frozen=True)

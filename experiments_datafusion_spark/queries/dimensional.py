@@ -324,3 +324,78 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     local = pass_(p.withColumn("b", F.pmod(F.xxhash64("p_partkey"), F.lit(16))), True)
     return pass_(local, False)
+
+
+@register(
+    "abc_pareto_class",
+    tags=("warehouse", "window", "aggregate"),
+    oracle="""
+WITH p AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM p),
+c AS (
+  SELECT l_partkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM p
+)
+SELECT CASE WHEN cum * 10 <= t.tot * 7 THEN 'A'
+            WHEN cum * 10 <= t.tot * 9 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT)       AS n_parts,
+       CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(rev_cents) * 10000 // t.tot AS BIGINT) AS share_bp
+FROM c CROSS JOIN t
+GROUP BY 1, t.tot
+ORDER BY abc_class
+""",
+)
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue — the inventory
+    80/20 analysis: parts are ranked by exact integer-cents revenue, the
+    running share assigns class A (first 70% of revenue), B (to 90%), C
+    (tail), with deterministic (revenue DESC, partkey) tie order.  Class
+    boundaries compare cum*10 against tot*7 / tot*9 — pure int64, no
+    percentage floats.
+
+    Shape at 100 TB: one map-side-combined groupBy(partkey) collapses the
+    lineitem scan; the running sum runs over the |parts| reduced relation
+    (the drift_ks documented trade — range-partition the ranked parts and
+    offset per partition when |parts| outgrows one), then a 3-row
+    aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    t = p.agg(F.sum("rev_cents").cast("long").alias("tot"))
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = p.select("l_partkey", "rev_cents", F.sum("rev_cents").over(w).alias("cum"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.when(F.col("cum") * 10 <= F.col("tot") * 7, "A")
+            .when(F.col("cum") * 10 <= F.col("tot") * 9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "rev_cents",
+            "tot",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+            F.expr("sum(rev_cents) * 10000 div any_value(tot)")
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )

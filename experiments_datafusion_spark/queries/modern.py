@@ -237,58 +237,3 @@ def group_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("mc").cast("string")).alias("lang_ci"), "n")
     )
-
-
-@register(
-    "reshape_unpivot",
-    tags=("reshape", "modern", "warehouse"),
-    oracle="""
-WITH wide AS (
-  SELECT o_orderpriority,
-         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cnt_open,
-         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cnt_filled,
-         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
-           AS cnt_partial
-  FROM orders GROUP BY o_orderpriority
-)
-SELECT o_orderpriority, status, cnt FROM (
-  SELECT o_orderpriority, 'cnt_open'    AS status, cnt_open    AS cnt FROM wide
-  UNION ALL
-  SELECT o_orderpriority, 'cnt_filled'  AS status, cnt_filled  AS cnt FROM wide
-  UNION ALL
-  SELECT o_orderpriority, 'cnt_partial' AS status, cnt_partial AS cnt FROM wide
-)
-ORDER BY o_orderpriority, status
-""",
-)
-def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide-to-long reshape via the native DataFrame ``unpivot`` (a.k.a.
-    ``melt``) — ``pivot_dynamic``'s inverse: per-priority status counts
-    built as one conditional aggregate, then the three metric columns
-    unpivoted to (status, cnt) rows.  Spark lowers unpivot to an Expand
-    node — one pass, rows fan out 3x with NO shuffle and NO per-column
-    scan repetition; the oracle states the same reshape as the portable
-    UNION ALL.
-
-    Shape at 100 TB: the aggregate collapses the scan to |priorities|
-    rows before the Expand, so the reshape is free."""
-    o = table(spark, sf_dir, "orders")
-    wide = o.groupBy("o_orderpriority").agg(
-        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
-        .cast("long")
-        .alias("cnt_open"),
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
-        .cast("long")
-        .alias("cnt_filled"),
-        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
-        .cast("long")
-        .alias("cnt_partial"),
-    )
-    return wide.unpivot(
-        ids=["o_orderpriority"],
-        values=["cnt_open", "cnt_filled", "cnt_partial"],
-        variableColumnName="status",
-        valueColumnName="cnt",
-    ).orderBy("o_orderpriority", "status")

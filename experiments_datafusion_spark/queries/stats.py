@@ -910,3 +910,166 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_BOLL_W = 20  # Bollinger window: current row + 19 preceding
+
+
+@register(
+    "ts_bollinger",
+    tags=("stats", "timeseries", "events", "window"),
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT event_type, event_id, v,
+         CAST(count(*) OVER fr AS BIGINT)   AS n_w,
+         CAST(sum(v)   OVER fr AS BIGINT)   AS s,
+         CAST(sum(v*v) OVER fr AS BIGINT)   AS ss
+  FROM q
+  WINDOW fr AS (PARTITION BY event_type ORDER BY event_id
+                ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, v AS v_milli, n_w,
+       round((CAST(s AS DOUBLE)
+              + 2 * sqrt(CAST(n_w * ss - s * s AS DOUBLE) / CAST(n_w AS DOUBLE)))
+             / CAST(n_w AS DOUBLE), 4) AS upper_milli,
+       round((CAST(s AS DOUBLE)
+              - 2 * sqrt(CAST(n_w * ss - s * s AS DOUBLE) / CAST(n_w AS DOUBLE)))
+             / CAST(n_w AS DOUBLE), 4) AS lower_milli,
+       CAST(CAST(v AS DOUBLE) * CAST(n_w AS DOUBLE)
+            > CAST(s AS DOUBLE)
+              + 2 * sqrt(CAST(n_w * ss - s * s AS DOUBLE) / CAST(n_w AS DOUBLE))
+              * CAST(n_w AS DOUBLE) AS BIGINT) AS breakout_hi
+FROM w
+""",
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (rolling mean +/- 2 sigma over a 20-row frame) per
+    event type, with a breakout flag — the mean-reversion monitoring
+    staple.  The rolling count/sum/sum-of-squares are EXACT int64 frame
+    aggregates of milli-quantized values (v <= 5.6e5, v^2 * 20 <= 6.3e15 —
+    int64-safe); the band formula and the breakout comparison are single
+    identical IEEE expressions on losslessly-cast integers, and the
+    breakout compare is cross-multiplied (v * n > s + 2*sqrt(var/n)*n) so
+    no engine-specific division order exists.  round(,4) is cosmetic on
+    already-identical doubles.
+
+    Shape at 100 TB: one shuffle on event_type; the ROWS frame is a
+    constant-width sliding aggregate — O(1) state per row in the window
+    operator, no second pass."""
+    e = table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000).cast("long")
+    q = e.select("event_type", "event_id", v.alias("v"))
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-(_BOLL_W - 1), 0)
+    )
+    w = q.select(
+        "event_type",
+        "event_id",
+        "v",
+        F.count(F.lit(1)).over(fr).cast("long").alias("n_w"),
+        F.sum("v").over(fr).cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(fr).cast("long").alias("ss"),
+    )
+    n_d = F.col("n_w").cast("double")
+    s_d = F.col("s").cast("double")
+    sd2 = 2 * F.sqrt((F.col("n_w") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / n_d)
+    return w.select(
+        "event_type",
+        "event_id",
+        F.col("v").alias("v_milli"),
+        "n_w",
+        F.round((s_d + sd2) / n_d, 4).alias("upper_milli"),
+        F.round((s_d - sd2) / n_d, 4).alias("lower_milli"),
+        (F.col("v").cast("double") * n_d > s_d + sd2 * n_d)
+        .cast("long")
+        .alias("breakout_hi"),
+    )
+
+
+# CUSUM constants: K (allowance/reference) just above the corpus value mean
+# (~50.0 -> 50000 milli) so the statistic hugs zero under in-control data;
+# H is the decision interval.  Integer milli-units end to end.
+_CUSUM_K = 60_000
+_CUSUM_H = 400_000
+
+
+@register(
+    "ev_cusum",
+    tags=("stats", "events", "stateful", "udf"),
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, s, alarm) AS (
+  SELECT user_id, rn,
+         CASE WHEN greatest(0, x - {_CUSUM_K}) >= {_CUSUM_H} THEN 0
+              ELSE greatest(0, x - {_CUSUM_K}) END,
+         CAST(greatest(0, x - {_CUSUM_K}) >= {_CUSUM_H} AS BIGINT)
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN greatest(0, w.s + e.x - {_CUSUM_K}) >= {_CUSUM_H} THEN 0
+              ELSE greatest(0, w.s + e.x - {_CUSUM_K}) END,
+         CAST(greatest(0, w.s + e.x - {_CUSUM_K}) >= {_CUSUM_H} AS BIGINT)
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, CAST(s AS BIGINT) AS s_milli,
+       CAST(alarm AS BIGINT) AS alarm
+FROM walk
+""",
+)
+def ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM change-point detection (Page 1954): the
+    clamped recurrence s = max(0, s_prev + x - K), alarm + reset when s
+    crosses H — the sequential-analysis sibling of ev_rate_limit's token
+    bucket, and like it NOT expressible as any window frame or prefix
+    product (the max(0, .) clamp forces the walk).  Integer milli-units
+    end to end, so the applyInPandas walk and the DuckDB recursive-CTE
+    fixed point agree bit-for-bit.
+
+    Shape at 100 TB: ONE shuffle to co-locate each user, O(1) state per
+    key in the Arrow walk; keys parallelize to millions.  The streaming
+    twin is the applyInPandasWithState shape of streaming/stateful.py."""
+    import numpy as np
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events")
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = np.floor(pdf["value"].to_numpy() * 1000).astype("int64")
+        n = len(x)
+        s_out = np.empty(n, dtype="int64")
+        a_out = np.empty(n, dtype="int64")
+        s = 0
+        for i in range(n):
+            s = max(0, s + int(x[i]) - _CUSUM_K)
+            if s >= _CUSUM_H:
+                a_out[i] = 1
+                s = 0
+            else:
+                a_out[i] = 0
+            s_out[i] = s
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "rn": np.arange(1, n + 1, dtype="int64"),
+                "s_milli": s_out,
+                "alarm": a_out,
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(walk, schema="user_id long, rn long, s_milli long, alarm long")
+    )

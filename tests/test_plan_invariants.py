@@ -41,6 +41,7 @@ ALLOW_SCALAR_BROADCAST = {
     "freq_token_pairs",          # 1-row n_docs stats for relative thresholds
     "heavy_hitters_sketch",      # 1-row corpus-token total for the threshold
     "histogram_equidepth",       # 1-row row-count total for the bucket index
+    "abc_pareto_class",          # 1-row revenue total for the class bounds
     "join_bloom_prefilter",      # 1-row bitmap relation (the bloom filter)
     "graph_triangles",           # three 1-row summary aggregates stitched
     "mix_temperature",           # corpus token total for temperature rates
