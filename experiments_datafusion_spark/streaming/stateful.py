@@ -263,3 +263,73 @@ def streaming_rate_limit(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- CUSUM change-point detection (stream twin of queries/stats.ev_cusum) ---
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("s_milli", LongType()),
+        StructField("alarm", LongType()),
+    ]
+)
+
+CUSUM_STATE = StructType(
+    [
+        StructField("rn", LongType()),
+        StructField("s", LongType()),
+    ]
+)
+
+
+def _cusum_update(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch rows through the one-sided CUSUM clamp
+    s = max(0, s + x - K), alarm + reset at H — constants imported from the
+    batch key (queries/stats.ev_cusum) so stream == batch bit-for-bit
+    under per-key event-time-ordered arrival."""
+    import numpy as np
+
+    from experiments_datafusion_spark.queries.stats import _CUSUM_H, _CUSUM_K
+
+    (user_id,) = key
+    rn, s = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"], kind="mergesort")
+    x = np.floor(pdf["value"].to_numpy() * 1000).astype("int64")
+    rns, ss, alarms = [], [], []
+    for xi in x:
+        s = max(0, s + int(xi) - _CUSUM_K)
+        if s >= _CUSUM_H:
+            alarm = 1
+            s = 0
+        else:
+            alarm = 0
+        rn += 1
+        rns.append(rn)
+        ss.append(s)
+        alarms.append(alarm)
+    state.update((rn, s))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rns),
+            "rn": rns,
+            "s_milli": ss,
+            "alarm": alarms,
+        }
+    )
+
+
+def streaming_cusum(events: DataFrame) -> DataFrame:
+    """Streaming per-user CUSUM change-point detector — the stream twin of
+    the ev_cusum batch key.  State is one (rn, s) pair per user: bounded
+    by active users, O(1) per key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cusum_update,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

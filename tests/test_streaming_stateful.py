@@ -235,3 +235,33 @@ def test_streaming_rate_limit_matches_batch_key(spark, sf_dir, tmp_path):
         for r in all_queries()["ev_rate_limit"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_cusum_matches_batch_key(spark, sf_dir, tmp_path):
+    """The stateful streaming CUSUM must reproduce the batch ev_cusum key
+    row-for-row (same clamped integer recurrence, state carried across the
+    availableNow replay)."""
+    from experiments_datafusion_spark.queries import all_queries
+    from experiments_datafusion_spark.streaming.stateful import streaming_cusum
+
+    d = tmp_path / "cusum"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    out = streaming_cusum(_src(spark, d, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_cusum")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["rn"]): (r["s_milli"], r["alarm"])
+        for r in spark.table("sink_cusum").collect()
+    }
+    batch = {
+        (r["user_id"], r["rn"]): (r["s_milli"], r["alarm"])
+        for r in all_queries()["ev_cusum"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
