@@ -116,7 +116,8 @@ _PRIORITY = (
 # anomaly_mad / kl_source_divergence, and the late batch
 # dedup_jaccard_capped / ts_autocorr / period_over_period /
 # heavy_hitters_sketch / agg_multi_distinct /
-# winsorize_stats / mm_thumbnail / histogram_equidepth — 39 keys.
+# winsorize_stats / mm_thumbnail / histogram_equidepth / ev_cusum /
+# ts_bollinger / abc_pareto_class — 42 keys.
 # Lead the round-5 window with those, then rotate in whatever round 5
 # adds.
 
