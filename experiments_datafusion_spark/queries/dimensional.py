@@ -399,3 +399,63 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "cohort_ltv",
+    tags=("warehouse", "window", "aggregate"),
+    oracle="""
+WITH f AS (
+  SELECT o_custkey,
+         min(date_trunc('month', o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(f.cohort_m, '%Y-%m-%d') AS cohort_month,
+       CAST((CAST(date_part('year', o.o_orderdate) AS BIGINT)
+             - date_part('year', f.cohort_m)) * 12
+            + CAST(date_part('month', o.o_orderdate) AS BIGINT)
+            - date_part('month', f.cohort_m) AS BIGINT) AS months_since,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+ORDER BY cohort_month, months_since
+""",
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the subscription/commerce staple:
+    customers grouped by FIRST-order month, revenue tracked by integer
+    months-since-cohort (year*12+month arithmetic, no date subtraction
+    floats), revenue as exact integer cents.  ev_retention's orders-table
+    sibling with money attached.
+
+    Shape at 100 TB: one groupBy(custkey) for first-order month, a
+    hash join back on custkey (both sides partition on the key), then a
+    map-side-combined groupBy on the (cohort, offset) matrix — at most
+    |months|^2 result rows."""
+    o = table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_m")
+    )
+    j = o.join(f, "o_custkey")
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_m")) * 12
+        + F.month("o_orderdate")
+        - F.month("cohort_m")
+    ).cast("long")
+    return (
+        j.groupBy(
+            F.date_format("cohort_m", "yyyy-MM-dd").alias("cohort_month"),
+            months_since.alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )

@@ -1073,3 +1073,56 @@ def ev_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(walk, schema="user_id long, rn long, s_milli long, alarm long")
     )
+
+
+@register(
+    "ev_top_paths",
+    tags=("stats", "events", "window"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE p2 IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM t)
+SELECT path, n, CAST(n * 10000 // tot.total AS BIGINT) AS share_bp
+FROM t CROSS JOIN tot
+ORDER BY n DESC, path
+LIMIT 20
+""",
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event paths across user journeys (the Sankey /
+    user-flow mining behind funnel design): two lag()s build each
+    consecutive trigram, counts aggregate map-side, shares in integer
+    basis points.  ev_markov_chain generalized from pairs to paths.
+
+    Shape at 100 TB: ONE shuffle on user_id for the lag window, a
+    map-side-combined groupBy collapsing to |types|^3 <= tiny, and the
+    top-20 plans as TakeOrderedAndProject — per-partition heads, no full
+    sort."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    t = s.groupBy(
+        F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = t.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select("path", "n", F.expr("n * 10000 div total").cast("long").alias("share_bp"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

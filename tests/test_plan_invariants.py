@@ -42,6 +42,7 @@ ALLOW_SCALAR_BROADCAST = {
     "heavy_hitters_sketch",      # 1-row corpus-token total for the threshold
     "histogram_equidepth",       # 1-row row-count total for the bucket index
     "abc_pareto_class",          # 1-row revenue total for the class bounds
+    "ev_top_paths",              # 1-row trigram total for the share_bp
     "join_bloom_prefilter",      # 1-row bitmap relation (the bloom filter)
     "graph_triangles",           # three 1-row summary aggregates stitched
     "mix_temperature",           # corpus token total for temperature rates
