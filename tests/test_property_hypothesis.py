@@ -134,3 +134,52 @@ def test_bmp_honest_boundaries():
     topdown[22:26] = struct.pack("<i", -4)
     with _pytest.raises(NotImplementedError):
         M._decode_bmp_gray8(bytes(topdown))  # top-down refused loudly
+
+
+@settings(deadline=None, max_examples=150)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    k=st.integers(min_value=2, max_value=12),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_misra_gries_superset_and_two_pass_exactness(seed, k, n_parts):
+    """The pigeonhole contract of the two-pass heavy-hitter sketch
+    (operators/sketches.py), on ARBITRARY skewed streams and partition
+    splits: (1) each partition keeps at most k candidates, (2) the union
+    of per-partition MG survivors contains EVERY item with global
+    frequency > N/k, so (3) recounting candidates and filtering at
+    min_count > N/k reproduces the exact groupBy answer.  Driven through
+    the real _mg_partition closure with pandas batches — no Spark."""
+    import collections
+
+    import pandas as pd
+
+    from experiments_datafusion_spark.operators import sketches as SK
+
+    rng = np.random.default_rng(seed)
+    # Zipf-ish universe: small alphabet with geometric skew + uniform tail
+    universe = [f"i{j}" for j in range(30)]
+    weights = np.array([1.0 / (j + 1) ** 1.2 for j in range(30)])
+    items = list(rng.choice(universe, size=int(rng.integers(1, 400)),
+                            p=weights / weights.sum()))
+    n = len(items)
+    # random contiguous partition split (order matters to MG — keep it real)
+    cuts = sorted(rng.integers(0, n + 1, size=n_parts - 1)) if n_parts > 1 else []
+    parts = np.split(np.array(items, dtype=object), cuts)
+
+    cand: set[str] = set()
+    for part in parts:
+        run = SK._mg_partition(k, "term")
+        outs = list(run(iter([pd.DataFrame({"term": part})])))
+        survivors = set(outs[-1]["term"])
+        assert len(survivors) <= k
+        cand |= survivors
+
+    exact = collections.Counter(items)
+    over = {x for x, c in exact.items() if c > n / k}
+    assert over <= cand, f"missed guaranteed heavy hitters: {over - cand}"
+
+    min_count = n // k + 1  # strictly > N/k -> sound threshold
+    two_pass = {x: exact[x] for x in cand if exact[x] >= min_count}
+    want = {x: c for x, c in exact.items() if c >= min_count}
+    assert two_pass == want
