@@ -436,3 +436,38 @@ def test_dup_spans_has_no_python_and_two_agg_shuffles(spark, sf_dir):
     assert "BatchEvalPython" not in p.text
     assert "ArrowEvalPython" not in p.text
     assert "Generate" in p.text  # the posexplode of window positions
+
+
+def test_bollinger_single_exchange_constant_frame(spark, sf_dir):
+    """ts_bollinger: ONE hash exchange (the event_type window shuffle) and
+    no SinglePartition funnel — the constant-width ROWS frame runs inside
+    the per-type partition."""
+    p = audit(Q["ts_bollinger"].fn(spark, sf_dir))
+    assert p.n_shuffles == 1
+    assert "SinglePartition" not in p.text
+    assert not p.has_python_udf
+
+
+def test_heavy_hitters_candidates_are_broadcast(spark, sf_dir):
+    """heavy_hitters_sketch: the MG candidate set joins back as a
+    BROADCAST semi-join (pass 2 never shuffles the corpus on term), and
+    the only Python in the plan is the Arrow-batched MG pass."""
+    p = audit(Q["heavy_hitters_sketch"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p.text and "LeftSemi" in p.text
+    assert "MapInPandas" in p.text
+    assert "CartesianProduct" not in p.text
+
+
+def test_cohort_ltv_no_single_partition_funnel(spark, sf_dir):
+    """cohort_ltv: first-order month + join back + matrix aggregate — all
+    hash exchanges, nothing funnels to one partition."""
+    p = audit(Q["cohort_ltv"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in p.text
+    assert not p.has_python_udf
+
+
+def test_top_paths_take_ordered(spark, sf_dir):
+    """ev_top_paths: the global top-20 plans as TakeOrderedAndProject
+    (per-partition heads), never a full sort."""
+    p = audit(Q["ev_top_paths"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p.text
