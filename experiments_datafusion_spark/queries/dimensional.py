@@ -459,3 +459,57 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "months_since")
     )
+
+
+@register(
+    "join_null_safe",
+    tags=("join",),
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, nullif(c_nationkey % 5, 3) AS grp, c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0 AND c_custkey <= 400
+),
+b AS (
+  SELECT c_custkey, nullif(c_nationkey % 5, 3) AS grp
+  FROM customer WHERE c_custkey % 2 = 1 AND c_custkey <= 400
+)
+SELECT a.grp, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(a.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY a.grp
+ORDER BY a.grp NULLS FIRST
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): the join
+    semantics plain '=' silently breaks — NULL keys match EACH OTHER
+    instead of vanishing.  Spark plans eqNullSafe as a regular hash join
+    (null hashes to a bucket like any value); the oracle is DuckDB's
+    IS NOT DISTINCT FROM.  Keys are made sparse-null via nullif so the
+    null bucket is genuinely exercised, and the two sides split by
+    custkey PARITY (capped at 400) so both are non-empty at every test
+    scale.
+
+    Scale note: the null bucket is a single hash key — a hot key if nulls
+    dominate; the join_salted recipe applies to it like any other skewed
+    key."""
+    c = table(spark, sf_dir, "customer")
+    grp = F.nullif(F.col("c_nationkey") % 5, F.lit(3))
+    a = c.where((F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") <= 400)).select(
+        grp.alias("grp"), "c_acctbal"
+    )
+    b = c.where((F.col("c_custkey") % 2 == 1) & (F.col("c_custkey") <= 400)).select(
+        grp.alias("grp_b")
+    )
+    return (
+        a.join(b, a["grp"].eqNullSafe(b["grp_b"]))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .orderBy(F.asc_nulls_first("grp"))
+    )

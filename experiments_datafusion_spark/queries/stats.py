@@ -1126,3 +1126,58 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "ev_user_lifecycle",
+    tags=("stats", "events", "window", "warehouse"),
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+l AS (
+  SELECT user_id, day,
+         lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+  FROM d
+),
+c AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day,
+         CASE WHEN prev_day IS NULL THEN 'new'
+              WHEN date_diff('day', prev_day, day) = 1 THEN 'active'
+              ELSE 'resurrected' END AS lifecycle
+  FROM l
+)
+SELECT day, lifecycle, CAST(count(*) AS BIGINT) AS n_users
+FROM c
+GROUP BY day, lifecycle
+ORDER BY day, lifecycle
+""",
+)
+def ev_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the new/active/resurrected daily ledger): each
+    user-day is classified by the gap to that user's PREVIOUS active day —
+    first-ever day = new, consecutive = active, gap > 1 day =
+    resurrected — then counted per day.  ev_retention's cohort matrix
+    tells you who comes back; this tells you what today's actives are
+    made of.  All integer date arithmetic (datediff of DATE-truncated
+    days), no float anywhere.
+
+    Shape at 100 TB: distinct user-days is one map-side-combined
+    aggregate, the lag window shuffles once on user_id (tiny rows — two
+    columns), and the final ledger is |days| x 3."""
+    e = table(spark, sf_dir, "events")
+    d = e.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    l = d.select("user_id", "day", F.lag("day").over(w).alias("prev_day"))
+    c = l.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.datediff(F.col("day"), F.col("prev_day")) == 1, "active")
+        .otherwise("resurrected")
+        .alias("lifecycle"),
+    )
+    return (
+        c.groupBy("day", "lifecycle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("day", "lifecycle")
+    )
