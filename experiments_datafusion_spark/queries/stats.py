@@ -1181,3 +1181,72 @@ def ev_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("day", "lifecycle")
     )
+
+
+@register(
+    "ev_dau_wau_mau",
+    tags=("stats", "events", "warehouse"),
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+x AS (
+  SELECT d.user_id, CAST(d.day + o.off * INTERVAL 1 DAY AS DATE) AS target,
+         o.off
+  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS off) o
+)
+SELECT strftime(target, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN off < 7 THEN user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT user_id) AS BIGINT)                            AS mau
+FROM x
+GROUP BY target
+HAVING count(DISTINCT CASE WHEN off = 0 THEN user_id END) >= 1
+ORDER BY day
+""",
+)
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/WAU/MAU trio — rolling 1/7/30-day distinct active users per
+    day, THE product growth metric: each distinct user-day contributes to
+    the 30 target days it stays inside the window of, and one conditional
+    multi-distinct aggregate (the agg_multi_distinct Expand path) counts
+    all three horizons in a single pass.  Reported for days with activity
+    (dau >= 1), matching the oracle's HAVING.
+
+    Shape at 100 TB: the corpus-sized work is ONE distinct over
+    (user, day) — everything after runs on |users| x |days| x 30 tiny
+    rows.  This explode-to-window formulation is the exact-COUNT-DISTINCT
+    answer; the sketch answer (mergeable HLL per day, union over the
+    window) is agg_sketch_rollup's shape."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    x = d.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+        "day",
+    ).select(
+        "user_id", "off", F.date_add(F.col("day"), F.col("off")).alias("target")
+    )
+    return (
+        x.groupBy("target")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).cast("long").alias("dau"),
+            F.count_distinct(
+                F.when(F.col("off") < 7, F.col("user_id"))
+            ).cast("long").alias("wau"),
+            F.count_distinct("user_id").cast("long").alias("mau"),
+        )
+        .where(F.col("dau") >= 1)
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+        .orderBy("day")
+    )
