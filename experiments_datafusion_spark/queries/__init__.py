@@ -117,7 +117,8 @@ _PRIORITY = (
 # dedup_jaccard_capped / ts_autocorr / period_over_period /
 # heavy_hitters_sketch / agg_multi_distinct /
 # winsorize_stats / mm_thumbnail / histogram_equidepth / ev_cusum /
-# ts_bollinger / abc_pareto_class / cohort_ltv / ev_top_paths — 44 keys.
+# ts_bollinger / abc_pareto_class / cohort_ltv / ev_top_paths /
+# ev_user_lifecycle / join_null_safe / ev_dau_wau_mau — 47 keys.
 # Lead the round-5 window with those, then rotate in whatever round 5
 # adds.
 
