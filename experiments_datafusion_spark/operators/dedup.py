@@ -83,8 +83,15 @@ def jaccard_pairs(
     posting-list join's skew AND its fan-out bomb: a shingle shared by f
     docs emits f^2/2 candidate rows) are dropped BEFORE the self-join, and
     Jaccard is computed exactly over the CAPPED shingle universe.  The
-    heavy-hitter set is small by construction (|hot| <= total_postings /
-    max_df), so it ships as a broadcast anti-join — no extra shuffle.
+    heavy-hitter set is bounded by |hot| <= total_postings / max_df and
+    ships as a broadcast anti-join — no extra shuffle.  Broadcast-safety
+    caveat: that bound is only broadcast-small when max_df is LARGE (the
+    production setting — hot shingles are the tiny vocabulary of truly
+    frequent boilerplate).  A small max_df on a huge corpus makes the
+    bound a constant fraction of all postings; in that regime drop the
+    broadcast hint (Spark runs the same left_anti as a shuffled join,
+    identical semantics) or let AQE demote it via
+    autoBroadcastJoinThreshold.
     Semantics trade, documented: similarity that lives ONLY in
     boilerplate no longer counts (those pairs drop — usually the goal),
     while pairs whose overlap is in body text keep their score to within

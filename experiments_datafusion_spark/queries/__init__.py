@@ -70,57 +70,48 @@ _MODULES = (
 # llm_*/sampling/udf-pandas (r2, CORRECTNESS_r02.json 50/50).  Round 3
 # verified events, the curation pipeline, hygiene, ml, the sortbench
 # workloads, multimodal, llm_extras and the top analytics keys (r3,
-# CORRECTNESS_r03.json 50/50).  Round 4 rotates in the final 29 keys
-# that have never had a driver verdict (per the r3 VERDICT plan), the
-# newly-registered compact_small_files, and the new round-4 operators,
-# reaching full lifetime driver coverage.  Keys listed here surface FIRST
-# (in this order) in queries()/oracle_sql(); everything else follows in
-# registration order.
+# CORRECTNESS_r03.json 50/50).  Round 4 verified the 29-key backlog, the
+# round-4 dimensional/time-series/curation operators and the sketch pair
+# (r4, CORRECTNESS_r04.json 48 full + 2 rows-only by design).  Round 5
+# rotates in the 47 keys that registered after the round-4 window filled
+# (every one already green at all three scales via tools/drive_entry.py
+# and independently re-verified by the round-4 judge) — after this window
+# lands, every registry key has a lifetime DRIVER verdict.  Keys listed
+# here surface FIRST (in this order) in queries()/oracle_sql(); everything
+# else follows in registration order.
 _PRIORITY = (
-    # never-driver-verified backlog — the r3 VERDICT's ask #1 (29)
-    "scalar_map", "dedup_semantic_canonical", "sim_topk_pq",
-    "sim_topk_ivfpq", "udf_python_rowwise", "udf_python_udtf",
-    "ev_interpolate", "sort_desc_nulls", "source_python_ds",
-    "mm_frame_sample", "mm_png_features", "text_dup_spans",
-    "agg_corr_regr", "join_bucketed", "agg_approx", "agg_sketch_rollup",
-    "join_salted", "join_range_bands", "scalar_bitwise", "docs_ngram_freq",
-    "scalar_url", "udf_map_in_arrow", "text_unigram_logprob",
-    "scalar_binary_b64", "pack_sequences", "merge_upsert", "layout_zorder",
-    "graph_pagerank", "graph_triangles",
-    # newly registered this round — VERDICT ask #3 (1)
-    "compact_small_files",
-    # new round-4 operators (dimensional / time-series / curation)
-    "scd2_snapshot", "cdc_changelog", "agg_decimal_exact",
-    "agg_mode_listagg", "win_running_distinct", "skyline_pareto",
-    "interval_coverage", "resample_ohlc", "join_asof_nearest",
-    "docs_winnowing", "mix_epochs_fractional", "docs_ngram_novelty",
-    "ev_cep_pattern", "text_bm25", "docs_paragraph_dedup",
-    "embedding_pca_power",
-    "scalar_variant", "scalar_dates2", "pivot_dynamic",
-    "agg_weighted_median",
+    # statistical-monitoring tier (7)
+    "drift_psi", "drift_ks", "drift_chi2", "ev_markov_chain",
+    "assoc_rules", "anomaly_mad", "kl_source_divergence",
+    # continuation batch (7)
+    "profile_columns", "win_gap_islands", "join_spatial_grid",
+    "ev_rate_limit", "agg_activity_bitmap", "udf_cogroup",
+    "docs_tfidf_cosine",
+    # retrieval / recurrence trio (3)
+    "search_rrf_fusion", "freq_token_pairs", "ev_ewma",
+    # similarity / join hardening (2)
+    "sim_topk_pq_trained", "join_bloom_prefilter",
+    # modern SQL surface (5)
+    "sql_parameterized", "sql_recursive_spine", "sql_scripting_block",
+    "grouping_id_flags", "group_collated",
+    # window / text / dq (4)
+    "win_rolling_median", "text_containment", "dq_expectations",
+    "join_interval_overlap",
+    # multimodal (2)
+    "mm_bmp_features", "mm_thumbnail",
+    # graph / segmentation (2)
+    "graph_bfs", "rfm_segmentation",
+    # late round-4 batch (15)
+    "dedup_jaccard_capped", "ts_autocorr", "period_over_period",
+    "heavy_hitters_sketch", "agg_multi_distinct", "winsorize_stats",
+    "histogram_equidepth", "ev_cusum", "ts_bollinger",
+    "abc_pareto_class", "cohort_ltv", "ev_top_paths",
+    "ev_user_lifecycle", "join_null_safe", "ev_dau_wau_mau",
 )
 
-# Round-5 window plan: after CORRECTNESS_r04 lands, every key except those
-# registered after the round-4 window filled will have a lifetime driver
-# verdict.  The post-window backlog (all green at all three scales via
-# tools/drive_entry.py): mm_bmp_features, grouping_id_flags,
-# group_collated, sql_parameterized, the search/recurrence trio
-# search_rrf_fusion / freq_token_pairs / ev_ewma, sim_topk_pq_trained,
-# join_bloom_prefilter, win_rolling_median, text_containment,
-# sql_recursive_spine, sql_scripting_block, dq_expectations,
-# join_interval_overlap, the continuation batch profile_columns /
-# win_gap_islands / join_spatial_grid / ev_rate_limit /
-# agg_activity_bitmap / udf_cogroup / docs_tfidf_cosine,
-# rfm_segmentation, graph_bfs, the statistical-monitoring tier
-# drift_psi / drift_ks / drift_chi2 / ev_markov_chain / assoc_rules /
-# anomaly_mad / kl_source_divergence, and the late batch
-# dedup_jaccard_capped / ts_autocorr / period_over_period /
-# heavy_hitters_sketch / agg_multi_distinct /
-# winsorize_stats / mm_thumbnail / histogram_equidepth / ev_cusum /
-# ts_bollinger / abc_pareto_class / cohort_ltv / ev_top_paths /
-# ev_user_lifecycle / join_null_safe / ev_dau_wau_mau — 47 keys.
-# Lead the round-5 window with those, then rotate in whatever round 5
-# adds.
+# Round-6 window plan: after CORRECTNESS_r05 lands, rotate in whatever
+# round 5 registered after this 47-key window (the window holds 50, so
+# up to 3 round-5 keys ride along at the tail of _PRIORITY).
 
 
 @dataclass(frozen=True)

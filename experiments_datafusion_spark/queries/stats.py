@@ -71,9 +71,10 @@ WITH {_SQL_PERIOD_CTES},
 vr AS (SELECT min(value) AS min_v, max(value) AS max_v FROM events),
 binned AS (
   SELECT period,
-         least(CAST(floor((value - vr.min_v) * {_PSI_BINS}.0
-                          / (vr.max_v - vr.min_v)) AS BIGINT),
-               {_PSI_BINS - 1}) AS bin
+         CASE WHEN vr.max_v = vr.min_v THEN 0
+              ELSE least(CAST(floor((value - vr.min_v) * {_PSI_BINS}.0
+                               / (vr.max_v - vr.min_v)) AS BIGINT),
+                         {_PSI_BINS - 1}) END AS bin
   FROM pe CROSS JOIN vr
 ),
 spine AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
@@ -123,13 +124,20 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(1)
             .alias("period"),
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("min_v"))
-                    * float(_PSI_BINS)
-                    / (F.col("max_v") - F.col("min_v"))
-                ).cast("long"),
-                F.lit(_PSI_BINS - 1).cast("long"),
+            # degenerate-range guard: all-equal values put every row in
+            # bin 0 (the oracle carries the same CASE) — without it both
+            # engines divide by zero and NaN/Inf floor-cast semantics
+            # differ between Spark and DuckDB
+            F.when(F.col("max_v") == F.col("min_v"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("min_v"))
+                        * float(_PSI_BINS)
+                        / (F.col("max_v") - F.col("min_v"))
+                    ).cast("long"),
+                    F.lit(_PSI_BINS - 1).cast("long"),
+                )
             ).alias("bin"),
         )
     )
@@ -570,7 +578,8 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory, a guaranteed candidate SUPERSET of anything above
     N/1024 by the per-partition pigeonhole argument — pass 2 exactly
     recounts only the candidates (broadcast semi-join) and keeps bigrams
-    above N/600.  Because 1/600 > 1/1024, the output is provably EXACT —
+    above N/_HH_DIV (= N/750).  Because 1/750 > 1/1024, the output is
+    provably EXACT —
     identical to the full groupBy — which is why a hash oracle can check a
     sketch: the oracle computes the plain exact answer.
 

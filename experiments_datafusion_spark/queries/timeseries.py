@@ -454,7 +454,8 @@ def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket: 3-token capacity, 1 token per 15 h refill, 1 token per event;
     each event reports its post-decision balance and accept/reject.
 
-    All integer micro-tokens: refill is dt_us // 3600 (exact integer
+    All integer micro-tokens: refill is dt_us // _RL_DIV (= // 54000,
+    exact integer
     division on nonnegative gaps), so the Spark walk and the DuckDB
     recursive-CTE fixed point are bit-identical — the float formulation
     would diverge on accumulated refills.
