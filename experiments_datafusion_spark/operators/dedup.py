@@ -50,20 +50,30 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
 
 # --- shingle posting lists --------------------------------------------------
 
-def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
     """(doc, distinct hashed shingle) posting rows — the unit all
     set-similarity ops join on. Shingles are 60-bit hashes, not strings:
     8-byte join keys shuffle ~4x less than 30-byte text 3-grams and compare
     in one instruction (collision odds over a 27k-shingle vocab are ~1e-10;
     MinHash hashes anyway). At 100 TB this is the shuffle-heavy step; it
-    partitions by shingle hash — naturally high-cardinality, no skew."""
+    partitions by shingle hash — naturally high-cardinality, no skew.
+
+    ``hash_fn`` is the hash knob (default T.hash64 = md5-derived, DuckDB
+    replayable; pass T.fast_hash64 = xxhash64 for production — the join
+    only tests hash equality so results are recall-identical)."""
+    hash_fn = hash_fn or T.hash64
     return (
         spread(df)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(T.shingles(F.col(text_col))).alias("sh_str"),
         )
-        .select("doc_id", T.hash64(F.col("sh_str")).alias("shingle"))
+        .select("doc_id", hash_fn(F.col("sh_str")).alias("shingle"))
     )
 
 

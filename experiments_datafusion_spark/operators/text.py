@@ -140,6 +140,16 @@ def hash64(col) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def fast_hash64(col) -> Column:
+    """Production 64-bit hash: xxhash64 — a JVM intrinsic that stays inside
+    whole-stage codegen with no hex string round-trip.  ~40% faster than
+    hash64 on the fingerprint tier (BENCH_NOTES.md winnowing A/B) but NOT
+    replayable in DuckDB, so oracled keys keep hash64; the `*_fast` twins
+    ship this one and are pinned to identical pair recall in
+    tests/test_hash_knob.py."""
+    return F.xxhash64(col)
+
+
 def rolling_fingerprint(col, k: int = SHINGLE_K) -> Column:
     """Content-sensitive 64-bit fingerprint: min shingle hash (a 1-function
     MinHash) — stable under small reorderings, cheap to compare at scale."""

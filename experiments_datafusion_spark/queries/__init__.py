@@ -107,6 +107,8 @@ _PRIORITY = (
     "histogram_equidepth", "ev_cusum", "ts_bollinger",
     "abc_pareto_class", "cohort_ltv", "ev_top_paths",
     "ev_user_lifecycle", "join_null_safe", "ev_dau_wau_mau",
+    # round-5 additions ride at the window tail (window holds 50)
+    "docs_winnowing_fast",
 )
 
 # Round-6 window plan: after CORRECTNESS_r05 lands, rotate in whatever

@@ -158,7 +158,14 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable-hashed, counted against a corpus-wide posting list.  Shape at
     100 TB: explode -> two hash aggregations -> one posting-list equi-join
     keyed by a 60-bit hash (high cardinality, no skew) — the same dataflow
-    as the n-gram Jaccard join, never all-pairs."""
+    as the n-gram Jaccard join, never all-pairs.  Hash knob: this oracled
+    key uses T.hash64 (md5 parity); pass T.fast_hash64 to dup_spans() for
+    the production xxhash64 path (identical output distribution — the
+    posting-list join only tests hash equality)."""
+    return dup_spans(spark, sf_dir, T.hash64)
+
+
+def dup_spans(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     text = F.col("text")
     positions = F.sequence(
@@ -170,7 +177,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = (
         docs.where(F.length(text) >= SPAN_W)
         .select("doc_id", "text", F.explode(positions).alias("p"))
-        .select("doc_id", T.hash64(text.substr(F.col("p"), F.lit(SPAN_W))).alias("s"))
+        .select("doc_id", hash_fn(text.substr(F.col("p"), F.lit(SPAN_W))).alias("s"))
         .distinct()
     )
     posting = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
@@ -241,14 +248,22 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle-free projection: embarrassingly parallel at any scale.
     Measured A/B at sf0.1: this beats the explode + window + distinct
     3-shuffle formulation 3.2 s vs 3.5 s; wall time in BOTH is dominated
-    by the portable md5 hash (xxhash64 runs the same plan in 2.4 s — md5
-    is kept because the DuckDB oracle must replay the hashes bit-for-bit;
-    a production deployment would ship xxhash64)."""
+    by the portable md5 hash — kept HERE because the DuckDB oracle must
+    replay the hashes bit-for-bit; docs_winnowing_fast is the production
+    twin on the hash knob (T.fast_hash64 = xxhash64, same plan, ~40%
+    faster, identical pair recall pinned in tests/test_hash_knob.py)."""
+    return _winnowing_agg(winnowing_fps(spark, sf_dir, T.hash64))
+
+
+def winnowing_fps(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
+    """(doc_id, _f: array<long>) winnowing fingerprint sets; ``hash_fn``
+    is the hash knob — T.hash64 (md5, oracle-replayable) or T.fast_hash64
+    (xxhash64, production)."""
     d = table(spark, sf_dir, "documents").where(F.length("text") >= _WIN_K + _WIN_W - 1)
     n = F.length("text") - (_WIN_K - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: T.hash64(F.substring("text", i, F.lit(_WIN_K))),
+        lambda i: hash_fn(F.substring("text", i, F.lit(_WIN_K))),
     )
     hc = F.col("_h")
     m = F.size(hc) - (_WIN_W - 1)
@@ -257,17 +272,37 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in slices[1:]:
         mins = F.zip_with(mins, s, lambda a, b: F.least(a, b))
     fps = F.array_distinct(mins)
-    return (
-        d.select("doc_id", grams.alias("_h"))
-        .select("doc_id", fps.alias("_f"))
-        .select(
-            "doc_id",
-            F.size("_f").cast("long").alias("n_fp"),
-            F.aggregate(
-                "_f", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
-            ).alias("fp_xor"),
-        )
+    return d.select("doc_id", grams.alias("_h")).select("doc_id", fps.alias("_f"))
+
+
+def _winnowing_agg(fps: DataFrame) -> DataFrame:
+    return fps.select(
+        "doc_id",
+        F.size("_f").cast("long").alias("n_fp"),
+        F.aggregate("_f", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)).alias(
+            "fp_xor"
+        ),
     )
+
+
+@register(
+    "docs_winnowing_fast",
+    tags=("llm", "dedup", "text", "fast-twin"),
+    # rows-only BY DESIGN: xxhash64 has no DuckDB replay.  The semantic
+    # guarantee (identical pair recall to the oracled md5 key) is pinned
+    # by tests/test_hash_knob.py on the fixture.
+)
+def docs_winnowing_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_winnowing on the production side of the hash knob: the SAME
+    zero-shuffle winnowing plan with T.fast_hash64 (xxhash64) instead of
+    the md5-derived portable hash.  Winnowing's recall guarantee (shared
+    substrings of length >= k+w-1 share a fingerprint) holds for ANY hash,
+    so the guaranteed pair tier — the one dedup decisions rest on — is
+    hash-independent; only the opaque fingerprint values (and coincidental
+    sub-guarantee candidate pairs) differ.  Rows-only key; the guarantee
+    is property-tested for both hashes (tests/test_hash_knob.py) and the
+    ~40% wall-time cut is recorded in BENCH_NOTES.md."""
+    return _winnowing_agg(winnowing_fps(spark, sf_dir, T.fast_hash64))
 
 
 @register(
