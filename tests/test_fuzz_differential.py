@@ -1,7 +1,9 @@
 """Pytest face of the seeded differential query fuzzer
-(tools/fuzz_differential.py): 40 random filter/group/aggregate specs,
-each lowered from ONE AST to both a Spark plan and a DuckDB SQL string
-and compared under the registry normalization.  Probes the composition
+(tools/fuzz_differential.py): 40 random specs across all seven families
+(filter/group/aggregate, windows, set ops, scalars, outer joins with
+derived NULLABLE join keys, GROUPING SETS with grouping() flags), each
+lowered from ONE AST to both a Spark plan and a DuckDB SQL string and
+compared under the registry normalization.  Probes the composition
 space between the hand-written keys; seeded, so a failure reproduces with
 `python tools/fuzz_differential.py 40 20240814 /root/testdata/sf0.001`."""
 

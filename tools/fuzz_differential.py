@@ -207,6 +207,228 @@ def _gen_join_spec(rng: random.Random) -> Spec:
     return spec
 
 
+# ---- outer-join specs with NULLABLE join keys (round 5) ---------------------
+
+# The fixture keys are never NULL, so the specs DERIVE nullable keys:
+# lk = CASE WHEN l_orderkey % m = 0 THEN NULL END — which makes full/right
+# outer padding, NULL-key anti-join survival (NULL never matches, so NOT
+# EXISTS keeps the row), and NULL group keys all genuinely exercised.  This
+# is the composition space the round-4 EXCEPT lowering bug lived in.
+
+
+@dataclass
+class OJSpec:
+    join: str  # full | right | anti
+    null_mod_l: int  # l_orderkey % m == 0 -> NULL left key
+    null_mod_r: int
+    preds: list[Pred]  # lineitem side
+    join_preds: list[Pred]  # orders side
+    groupby: list[str]  # mixed-side keys; NULL-heavy after outer padding
+    aggs: list[Agg] = field(default_factory=list)
+    having_min_n: int | None = None
+
+
+def gen_ojspec(rng: random.Random) -> OJSpec:
+    join = rng.choice(["full", "right", "anti"])
+    preds = _gen_preds(rng, "lineitem", rng.randint(1, 2))
+    join_preds = _gen_preds(rng, "orders", rng.randint(1, 2))
+    group_pool = ["l_returnflag", "l_linestatus"] + (
+        [] if join == "anti" else ["o_orderstatus", "o_orderpriority"]
+    )
+    groupby = sorted(rng.sample(group_pool, rng.randint(0, 2)))
+    aggs = [Agg("count_star", None, "n")]
+    # count(col) is the null-semantics probe: it differs from count(*)
+    # exactly on the outer-padded rows
+    count_pool = ["l_orderkey", "l_quantity"] + (
+        [] if join == "anti" else ["o_orderkey", "o_totalprice"]
+    )
+    money_pool = MONEY_COLS["lineitem"] + ([] if join == "anti" else ["o_totalprice"])
+    for i in range(rng.randint(1, 3)):
+        kind = rng.choice(["count", "count", "sum_units", "min", "max", "count_distinct"])
+        col = rng.choice(money_pool if kind == "sum_units" else count_pool)
+        aggs.append(Agg(kind, col, f"a{i}"))
+    spec = OJSpec(
+        join,
+        rng.choice([2, 3, 5, 13]),
+        rng.choice([2, 3, 7]),
+        preds,
+        join_preds,
+        groupby,
+        aggs,
+    )
+    if spec.groupby and rng.random() < 0.4:
+        spec.having_min_n = rng.randint(2, 20)
+    return spec
+
+
+def _agg_sql(aggs: list[Agg]) -> list[str]:
+    parts = []
+    for a in aggs:
+        filt = f" FILTER (WHERE {_sql_pred(a.filt)})" if a.filt is not None else ""
+        if a.kind == "count_star":
+            parts.append(f"CAST(count(*){filt} AS BIGINT) AS {a.alias}")
+        elif a.kind == "count":
+            parts.append(f"CAST(count({a.col}){filt} AS BIGINT) AS {a.alias}")
+        elif a.kind == "count_distinct":
+            parts.append(f"CAST(count(DISTINCT {a.col}){filt} AS BIGINT) AS {a.alias}")
+        elif a.kind == "sum_units":
+            parts.append(
+                f"CAST(sum(CAST(round(({a.col}) * 100, 0) AS BIGINT)){filt} AS BIGINT) AS {a.alias}"
+            )
+        else:
+            parts.append(f"{a.kind}({a.col}){filt} AS {a.alias}")
+    return parts
+
+
+def ojspec_to_sql(spec: OJSpec) -> str:
+    lc = " AND ".join(_sql_pred(p) for p in spec.preds)
+    rc = " AND ".join(_sql_pred(p) for p in spec.join_preds)
+    lsub = (
+        f"(SELECT *, CASE WHEN l_orderkey % {spec.null_mod_l} = 0 THEN NULL "
+        f"ELSE l_orderkey END AS lk FROM lineitem WHERE {lc}) l"
+    )
+    rsub = (
+        f"(SELECT *, CASE WHEN o_orderkey % {spec.null_mod_r} = 0 THEN NULL "
+        f"ELSE o_orderkey END AS rk FROM orders WHERE {rc}) r"
+    )
+    if spec.join == "anti":
+        # NOT EXISTS, not NOT IN: Spark's left_anti keeps NULL-key left rows
+        # (no match is provable), matching EXISTS semantics; NOT IN would
+        # drop EVERY row once the right side contains a NULL key.
+        frm = (
+            f"{lsub} WHERE NOT EXISTS (SELECT 1 FROM (SELECT o_orderkey AS rk "
+            f"FROM orders WHERE ({rc}) AND o_orderkey % {spec.null_mod_r} <> 0) r "
+            f"WHERE r.rk = l.lk)"
+        )
+    elif spec.join == "full":
+        frm = f"{lsub} FULL JOIN {rsub} ON l.lk = r.rk"
+    else:
+        frm = f"{lsub} RIGHT JOIN {rsub} ON l.lk = r.rk"
+    parts = _agg_sql(spec.aggs)
+    sel = (", ".join(spec.groupby) + ", " if spec.groupby else "") + ", ".join(parts)
+    sql = f"SELECT {sel} FROM {frm}"
+    if spec.groupby:
+        sql += " GROUP BY " + ", ".join(spec.groupby)
+    if spec.having_min_n is not None:
+        sql += f" HAVING count(*) >= {spec.having_min_n}"
+    return sql
+
+
+def _agg_spark(aggs: list[Agg]):
+    out = []
+    for a in aggs:
+        fc = _spark_cond([a.filt], "AND") if a.filt is not None else None
+        wrap = (lambda e: F.when(fc, e)) if fc is not None else (lambda e: e)
+        if a.kind == "count_star":
+            out.append(F.count(wrap(F.lit(1))).alias(a.alias))
+        elif a.kind == "count":
+            out.append(F.count(wrap(F.col(a.col))).alias(a.alias))
+        elif a.kind == "count_distinct":
+            out.append(F.countDistinct(wrap(F.col(a.col))).alias(a.alias))
+        elif a.kind == "sum_units":
+            out.append(
+                F.sum(wrap(F.round(F.col(a.col) * 100, 0).cast("long")))
+                .cast("bigint").alias(a.alias)
+            )
+        elif a.kind == "min":
+            out.append(F.min(wrap(F.col(a.col))).alias(a.alias))
+        else:
+            out.append(F.max(wrap(F.col(a.col))).alias(a.alias))
+    return out
+
+
+def ojspec_to_spark(spec: OJSpec, lineitem, orders):
+    left = lineitem.where(_spark_cond(spec.preds, "AND")).withColumn(
+        "lk",
+        F.when(F.col("l_orderkey") % spec.null_mod_l != 0, F.col("l_orderkey")),
+    )
+    right = orders.where(_spark_cond(spec.join_preds, "AND")).withColumn(
+        "rk",
+        F.when(F.col("o_orderkey") % spec.null_mod_r != 0, F.col("o_orderkey")),
+    )
+    if spec.join == "anti":
+        out = left.join(
+            right.where(F.col("rk").isNotNull()),
+            left["lk"] == right["rk"],
+            "left_anti",
+        )
+    else:
+        how = {"full": "full", "right": "right"}[spec.join]
+        out = left.join(right, left["lk"] == right["rk"], how)
+    grouped = out.groupBy(*spec.groupby) if spec.groupby else out.groupBy()
+    res = grouped.agg(*_agg_spark(spec.aggs))
+    if spec.having_min_n is not None:
+        res = res.where(F.col("n") >= spec.having_min_n)
+    return res
+
+
+# ---- GROUPING SETS specs (round 5) ------------------------------------------
+
+
+@dataclass
+class GSSpec:
+    """Explicit GROUPING SETS over 2-3 keys, with per-key grouping() flags
+    so subtotal-NULLs and (hypothetical) data-NULLs stay distinguishable —
+    the multi-grain axis rollup/cube can't reach (arbitrary set lists,
+    including disjoint sets and the empty grand-total set)."""
+
+    table: str
+    preds: list[Pred]
+    keys: list[str]
+    sets: list[tuple[str, ...]]
+    aggs: list[Agg] = field(default_factory=list)
+
+
+def gen_gsspec(rng: random.Random) -> GSSpec:
+    table = rng.choice(["lineitem", "orders"])
+    pool = sorted(
+        rng.sample(GROUP_COLS[table], rng.randint(2, min(3, len(GROUP_COLS[table]))))
+    )
+    # powerset sample: always >= 2 distinct sets, dedup'd, order-stable
+    pow_all = []
+    for mask in range(1 << len(pool)):
+        pow_all.append(tuple(k for j, k in enumerate(pool) if mask >> j & 1))
+    n_sets = rng.randint(2, min(4, len(pow_all)))
+    sets = sorted(set(tuple(s) for s in rng.sample(pow_all, n_sets)))
+    # DuckDB binds grouping(k) / bare k only for keys present in >= 1 set;
+    # restrict the key list to the union of the sampled sets
+    keys = sorted({k for s in sets for k in s})
+    if not keys:  # both sampled sets were () — degenerate; use the full pool
+        keys, sets = pool, sorted({tuple(pool), ()})
+    preds = _gen_preds(rng, table, rng.randint(1, 2))
+    aggs = [Agg("count_star", None, "n")]
+    pool = [c for c, *_ in NUM_COLS[table]]
+    for i in range(rng.randint(1, 2)):
+        kind = rng.choice(["sum_units", "min", "max", "count"])
+        col = rng.choice(MONEY_COLS[table] if kind == "sum_units" else pool)
+        aggs.append(Agg(kind, col, f"a{i}"))
+    return GSSpec(table, preds, keys, sets, aggs)
+
+
+def gsspec_to_sql(spec: GSSpec) -> str:
+    conds = " AND ".join(_sql_pred(p) for p in spec.preds)
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in spec.sets)
+    flags = [f"CAST(grouping({k}) AS BIGINT) AS g_{k}" for k in spec.keys]
+    parts = _agg_sql(spec.aggs)
+    sel = ", ".join(spec.keys + flags + parts)
+    return (
+        f"SELECT {sel} FROM {spec.table} WHERE {conds} "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def gsspec_to_spark(spec: GSSpec, df):
+    out = df.where(_spark_cond(spec.preds, "AND"))
+    grouped = out.groupingSets(
+        [[F.col(k) for k in s] for s in spec.sets],
+        *[F.col(k) for k in spec.keys],
+    )
+    flags = [
+        F.grouping(k).cast("bigint").alias(f"g_{k}") for k in spec.keys
+    ]
+    return grouped.agg(*flags, *_agg_spark(spec.aggs))
+
+
 # ---- window-function specs --------------------------------------------------
 
 WIN_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead", "sum_units_frame", "min_frame")
@@ -631,18 +853,29 @@ def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tupl
     for i in range(n_specs):
         grouping = None  # set by the agg-spec branch; gates the rollup/cube
         r = rng.random()
-        if r < 0.2:
+        if r < 0.15:
             wspec = gen_wspec(rng)
             sql = wspec_to_sql(wspec)
             builder = lambda: wspec_to_spark(wspec, dfs["lineitem"])  # noqa: B023,E731
-        elif r < 0.35:
+        elif r < 0.28:
             sspec = gen_setspec(rng)
             sql = setspec_to_sql(sspec)
             builder = lambda: setspec_to_spark(sspec, dfs["lineitem"])  # noqa: B023,E731
-        elif r < 0.5:
+        elif r < 0.4:
             cspec = gen_sspec(rng)
             sql = sspec_to_sql(cspec)
             builder = lambda: sspec_to_spark(cspec, dfs["lineitem"])  # noqa: B023,E731
+        elif r < 0.55:
+            ojspec = gen_ojspec(rng)
+            sql = ojspec_to_sql(ojspec)
+            builder = lambda: ojspec_to_spark(ojspec, dfs["lineitem"], dfs["orders"])  # noqa: B023,E731
+        elif r < 0.65:
+            gspec = gen_gsspec(rng)
+            sql = gsspec_to_sql(gspec)
+            builder = lambda: gsspec_to_spark(gspec, dfs[gspec.table])  # noqa: B023,E731
+            # the () grand-total set hits the same empty-input divergence
+            # as ROLLUP/CUBE (see the known-divergence branch below)
+            grouping = "sets" if () in gspec.sets else None
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
