@@ -100,6 +100,20 @@ SWEEP_SIZES = tuple(n for n in SWEEP_SIZES if n <= _SWEEP_CAP)
 SORT_STRATEGIES = (("radix", "true"), ("comparator", "false"))
 RADIX_PROBE_CASE = "i64-single"
 
+# Analytics decade sweep (round-5): the three CPU-bound dedup/fingerprint
+# flagships over generated corpora spanning a decade+ of document counts
+# (30k -> 1M docs; the fixture tops out at 5k).  The linear-scaling claim
+# the 100 TB story rests on is exactly what this exhibits: every candidate
+# generator is bucketed (df-capped postings, LSH bands, per-row winnowing),
+# so runtime should grow ~linearly in n with no knee.  Winnowing runs the
+# PRODUCTION hash (xxhash64 — the fast side of the knob); the md5-parity
+# twin is A/B'd at one size so the knob's cost stays measured.
+ANALYTICS_SWEEP_SIZES = (30_000, 100_000, 300_000, 1_000_000)
+_ANALYTICS_CAP = int(
+    os.environ.get("SPARK_GRAFT_ANALYTICS_CAP", str(ANALYTICS_SWEEP_SIZES[-1]))
+)
+ANALYTICS_AB_SIZE = 300_000  # hash-knob A/B point
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -176,6 +190,49 @@ def main() -> None:
             p["sec"] for p in case_series["radix"] if p["n"] == REF_SORT_ROWS
         )
 
+    # analytics decade sweep: generated corpora, noop sink, single timed
+    # run per point (shape, not steady-state, is the question; the first
+    # point pays codegen via one warmup)
+    from experiments_datafusion_spark.operators import dedup as dedup_ops
+    from experiments_datafusion_spark.operators import text as text_ops
+    from experiments_datafusion_spark.queries import llm_extras
+
+    analytics_cases = {
+        "dedup_jaccard_capped": lambda docs: dedup_ops.jaccard_pairs(
+            docs, 0.5, max_df=5
+        ),
+        "dedup_minhash_lsh": lambda docs: dedup_ops.minhash_lsh_pairs(docs, 0.5),
+        "docs_winnowing_fast": lambda docs: llm_extras._winnowing_agg(
+            llm_extras.winnowing_fps_df(docs, text_ops.fast_hash64)
+        ),
+    }
+    analytics_sweep: dict[str, list[dict[str, float]]] = {}
+    for name, build_op in analytics_cases.items():
+        series = []
+        for idx, n in enumerate(s for s in ANALYTICS_SWEEP_SIZES if s <= _ANALYTICS_CAP):
+            def build(n=n, build_op=build_op):
+                return build_op(generators.synth_documents(spark, n))
+
+            sec = round(time_df(build, iters=1, warmup=1 if idx == 0 else 0), 4)
+            series.append({"n": n, "sec": sec})
+        analytics_sweep[name] = series
+        print(f"[bench] analytics {name}: {series}", file=sys.stderr, flush=True)
+    if ANALYTICS_AB_SIZE <= _ANALYTICS_CAP:
+        ab = {}
+        for hname, hfn in (("md5", text_ops.hash64), ("xxhash64", text_ops.fast_hash64)):
+            def build(hfn=hfn):
+                return llm_extras._winnowing_agg(
+                    llm_extras.winnowing_fps_df(
+                        generators.synth_documents(spark, ANALYTICS_AB_SIZE), hfn
+                    )
+                )
+
+            ab[hname] = round(time_df(build, iters=1, warmup=1), 4)
+        analytics_sweep["winnowing_hash_ab"] = [
+            {"n": ANALYTICS_AB_SIZE, "hash": k, "sec": v} for k, v in ab.items()
+        ]
+        print(f"[bench] winnowing hash A/B @{ANALYTICS_AB_SIZE}: {ab}", file=sys.stderr, flush=True)
+
     try:
         from experiments_datafusion_spark.charts import render_multi_line_chart
 
@@ -206,6 +263,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "refsort_sweep": sweep,
+                "analytics_sweep": analytics_sweep,
                 "sf": sf_val,
                 "iters": ITERS,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),

@@ -191,3 +191,51 @@ def generate_batch(
 ) -> DataFrame:
     """Case dispatch mirroring `Case::generate_batch` (data.rs:13-29)."""
     return _BUILDERS[case](spark, n, seed=seed, presorted=presorted, portable=portable)
+
+
+# ---- synthetic documents (analytics decade sweep) ---------------------------
+
+_SYNTH_VOCAB = 5000
+_SYNTH_WORDS = 22
+_SYNTH_HEADER = "license header for this synthetic corpus all rights reserved"
+
+
+def synth_documents(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic synthetic corpus for bench.py's analytics decade sweep
+    (n docs, ~150 chars each), shaped to exercise the dedup flagships'
+    scale paths:
+
+      * 10% of docs duplicate an earlier doc's body verbatim (content id =
+        id % 0.9n), so the pair output grows LINEARLY with n — dup groups
+        stay size ~2, never a quadratic blob;
+      * 10% of docs open with a boilerplate header drawn from 997 variants
+        — hot shingles whose posting lists grow with n (df ~ n/10^4 per
+        variant, well past any df cap) and would feed an O(cluster^2)
+        fan-out to an uncapped posting-list self-join; the variant count
+        bounds each boilerplate cluster so the CAPPED operators (and
+        LSH's candidate stage, which is inherently quadratic in cluster
+        size) stay linear over the decade — mirroring real corpora, where
+        boilerplate is hot but no single blob is a constant fraction of
+        100 TB;
+      * body words draw from a 5000-word vocabulary via xxhash64 of
+        (content id, position) — JVM-side, no Python, no RNG, identical
+        across partitionings and runs.
+    """
+    cid = F.col("id") % F.lit(max(1, int(n * 0.9)))
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(cid * F.lit(1_000_003) + F.lit(j)), F.lit(_SYNTH_VOCAB)),
+        )
+        for j in range(_SYNTH_WORDS)
+    ]
+    body = F.concat_ws(" ", *words)
+    header = F.concat_ws(
+        " ",
+        F.lit(_SYNTH_HEADER),
+        F.concat(F.lit("h"), F.pmod(cid, F.lit(997))),
+    )
+    text = F.when(
+        F.pmod(cid, F.lit(10)) < 1, F.concat_ws(" ", header, body)
+    ).otherwise(body)
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))

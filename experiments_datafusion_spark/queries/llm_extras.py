@@ -256,10 +256,17 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnowing_fps(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
+    """(doc_id, _f: array<long>) winnowing fingerprint sets over the
+    fixture documents table; see winnowing_fps_df for the df-level form."""
+    return winnowing_fps_df(table(spark, sf_dir, "documents"), hash_fn)
+
+
+def winnowing_fps_df(docs: DataFrame, hash_fn) -> DataFrame:
     """(doc_id, _f: array<long>) winnowing fingerprint sets; ``hash_fn``
     is the hash knob — T.hash64 (md5, oracle-replayable) or T.fast_hash64
-    (xxhash64, production)."""
-    d = table(spark, sf_dir, "documents").where(F.length("text") >= _WIN_K + _WIN_W - 1)
+    (xxhash64, production).  Df-level so bench.py's analytics decade sweep
+    can run it over generated corpora."""
+    d = docs.where(F.length("text") >= _WIN_K + _WIN_W - 1)
     n = F.length("text") - (_WIN_K - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n),

@@ -81,12 +81,27 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """transformWithStateInPandas twin of running_user_totals — Spark 4's
     successor API (named state variables, timers, TTL). Requires
-    google.protobuf at runtime (Spark's TWS driver worker imports its
-    generated StateMessage proto), which this environment does not bundle
-    (pip installs unavailable) — so this raises a clear
-    NotImplementedError without it, the same honesty contract as the Avro
-    reader (io.py); tests/test_streaming_stateful.py gates on the import
-    and otherwise checks convergence to the batch answer."""
+    google.protobuf at runtime (Spark's TWS python worker speaks the
+    StateMessage proto over a socket), which this environment does not
+    bundle — so this raises a clear NotImplementedError without it, the
+    same honesty contract as the Avro reader (io.py);
+    tests/test_streaming_stateful.py gates on the import and otherwise
+    checks convergence to the batch answer.
+
+    Vendoring WONTFIX (round 5, closing the round-4 stretch ask): (a) pip
+    has no index access here ("No matching distribution found for
+    protobuf (from versions: none)") and no protobuf wheel exists
+    anywhere on disk; (b) pyspark's generated StateMessage_pb2.py pins
+    ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0) and builds its
+    messages through descriptor_pool/symbol_database/internal.builder —
+    i.e. a "minimal" vendored google.protobuf would have to reimplement
+    the descriptor-parsing + wire-format runtime those modules provide,
+    a multi-thousand-line protobuf-runtime rewrite that would then carry
+    the TWS state protocol on unproven serialization.  The honest stub +
+    the applyInPandasWithState twins (EWMA, CUSUM, rate-limit, running
+    totals — semantically equivalent coverage) stay the answer; on a
+    real cluster `pip install protobuf>=6.33` enables this path
+    unchanged."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
