@@ -62,6 +62,7 @@ _MODULES = (
     "modern",  # round 4: VARIANT, dynamic pivot, weighted median, dates
     "search",  # round 4/5: RRF rank fusion, token-pair co-occurrence mining
     "stats",  # round 4/5: PSI/KS/chi2 drift, Markov chain, rules, MAD, KL
+    "round5",  # round 5: pipe SQL, temporal SCD2 join, weighted sample, entropy
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
@@ -107,8 +108,11 @@ _PRIORITY = (
     "histogram_equidepth", "ev_cusum", "ts_bollinger",
     "abc_pareto_class", "cohort_ltv", "ev_top_paths",
     "ev_user_lifecycle", "join_null_safe", "ev_dau_wau_mau",
-    # round-5 additions ride at the window tail (window holds 50)
-    "docs_winnowing_fast",
+    # round-5 additions ride at the window tail (window holds 50; keys
+    # past 50 are verified locally and rotate into the round-6 window)
+    "docs_winnowing_fast", "sql_pipe_syntax", "join_temporal_scd2",
+    "sample_weighted", "text_entropy", "ts_seasonality",
+    "dedup_url_canonical", "ev_attribution_outer",
 )
 
 # Round-6 window plan: after CORRECTNESS_r05 lands, rotate in whatever

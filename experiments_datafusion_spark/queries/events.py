@@ -342,6 +342,43 @@ def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_attribution_outer",
+    tags=("events", "join", "streaming"),
+    oracle="""
+SELECT
+  c.event_id AS click_id,
+  p.event_id AS purchase_id,
+  coalesce(p.user_id, c.user_id) AS user_id,
+  round(p.value, 2) AS purchase_value,
+  date_diff('second', c.ts, p.ts) AS secs_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def ev_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, batch twin: the
+    unconverted-clicks report — every click row survives, null-padded
+    when no same-user purchase lands within the hour.  The outer side is
+    what makes this a genuinely STATEFUL streaming shape: a null-padded
+    row can only emit once the watermark proves no matching purchase can
+    still arrive (click_ts + horizon + delay), so streamed output is the
+    batch answer minus exactly the undecidable tail —
+    tests/test_streaming.py pins matched-rows equality, null-tail
+    subsetting, and that every withheld row sits inside the watermark
+    horizon."""
+    ev = table(spark, sf_dir, "events")
+    return pipelines.attribute_purchases(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "1 hour",
+        how="left_outer",
+    )
+
+
+@register(
     "ev_interpolate",
     tags=("events", "window", "gapfill"),
     oracle="""

@@ -1,0 +1,392 @@
+"""Round-5 operators: Spark 4 pipe-syntax SQL, the temporal (point-in-time)
+SCD2 join, deterministic weighted sampling, char-entropy text quality,
+day-of-week/hour seasonality profiling, and URL-canonicalization dedup.
+
+Same contract as every other module: each key is the Spark plan you would
+ship at 100 TB (single window pass / equi+range join / one grouped scan)
+with a DuckDB oracle replaying the semantics exactly — float transcendental
+terms are evaluated as SINGLE identical IEEE expressions on exact integer
+inputs and quantized to integer units BEFORE any cross-row accumulation
+(the exact.py discipline), so no rounding boundary exists anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+
+
+# ---- Spark 4 SQL pipe syntax ------------------------------------------------
+
+
+@register(
+    "sql_pipe_syntax",
+    tags=("sql", "frontend", "modern"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_units
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+GROUP BY o_orderstatus, o_orderpriority
+HAVING count(*) >= 5
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators, SPARK-49555): the same
+    filter -> aggregate -> filter chain a DataFrame expresses, written as
+    a linear pipeline in the TEXT frontend.  Each |> stage lowers to the
+    ordinary Catalyst operators — the plan is identical to the
+    nested-SELECT form, so every pushdown/codegen property carries over;
+    the oracle is that nested form in classic ANSI SQL."""
+    from experiments_datafusion_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+FROM orders
+|> WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS price_units
+   GROUP BY o_orderstatus, o_orderpriority
+|> WHERE n >= 5
+|> SELECT o_orderstatus, o_orderpriority, n, price_units
+""")
+
+
+# ---- temporal (point-in-time) join against an SCD2 dimension ---------------
+
+
+@register(
+    "join_temporal_scd2",
+    tags=("join", "dimensional", "timeseries"),
+    oracle="""
+WITH dim AS (
+  SELECT o_custkey AS custkey,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         o_orderstatus AS status,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+fact AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey, l.l_shipdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber,
+       f.custkey,
+       strftime(f.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+       d.version AS dim_version,
+       d.status  AS status_at_ship
+FROM fact f JOIN dim d
+  ON f.custkey = d.custkey
+ AND f.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+""",
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each shipped line item picks up the
+    customer-dimension VERSION that was valid when it shipped — the
+    consumption side of scd2_snapshot, and the standard way a warehouse
+    avoids leaking future dimension state into historical facts.
+
+    Shape at 100 TB: the dimension build is one window pass; the temporal
+    join is an EQUI-join on the dimension key with the validity range as a
+    residual join condition — Spark plans a shuffle join partitioned by
+    custkey, each key's versions and facts co-located, so the range check
+    is a local filter, never a cross-key explosion.  Ship dates are always
+    >= the customer's first version start (a line item ships after its
+    own order begins), so the join is total over the facts: exactly one
+    version matches each fact row (validity windows partition the
+    timeline)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    fact = (
+        table(spark, sf_dir, "lineitem")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_custkey").alias("custkey"),
+            "l_shipdate",
+        )
+    )
+    cond = (
+        (fact["custkey"] == dim["custkey"])
+        & (fact["l_shipdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["l_shipdate"] < dim["valid_to"]))
+    )
+    return fact.join(dim, cond).select(
+        fact["l_orderkey"],
+        fact["l_linenumber"],
+        fact["custkey"],
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_ts"),
+        dim["version"].alias("dim_version"),
+        dim["status"].alias("status_at_ship"),
+    )
+
+
+# ---- deterministic weighted sampling (Efraimidis-Spirakis) ------------------
+
+_WS_K = 100  # sample size
+_WS_UMOD = 1_000_000  # u granularity (hash -> (0, 1] rational)
+
+
+@register(
+    "sample_weighted",
+    tags=("sampling", "pipeline", "llm"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 15))
+             AS BIGINT) % {_WS_UMOD} + 1) / {_WS_UMOD + 1}.0) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_WS_K}
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res):
+    each doc draws u in (0,1] and ranks by u^(1/w) — equivalently by
+    ln(u)/w, monotone-identical and better conditioned — keeping the
+    top K.  The textbook one-pass distributed weighted sampler: no
+    sequential scan, no rejection loop, reshard-stable.
+
+    Exactness recipe: u is a RATIONAL from the portable md5 hash
+    ((h % 1e6 + 1) / (1e6+1)), so ln(u)/w is a single IEEE expression on
+    exact integer inputs — bit-identical across engines, no cross-row
+    float accumulation; the top-K is a rank SELECTION (TakeOrderedAndProject)
+    with doc_id tiebreak.  RNG-free: the sample is a pure function of doc
+    identity, so reruns and backfills pick the same rows (the property
+    curation pipelines need for reproducible mixes)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h % _WS_UMOD + 1) / float(_WS_UMOD + 1)
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "source", "weight")
+    )
+
+
+# ---- char-entropy text quality ----------------------------------------------
+
+_ENT_UNIT = 1_000_000_000  # nano-nat quantization of per-char entropy terms
+
+
+@register(
+    "text_entropy",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, substr(text, p.i, 1) AS ch, len(text) AS n
+  FROM documents, UNNEST(generate_series(1, len(text))) AS p(i)
+  WHERE len(text) > 0
+),
+freq AS (
+  SELECT doc_id, ch, n, count(*) AS c
+  FROM chars GROUP BY doc_id, ch, n
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST(floor((c * 1.0 / n) * ln(c * 1.0 / n) * {_ENT_UNIT}) AS BIGINT)
+           AS t
+  FROM freq
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)          AS n_distinct_chars,
+       CAST(-sum(t) AS BIGINT)           AS entropy_nano_nats
+FROM terms
+GROUP BY doc_id
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap statistical
+    quality gate that catches mojibake, base64 blobs, and
+    single-character spam (entropy near 0) without any language model.
+
+    Exactness recipe: each per-char term p*ln(p) is ONE IEEE expression on
+    the exact rational c/n (both int64-derived), floor-quantized to
+    integer nano-nats BEFORE the per-doc sum — integer addition is
+    associative, so the only float op is replayed bit-identically per
+    term and no accumulation-order divergence can exist.  Shape: explode
+    to (doc, char) -> one map-side-combined groupBy — the same dataflow
+    as token counting; ~n_chars rows, embarrassingly parallel."""
+    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.substring("text", i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch", "n").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.col("n")
+    t = F.floor(p * F.log(p) * _ENT_UNIT).cast("long")
+    return freq.select("doc_id", t.alias("t")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        (-F.sum("t")).cast("bigint").alias("entropy_nano_nats"),
+    )
+
+
+# ---- day-of-week x hour seasonality profile ---------------------------------
+
+
+@register(
+    "ts_seasonality",
+    tags=("timeseries", "events", "stats"),
+    oracle="""
+WITH cell AS (
+  SELECT dayofweek(ts) + 1 AS dow,   -- DuckDB 0=Sunday; Spark 1=Sunday
+         hour(ts) AS hod,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
+           AS v_milli
+  FROM events
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS tn, CAST(count(*) AS BIGINT) AS ncells FROM cell)
+SELECT dow, hod, n, v_milli,
+       CAST(n * 10000 * ncells // tn AS BIGINT) AS load_bp
+FROM cell CROSS JOIN tot
+""",
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event count and value mass per (day-of-week,
+    hour-of-day) cell, plus each cell's load as basis points of the
+    uniform expectation (10000 = exactly average) — the profile behind
+    capacity planning and "is this weekend dip normal" monitoring.
+
+    Engine-convention shift documented in-line: Spark dayofweek is 1-7
+    Sunday=1; DuckDB's is 0-6 Sunday=0, so the oracle adds 1.  Shape:
+    ONE map-side-combined groupBy over the events scan (<=168 cells per
+    task), then a 1-row broadcast of the totals — exactly two jobs at
+    any scale; all arithmetic integer (milli-value units, basis points
+    via integer floor division)."""
+    e = table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long")).cast("bigint").alias("v_milli"),
+    )
+    tot = cell.agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).cast("bigint").alias("ncells")
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n",
+        "v_milli",
+        F.floor(F.col("n") * 10000 * F.col("ncells") / F.col("tn"))
+        .cast("bigint")
+        .alias("load_bp"),
+    )
+
+
+# ---- URL-canonicalization dedup ---------------------------------------------
+
+
+@register(
+    "dedup_url_canonical",
+    tags=("llm", "dedup", "pipeline"),
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'News.Example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '#.*$', ''),
+               '\\?utm_[^#]*$', ''),
+             '^http://', 'https://'),
+           '^https://www\\.', 'https://') AS c0
+  FROM urls
+),
+canon2 AS (
+  SELECT doc_id, regexp_replace(c0, '/+$', '') AS curl FROM canon
+)
+SELECT curl,
+       CAST(count(*) AS BIGINT)  AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM canon2
+GROUP BY curl
+HAVING count(*) > 1
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup pass of every web
+    crawl pipeline (cheaper than any content hash: it never reads the
+    body): lowercase, scheme-normalize http->https, strip www., strip
+    tracking params (utm_*), strip fragments and trailing slashes, then
+    group identical canonical URLs.  URL variants are synthesized
+    deterministically from doc_id (scheme/www/slash/utm/fragment flags on
+    a shared page id), so both engines replay identical inputs.
+
+    Shape: pure per-row regexp projection + one groupBy on the canonical
+    string (high-cardinality key, no skew) — the exact-dedup dataflow;
+    at 100 TB the groupBy key would be xxhash64(curl) (the hash knob)."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("News.Example.com/page/"),
+        F.floor(F.col("doc_id") / 4).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?utm_source=feed&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    c = F.lower(url)
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?utm_[^#]*$", "")
+    c = F.regexp_replace(c, r"^http://", "https://")
+    c = F.regexp_replace(c, r"^https://www\.", "https://")
+    c = F.regexp_replace(c, r"/+$", "")
+    return (
+        docs.select("doc_id", c.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        )
+        .where(F.col("n_variants") > 1)
+    )

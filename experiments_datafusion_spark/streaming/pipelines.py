@@ -119,13 +119,19 @@ def enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
 
 
 def attribute_purchases(
-    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the clicks
     by the same user within [click_ts, click_ts + horizon].  On streams
     both sides carry watermarks, which (with the interval bound) let Spark
     evict join state — unbounded state is the classic stream-join failure
-    mode at scale.  Inner join, so results emit eagerly."""
+    mode at scale.  Inner join results emit eagerly; how="left_outer"
+    additionally emits never-converted clicks with NULL purchase columns —
+    on a stream those rows emit only once the watermark proves no match
+    can still arrive (click_ts + horizon + watermark delay has passed),
+    so a drained replay withholds the final tail
+    (tests/test_streaming.py pins both halves of that contract)."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
@@ -146,11 +152,14 @@ def attribute_purchases(
         (F.col("c_user") == F.col("user_id"))
         & (F.col("p_ts") >= F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     )
     return joined.select(
         "click_id",
         "purchase_id",
-        "user_id",
+        # left_outer: user_id comes from the (possibly null-padded) right
+        # side; recover it from the left key so unconverted clicks keep it
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
         F.round("purchase_value", 2).alias("purchase_value"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("click_ts")).alias(
             "secs_to_purchase"

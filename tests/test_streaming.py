@@ -175,3 +175,61 @@ def test_python_streaming_source_replays_batch_rows(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 250
+
+
+def test_stream_stream_left_outer_join_watermark_contract(
+    spark, sf_dir, events_stream_dir
+):
+    """Stream-stream LEFT OUTER interval join: matched rows emit eagerly
+    and must equal the batch inner results; null-padded (unconverted)
+    rows emit only once the watermark proves no match can arrive, so the
+    drained replay yields the batch outer answer MINUS a tail bounded by
+    horizon + watermark delay.  Pin all three halves of that contract."""
+    clicks_s = _stream_source(spark, events_stream_dir, sf_dir).where(
+        F.col("event_type") == "click"
+    )
+    purch_s = _stream_source(spark, events_stream_dir, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    out = pipelines.attribute_purchases(clicks_s, purch_s, "1 hour", how="left_outer")
+    _run_to_memory(out, "sink_attr_outer", "append")
+    streamed = _norm(spark.table("sink_attr_outer"))
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks_b = ev.where(F.col("event_type") == "click")
+    batch = _norm(
+        pipelines.attribute_purchases(
+            clicks_b,
+            ev.where(F.col("event_type") == "purchase"),
+            "1 hour",
+            how="left_outer",
+        )
+    )
+    assert set(streamed) <= set(batch)
+    # matched rows (purchase_id non-null) are inner-join results: equal
+    matched_s = [r for r in streamed if r[1] != "None"]
+    matched_b = [r for r in batch if r[1] != "None"]
+    assert matched_s == matched_b
+    # every withheld row is a NULL-padded click inside the undecidable
+    # tail: click_ts > max_ts - horizon - delay
+    withheld = set(batch) - set(streamed)
+    assert all(r[1] == "None" for r in withheld)
+    if withheld:
+        import datetime
+
+        # the global watermark is the MINIMUM over both input streams'
+        # (max event time - delay); eviction emits null-padded clicks with
+        # click_ts + horizon < watermark, so the undecidable tail starts at
+        # min(max_click_ts, max_purchase_ts) - horizon - delay
+        wm_base = min(
+            clicks_b.agg(F.max("ts")).collect()[0][0],
+            ev.where(F.col("event_type") == "purchase")
+            .agg(F.max("ts"))
+            .collect()[0][0],
+        )
+        cutoff = wm_base - datetime.timedelta(hours=1, minutes=30)
+        tail_ids = {
+            str(r["event_id"])
+            for r in clicks_b.where(F.col("ts") > cutoff).collect()
+        }
+        assert {r[0] for r in withheld} <= tail_ids
