@@ -113,6 +113,7 @@ _PRIORITY = (
     "docs_winnowing_fast", "sql_pipe_syntax", "join_temporal_scd2",
     "sample_weighted", "text_entropy", "ts_seasonality",
     "dedup_url_canonical", "ev_attribution_outer",
+    "sql_udf_declarative", "scalar_try_arith",
 )
 
 # Round-6 window plan: after CORRECTNESS_r05 lands, rotate in whatever

@@ -390,3 +390,94 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_variants") > 1)
     )
+
+
+# ---- declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN) --------------
+
+
+@register(
+    "sql_udf_declarative",
+    tags=("sql", "frontend", "udf", "modern"),
+    oracle="""
+SELECT l_returnflag,
+       CASE WHEN l_orderkey % 5 = 0 THEN 'z' ELSE 'nz' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS BIGINT) AS revenue_units
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag, CASE WHEN l_orderkey % 5 = 0 THEN 'z' ELSE 'nz' END
+""",
+)
+def sql_udf_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>`, SPARK-46246): scalar functions defined IN SQL, inlined by
+    Catalyst at resolution — unlike Python UDFs they cost nothing (the
+    plan is identical to writing the expression inline; whole-stage
+    codegen, pushdown and constant folding all apply).  This is the
+    100 TB-preferred way to share business logic: the oracle simply
+    inlines the same expressions, which is literally what Spark does."""
+    from experiments_datafusion_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(p * (1 - d) * 100, 0) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION key_bucket(x BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN x % 5 = 0 THEN 'z' ELSE 'nz' END"
+    )
+    return spark.sql("""
+SELECT l_returnflag,
+       key_bucket(l_orderkey) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(disc_rev(l_extendedprice, l_discount)) AS BIGINT)
+         AS revenue_units
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag, key_bucket(l_orderkey)
+""")
+
+
+# ---- error-safe (try_*) arithmetic ------------------------------------------
+
+
+@register(
+    "scalar_try_arith",
+    tags=("scalar", "modern"),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 // (o_orderkey % 7) END                    AS units_per,
+       TRY_CAST(o_orderpriority AS BIGINT)                  AS prio_num,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)    AS prio_digit,
+       CASE WHEN o_custkey = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DOUBLE) / o_custkey END AS key_ratio
+FROM orders
+WHERE o_orderkey <= 2000
+""",
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (ANSI-mode surface): try_divide / try_cast
+    return NULL where strict ANSI evaluation would raise (division by
+    zero, malformed casts) — the contract that lets a 100 TB pipeline
+    keep ANSI mode ON (catching real bugs) without one dirty row killing
+    a 10-hour job.  The oracle replays each try_* as its explicit
+    CASE/TRY_CAST guard — the exact semantics Spark documents for the
+    functions.  'N-URGENT'-style strings exercise the failed-cast path;
+    o_orderkey % 7 exercises a genuinely-null divisor."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+            F.col("o_orderkey") % 7,
+        ).cast("long").alias("units_per"),
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("bigint").alias("prio_num"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("prio_digit"),
+        F.try_divide(F.col("o_orderkey").cast("double"), F.col("o_custkey")).alias(
+            "key_ratio"
+        ),
+    )
