@@ -108,17 +108,18 @@ _PRIORITY = (
     "histogram_equidepth", "ev_cusum", "ts_bollinger",
     "abc_pareto_class", "cohort_ltv", "ev_top_paths",
     "ev_user_lifecycle", "join_null_safe", "ev_dau_wau_mau",
-    # round-5 additions ride at the window tail (window holds 50; keys
-    # past 50 are verified locally and rotate into the round-6 window)
+    # round-5 additions: exactly 3 ride at the window tail (window holds
+    # 50 and the backlog above is 47); the rest are verified locally and
+    # rotate into the round-6 window
     "docs_winnowing_fast", "sql_pipe_syntax", "join_temporal_scd2",
-    "sample_weighted", "text_entropy", "ts_seasonality",
-    "dedup_url_canonical", "ev_attribution_outer",
-    "sql_udf_declarative", "scalar_try_arith",
 )
 
-# Round-6 window plan: after CORRECTNESS_r05 lands, rotate in whatever
-# round 5 registered after this 47-key window (the window holds 50, so
-# up to 3 round-5 keys ride along at the tail of _PRIORITY).
+# Round-6 window plan: lead with the round-5 keys that registered after
+# the 3 window riders above (all green at sf0.01 via tools/drive_entry.py
+# on registration): sample_weighted, text_entropy, ts_seasonality,
+# dedup_url_canonical, ev_attribution_outer, sql_udf_declarative,
+# scalar_try_arith, plus whatever later round-5 work adds; then backfill
+# with anything round 6 registers.
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,7 @@ ALLOW_QUADRATIC = {
 # build side, scale-correct; still named explicitly so any NEW nested-loop
 # shape fails review until justified here.
 ALLOW_SCALAR_BROADCAST = {
+    "ts_seasonality",            # 1-row (total, n_cells) for load basis points
     "assoc_rules",               # 1-row n_docs stats for relative thresholds
     "docs_heavy_hitters",        # corpus-total row for frequency cutoff
     "drift_chi2",                # 1-row time-range scalars for the period split

@@ -20,23 +20,24 @@ def test_queries_oracle_keys_align():
     assert not missing, f"oracle_sql keys not in queries(): {missing}"
 
 
-def test_round4_driver_window_is_pinned():
+def test_round5_driver_window_is_pinned():
     """The driver's CORRECTNESS pass verifies a 50-key prefix of queries().
-    Round 4 aims that window at the final never-driver-verified backlog +
-    every new round-4 key; a module edit must not silently displace them
-    (the round-2 lesson)."""
+    Round 5 aims that window at the 47 keys without a lifetime driver
+    verdict plus 3 round-5 riders; a module edit must not silently
+    displace them (the round-2 lesson)."""
     from experiments_datafusion_spark.queries import _PRIORITY
 
     keys = list(entrymod.queries())
     assert len(_PRIORITY) <= 50
     assert keys[: len(_PRIORITY)] == list(_PRIORITY)
-    # every priority key is driver-checkable; the two sketch ops are the
-    # documented rows-only exceptions (estimates are implementation-defined)
+    # every priority key is driver-checkable; the hash-knob production
+    # twin is the one documented rows-only exception this round
+    # (xxhash64 has no DuckDB replay)
     import experiments_datafusion_spark.queries as Q
 
     q = Q.all_queries()
     unoracled = [n for n in _PRIORITY if q[n].oracle is None]
-    assert unoracled == ["agg_approx", "agg_sketch_rollup"], unoracled
+    assert unoracled == ["docs_winnowing_fast"], unoracled
 
 
 def test_table_sample_deterministic_and_bounded(spark, sf_dir):
