@@ -122,6 +122,25 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None, **options) -> DataFrame:
+    """XML file source (built into Spark 4 — the spark-xml connector merged
+    upstream, SPARK-44751).  Pass an explicit schema for production reads:
+    inference scans the data twice and infers unions loosely."""
+    r = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode(mode).save(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -481,3 +481,49 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_ratio"
         ),
     )
+
+
+# ---- XML source round-trip --------------------------------------------------
+
+
+@register(
+    "source_xml_roundtrip",
+    tags=("io", "sources", "modern"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)       AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(o_custkey) AS BIGINT)  AS cust_sum
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink (built into Spark 4, SPARK-44751 — the spark-xml
+    connector merged upstream): write the orders keys out as XML rows,
+    read them back with an EXPLICIT schema (production rule: never pay
+    the double-scan of XML inference), and aggregate the round-tripped
+    copy.  The oracle aggregates the original parquet, so the XML
+    round-trip itself — serialization, parsing, schema application — is
+    what the differential check verifies, the compact_small_files
+    pattern applied to a new format."""
+    import tempfile
+
+    from experiments_datafusion_spark import io as eio
+
+    tmp = tempfile.mkdtemp(prefix="xml_rt_")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    eio.write_xml(src, f"{tmp}/orders_xml", row_tag="order")
+    back = eio.read_xml(
+        spark,
+        f"{tmp}/orders_xml",
+        row_tag="order",
+        schema="o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+    )

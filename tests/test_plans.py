@@ -494,3 +494,63 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower()
     # and it actually prunes: only the matching partition's rows are read
     assert j.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_observe_metrics_match_aggregate(spark, sf_dir):
+    """df.observe(): accumulator-style plan metrics collected DURING the
+    main job — the zero-extra-pass way to audit row counts / sums in a
+    100 TB pipeline (a separate .agg() would re-scan).  Values must equal
+    the standalone aggregate."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 30)
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("units"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("units"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n"] == want["n"] and got["units"] == want["units"]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime answer to hot keys at 100 TB:
+    a reducer partition past threshold x factor*median is split into
+    mapper-range slices, each joined against the (replicated) other side.
+    Build a 90%-one-key join, force SMJ, and assert the final adaptive
+    plan carries the skewed AQEShuffleRead."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 2_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -233,3 +233,34 @@ def test_stream_stream_left_outer_join_watermark_contract(
             for r in clicks_b.where(F.col("ts") > cutoff).collect()
         }
         assert {r[0] for r in withheld} <= tail_ids
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Spark 4 dropDuplicatesWithinWatermark: streaming dedup whose state
+    evicts on the watermark (plain dropDuplicates keeps ALL keys forever —
+    the unbounded-state failure mode).  Replay the events twice (two
+    copies of the file) so every event_id genuinely duplicates; the
+    drained result must equal the batch distinct."""
+    import shutil
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    src = _stream_source(spark, str(d), sf_dir)
+    # watermark needs TIMESTAMP (LTZ); the fixture reads as NTZ — session
+    # tz is UTC so the cast is value-preserving (pipelines._ensure_ltz)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    _run_to_memory(out, "sink_ddww", "append")
+    streamed = _norm(spark.table("sink_ddww"))
+    batch = _norm(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        ).distinct()
+    )
+    assert streamed == batch
