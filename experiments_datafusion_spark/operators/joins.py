@@ -63,8 +63,10 @@ def asof_join(
         F.last(F.when(F.col("_side") == 1, F.col(on)), ignorenulls=True).over(w).alias("_m_on"),
     ).where(F.col("_side") == 0)
     if tolerance_seconds is not None:
+        # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike (a
+        # double cast of NTZ is a type error in Spark 4)
         within = (
-            F.col(on).cast("double") - F.col("_m_on").cast("double") <= tolerance_seconds
+            F.expr(f"timestampdiff(SECOND, _m_on, {on})") <= tolerance_seconds
         )
         matched = matched.select(
             *lcols,

@@ -527,3 +527,55 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.sum("o_custkey").cast("bigint").alias("cust_sum"),
     )
+
+
+# ---- as-of join with tolerance ----------------------------------------------
+
+_ASOF_TOL_S = 1800  # 30-minute max staleness
+
+
+@register(
+    "join_asof_tolerance",
+    tags=("join", "asof", "timeseries"),
+    oracle=f"""
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT
+  p.event_id,
+  p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  CASE WHEN date_diff('second', c.ts, p.ts) <= {_ASOF_TOL_S}
+       THEN c.event_id END            AS click_id,
+  CASE WHEN date_diff('second', c.ts, p.ts) <= {_ASOF_TOL_S}
+       THEN round(c.value, 2) END     AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a TOLERANCE (pandas merge_asof's
+    ``tolerance``): the most recent prior click still counts only within
+    30 minutes — stale context is worse than none in feature pipelines
+    (a day-old click must not 'explain' a purchase).  Same union+window
+    single-shuffle formulation as join_asof; the tolerance is a post-match
+    null-out, so the plan shape is unchanged.  Oracle: DuckDB's native
+    ASOF LEFT JOIN with the same gap guard — two independent formulations
+    again."""
+    from experiments_datafusion_spark.operators import joins as J
+
+    ev = table(spark, sf_dir, "events")
+    out = J.asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        on="ts",
+        by=["user_id"],
+        right_cols=["event_id", "value"],
+        tolerance_seconds=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("right_event_id").alias("click_id"),
+        F.round("right_value", 2).alias("click_value"),
+    )
