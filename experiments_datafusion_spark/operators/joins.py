@@ -63,10 +63,14 @@ def asof_join(
         F.last(F.when(F.col("_side") == 1, F.col(on)), ignorenulls=True).over(w).alias("_m_on"),
     ).where(F.col("_side") == 0)
     if tolerance_seconds is not None:
-        # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike (a
-        # double cast of NTZ is a type error in Spark 4)
+        # unix_timestamp subtraction (works for TIMESTAMP and NTZ alike; a
+        # double cast of NTZ is a type error in Spark 4).  Deliberately the
+        # second-BOUNDARY-crossing measure — matching DuckDB date_diff —
+        # not timestampdiff's elapsed-whole-seconds, which differs by 1
+        # across sub-second offsets.
         within = (
-            F.expr(f"timestampdiff(SECOND, _m_on, {on})") <= tolerance_seconds
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("_m_on"))
+            <= tolerance_seconds
         )
         matched = matched.select(
             *lcols,

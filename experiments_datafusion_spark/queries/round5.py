@@ -579,3 +579,204 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right_event_id").alias("click_id"),
         F.round("right_value", 2).alias("click_value"),
     )
+
+
+# ---- Holt linear (double) exponential smoothing -----------------------------
+
+_HOLT_AN, _HOLT_AD = 3, 10  # alpha = 3/10 (level)
+_HOLT_BN, _HOLT_BD = 1, 10  # beta  = 1/10 (trend)
+
+
+@register(
+    "ts_holt_linear",
+    tags=("timeseries", "stateful", "udf", "forecast"),
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_u,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk(user_id, rn, l, b) AS (
+  SELECT user_id, rn, v_u, CAST(0 AS BIGINT) FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         ({_HOLT_AN} * e.v_u + ({_HOLT_AD} - {_HOLT_AN}) * (w.l + w.b)) // {_HOLT_AD},
+         ({_HOLT_BN} * (({_HOLT_AN} * e.v_u + ({_HOLT_AD} - {_HOLT_AN}) * (w.l + w.b)) // {_HOLT_AD} - w.l)
+          + ({_HOLT_BD} - {_HOLT_BN}) * w.b) // {_HOLT_BD}
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn,
+       CAST(l AS BIGINT) AS level_u,
+       CAST(b AS BIGINT) AS trend_u,
+       CAST(l + b AS BIGINT) AS forecast_u
+FROM walk
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double) exponential smoothing per user — the
+    level+trend COUPLED recurrence behind one-step-ahead forecasting:
+    l_t = a*x_t + (1-a)(l+b), b_t = B*(l_t - l) + (1-B)*b.  Like ev_ewma
+    this is a per-key sequential recurrence no window frame expresses;
+    unlike ev_ewma the state is a 2-vector, the transformWithState
+    named-multi-state shape.
+
+    Exactness: integer micro-units, rational a=3/10 B=1/10, and
+    TRUNCATING division on both sides (DuckDB's // truncates toward zero
+    while Python's floors — the trend term goes negative, where the two
+    differ by 1; operators/similarity._pq_tdiv sign-matching applied
+    here).  Shape: one shuffle (groupBy user), O(1) state per key,
+    parallel across keys."""
+    import pandas as pd
+
+    events = table(spark, sf_dir, "events")
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    def walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        v = np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64")
+        n = len(v)
+        ls = np.empty(n, dtype="int64")
+        bs = np.empty(n, dtype="int64")
+        l = b = 0
+        for i, x in enumerate(v):
+            x = int(x)
+            if i == 0:
+                l, b = x, 0
+            else:
+                ln = tdiv(_HOLT_AN * x + (_HOLT_AD - _HOLT_AN) * (l + b), _HOLT_AD)
+                b = tdiv(_HOLT_BN * (ln - l) + (_HOLT_BD - _HOLT_BN) * b, _HOLT_BD)
+                l = ln
+            ls[i], bs[i] = l, b
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "rn": np.arange(1, n + 1, dtype="int64"),
+                "level_u": ls,
+                "trend_u": bs,
+                "forecast_u": ls + bs,
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            walk, schema="user_id long, rn long, level_u long, trend_u long, forecast_u long"
+        )
+    )
+
+
+# ---- CEP with a Kleene quantifier (view+ click purchase) --------------------
+
+
+@register(
+    "ev_cep_kleene",
+    tags=("events", "window", "cep"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type)     OVER w AS prev_type,
+         lead(event_type, 1) OVER w AS next1_type,
+         lead(event_type, 2) OVER w AS next2_type,
+         lead(event_id, 2)   OVER w AS next2_id,
+         lead(ts, 2)         OVER w AS next2_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *,
+         sum(CASE WHEN event_type = 'view'
+                   AND coalesce(prev_type, '') <> 'view'
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+  FROM seq WHERE event_type = 'view'
+),
+run_ends AS (
+  -- last view of each maximal view-run, carrying the two lookaheads
+  SELECT user_id, run_id, next1_type, next2_type, next2_id, next2_ts, ts AS last_view_ts
+  FROM runs WHERE coalesce(next1_type, '') <> 'view'
+),
+run_sizes AS (
+  SELECT user_id, run_id,
+         CAST(count(*) AS BIGINT) AS n_views,
+         min(ts) AS first_view_ts
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT s.user_id,
+       s.n_views,
+       strftime(s.first_view_ts, '%Y-%m-%d %H:%M:%S') AS first_view_ts,
+       e.next2_id AS purchase_id,
+       CAST(date_diff('second', s.first_view_ts, e.next2_ts) AS BIGINT)
+         AS secs_to_purchase
+FROM run_sizes s JOIN run_ends e USING (user_id, run_id)
+WHERE e.next1_type = 'click' AND e.next2_type = 'purchase'
+  AND date_diff('second', s.first_view_ts, e.next2_ts) <= 86400
+""",
+)
+def ev_cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern with a KLEENE quantifier — MATCH_RECOGNIZE
+    `PATTERN (V+ C P)` semantics: one-or-more strictly-consecutive views,
+    then a click, then a purchase, all per user within 24 h of the first
+    view.  ev_cep_pattern covers the fixed-length pattern; the V+
+    quantifier needs runs of UNKNOWN length, which lowers to
+    gaps-and-islands (run ids from a start-flag running sum) + two
+    lookaheads carried from the run's LAST row — the standard way
+    variable-length CEP compiles onto window algebra.
+
+    Shape: two window passes over the same (user, time) sort (Spark fuses
+    them into one exchange+sort) + one tiny per-run aggregate; never a
+    self-join over the sequence."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next1_type"),
+        F.lead("event_type", 2).over(w).alias("next2_type"),
+        F.lead("event_id", 2).over(w).alias("next2_id"),
+        F.lead("ts", 2).over(w).alias("next2_ts"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("rn")
+    runs = seq.where(F.col("event_type") == "view").withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.coalesce(F.col("prev_type"), F.lit("")) != "view", 1
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    run_ends = runs.where(F.coalesce(F.col("next1_type"), F.lit("")) != "view").select(
+        "user_id", "run_id", "next1_type", "next2_type", "next2_id", "next2_ts"
+    )
+    run_sizes = runs.groupBy("user_id", "run_id").agg(
+        F.count(F.lit(1)).alias("n_views"), F.min("ts").alias("first_view_ts")
+    )
+    # unix_timestamp subtraction, not timestampdiff: DuckDB date_diff
+    # counts second-BOUNDARY crossings; timestampdiff counts elapsed whole
+    # seconds — they differ by 1 across sub-second offsets
+    gap_s = F.unix_timestamp("next2_ts") - F.unix_timestamp("first_view_ts")
+    return (
+        run_sizes.join(run_ends, ["user_id", "run_id"])
+        .where(
+            (F.col("next1_type") == "click")
+            & (F.col("next2_type") == "purchase")
+            & (gap_s <= 86400)
+        )
+        .select(
+            "user_id",
+            "n_views",
+            F.date_format("first_view_ts", "yyyy-MM-dd HH:mm:ss").alias("first_view_ts"),
+            F.col("next2_id").alias("purchase_id"),
+            gap_s.cast("bigint").alias("secs_to_purchase"),
+        )
+    )
