@@ -232,3 +232,48 @@ def test_checksum_sink_commit_protocol(spark, sf_dir, tmp_path):
     assert m1["rows"] == docs.count()
     assert (m1["rows"], m1["checksum"]) == (m2["rows"], m2["checksum"])
     assert m1["tasks"] == 3 and m2["tasks"] == 11
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    """CSV corruption contract — the ingestion reality at 100 TB: PERMISSIVE
+    keeps bad rows (nulls + _corrupt_record), DROPMALFORMED silently drops
+    them, FAILFAST raises.  All three modes against the same dirty file."""
+    import pytest as _pytest
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\nbroken\n")
+    schema = "id INT, name STRING, score DOUBLE, _corrupt_record STRING"
+
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(str(p)).cache()
+    assert perm.count() == 4
+    bad = perm.where(F.col("_corrupt_record").isNotNull()).collect()
+    assert {r["_corrupt_record"] for r in bad} == {"2,beta,not_a_number", "broken"}
+    perm.unpersist()
+
+    dropped = spark.read.schema("id INT, name STRING, score DOUBLE").option(
+        "mode", "DROPMALFORMED"
+    ).csv(str(p))
+    assert [r["id"] for r in dropped.collect()] == [1, 3]
+
+    with _pytest.raises(Exception):
+        spark.read.schema("id INT, name STRING, score DOUBLE").option(
+            "mode", "FAILFAST"
+        ).csv(str(p)).collect()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution via mergeSchema: old files lack a column added
+    later; the merged read surfaces it as NULL for old rows — the additive
+    evolution contract a long-lived 100 TB table depends on."""
+    old = spark.range(3).select(F.col("id"), F.lit("old").alias("tag"))
+    new = spark.range(3, 6).select(
+        F.col("id"), F.lit("new").alias("tag"), (F.col("id") * 10).alias("score")
+    )
+    old.write.mode("overwrite").parquet(str(tmp_path / "t" / "p=1"))
+    new.write.mode("overwrite").parquet(str(tmp_path / "t" / "p=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "tag", "score", "p"}
+    rows = {r["id"]: (r["tag"], r["score"]) for r in merged.collect()}
+    assert rows[0] == ("old", None) and rows[5] == ("new", 50)

@@ -473,29 +473,6 @@ def test_top_paths_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p.text
 
 
-def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
-    """Dynamic partition pruning — THE star-schema scale optimization: a
-    selective dim-side filter turns into a runtime partition filter on the
-    fact scan, so a 100 TB fact table reads only the partitions the dim
-    rows name.  Requires a partitioned fact, a filtered file-sourced dim,
-    and a join on the partition column; assert the executed plan carries
-    the dynamicpruning subquery on the fact scan."""
-    orders = table(spark, sf_dir, "orders")
-    fact_dir = str(tmp_path / "fact_part")
-    dim_dir = str(tmp_path / "dim")
-    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_dir)
-    orders.select(F.col("o_orderstatus").alias("st")).distinct().withColumn(
-        "label", F.concat(F.lit("s-"), F.col("st"))
-    ).write.mode("overwrite").parquet(dim_dir)
-    fact = spark.read.parquet(fact_dir)
-    dim = spark.read.parquet(dim_dir).where(F.col("label") == "s-F")
-    j = fact.join(dim, fact["o_orderstatus"] == dim["st"])
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower()
-    # and it actually prunes: only the matching partition's rows are read
-    assert j.count() == orders.where(F.col("o_orderstatus") == "F").count()
-
-
 def test_observe_metrics_match_aggregate(spark, sf_dir):
     """df.observe(): accumulator-style plan metrics collected DURING the
     main job — the zero-extra-pass way to audit row counts / sums in a

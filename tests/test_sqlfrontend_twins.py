@@ -32,3 +32,16 @@ def test_registered_fn_single_statement(spark, sf_dir):
     df = sqlfrontend.sql_parameterized(spark, sf_dir)
     assert df.columns == ["o_orderpriority", "n", "price_units"]
     assert df.count() > 0
+
+
+def test_identifier_clause_parameterized_table(spark, sf_dir):
+    """Spark 4 IDENTIFIER(:name): parameterize the TABLE NAME itself —
+    injection-safe dynamic SQL over identifiers, the half of
+    parameterized SQL that value parameters can't reach."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    for tbl, key in (("orders", "o_orderkey"), ("customer", "c_custkey")):
+        got = spark.sql(
+            "SELECT count(*) AS n FROM IDENTIFIER(:tbl)", args={"tbl": tbl}
+        ).collect()[0]["n"]
+        want = spark.table(tbl).count()
+        assert got == want and got > 0
