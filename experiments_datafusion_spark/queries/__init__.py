@@ -118,8 +118,9 @@ _PRIORITY = (
 # the 3 window riders above (all green at sf0.01 via tools/drive_entry.py
 # on registration): sample_weighted, text_entropy, ts_seasonality,
 # dedup_url_canonical, ev_attribution_outer, sql_udf_declarative,
-# scalar_try_arith, plus whatever later round-5 work adds; then backfill
-# with anything round 6 registers.
+# scalar_try_arith, source_xml_roundtrip, join_asof_tolerance,
+# ts_holt_linear, ev_cep_kleene, ml_logreg_hardsig — then backfill with
+# anything round 6 registers.
 
 
 @dataclass(frozen=True)

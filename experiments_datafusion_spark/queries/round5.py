@@ -780,3 +780,124 @@ def ev_cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_s.cast("bigint").alias("secs_to_purchase"),
         )
     )
+
+
+# ---- iterative ML: logistic regression, hard-sigmoid, all-integer -----------
+
+_LR_ITERS = 3
+_LR_U = 1_000_000  # micro-unit grid for weights/probabilities
+_LR_LR_DEN = 16  # learning rate 1/16
+
+# Chained-CTE oracle: 3 unrolled gradient-descent iterations.  DuckDB's //
+# and % truncate toward zero (sign of the dividend) — the Spark side
+# mirrors that exactly with (a - a % b) / b, so every quantity is integer
+# and bit-identical; there is NO transcendental anywhere (hard sigmoid).
+
+
+def _lr_sig_sql(wv: str, wh: str, b: str) -> str:
+    z = f"({wv} * f.v + {wh} * f.h + {b} * {_LR_U})"
+    q = f"(({z} - {z} % {4 * _LR_U}) // {4 * _LR_U})"
+    return f"least({_LR_U}, greatest(0, {_LR_U // 2} + {q}))"
+
+
+def _lr_oracle() -> str:
+    ctes = [
+        f"""feat AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+         CAST(hour(ts) AS BIGINT) AS h,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM events
+),
+w0 AS (SELECT CAST(0 AS BIGINT) AS wv, CAST(0 AS BIGINT) AS wh, CAST(0 AS BIGINT) AS b)"""
+    ]
+    for i in range(_LR_ITERS):
+        sig = _lr_sig_sql("w.wv", "w.wh", "w.b")
+        ctes.append(
+            f"""g{i} AS (
+  SELECT CAST(sum(({sig} - f.y * {_LR_U}) * f.v) AS BIGINT) AS gv,
+         CAST(sum(({sig} - f.y * {_LR_U}) * f.h) AS BIGINT) AS gh,
+         CAST(sum(({sig} - f.y * {_LR_U}) * {_LR_U}) AS BIGINT) AS gb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM feat f CROSS JOIN w{i} w
+),
+w{i + 1} AS (
+  SELECT CAST(w.wv - (g.gv // ({_LR_LR_DEN} * g.n)) // {_LR_U} AS BIGINT) AS wv,
+         CAST(w.wh - (g.gh // ({_LR_LR_DEN} * g.n)) // {_LR_U} AS BIGINT) AS wh,
+         CAST(w.b  - (g.gb // ({_LR_LR_DEN} * g.n)) // {_LR_U} AS BIGINT) AS b
+  FROM w{i} w CROSS JOIN g{i} g
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS iter, wv, wh, b FROM w{i + 1}"
+        for i in range(_LR_ITERS)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register(
+    "ml_logreg_hardsig",
+    tags=("ml", "iterative"),
+    oracle=_lr_oracle(),
+)
+def ml_logreg_hardsig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch gradient-descent LOGISTIC REGRESSION (is this event a
+    purchase?) on two integer features, with the HARD sigmoid
+    clamp(1/2 + z/4, 0, 1) instead of 1/(1+e^-z) — the piecewise-rational
+    variant that keeps EVERY quantity exact-integer end to end: gradients
+    are int64 sums of per-row rational terms, weight updates are
+    truncating integer divisions (mirroring DuckDB's //), so the
+    chained-CTE oracle replays all 3 iterations bit-identically with no
+    transcendental anywhere (the exp/ln libm-ulp risk the other iterative
+    oracles engineer around never arises).
+
+    Shape per iteration: ONE map-side-combined aggregate over the fact
+    scan (3 gradient sums + count), a 1-row collect, an O(1) driver
+    update, constants folded back into the next scan — the
+    embedding_kmeans / graph_pagerank bounded-driver pattern; iterations
+    scale as scans, never joins."""
+    e = table(spark, sf_dir, "events")
+    feat = e.select(
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        F.hour("ts").cast("long").alias("h"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+
+    def tdiv(a: int, bb: int) -> int:
+        return -((-a) // bb) if a < 0 else a // bb
+
+    def trunc_div_col(a, bb: int):
+        return ((a - a % F.lit(bb)) / F.lit(bb)).cast("long")
+
+    wv = wh = b = 0
+    out = []
+    for i in range(_LR_ITERS):
+        # literals cast to long: int32 lits would constant-fold b * 1e6
+        # as 32-bit and overflow (ANSI ARITHMETIC_OVERFLOW)
+        z = (
+            F.lit(wv).cast("long") * F.col("v")
+            + F.lit(wh).cast("long") * F.col("h")
+            + F.lit(b).cast("long") * F.lit(_LR_U).cast("long")
+        )
+        sig = F.least(
+            F.lit(_LR_U).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(_LR_U // 2) + trunc_div_col(z, 4 * _LR_U),
+            ),
+        )
+        err = sig - F.col("y") * _LR_U
+        g = feat.agg(
+            F.sum(err * F.col("v")).alias("gv"),
+            F.sum(err * F.col("h")).alias("gh"),
+            F.sum(err * F.lit(_LR_U).cast("long")).alias("gb"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = int(g["n"])
+        wv -= tdiv(tdiv(int(g["gv"]), _LR_LR_DEN * n), _LR_U)
+        wh -= tdiv(tdiv(int(g["gh"]), _LR_LR_DEN * n), _LR_U)
+        b -= tdiv(tdiv(int(g["gb"]), _LR_LR_DEN * n), _LR_U)
+        out.append((i + 1, wv, wh, b))
+    return spark.createDataFrame(out, "iter long, wv long, wh long, b long")
