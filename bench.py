@@ -240,6 +240,17 @@ def main() -> None:
     try:
         from experiments_datafusion_spark.charts import render_multi_line_chart
 
+        render_multi_line_chart(
+            {
+                name: [(p["n"], p["sec"]) for p in series]
+                for name, series in analytics_sweep.items()
+                if name != "winnowing_hash_ab"
+            },
+            title="analytics flagships — runtime vs corpus size",
+            xlabel="documents (generated corpus)",
+            ylabel="seconds (single run)",
+            out_path=REPO / "img" / "analytics_decade.svg",
+        )
         for case, case_series in sweep.items():
             render_multi_line_chart(
                 {
