@@ -901,3 +901,52 @@ def ml_logreg_hardsig(spark: SparkSession, sf_dir: str) -> DataFrame:
         b -= tdiv(tdiv(int(g["gb"]), _LR_LR_DEN * n), _LR_U)
         out.append((i + 1, wv, wh, b))
     return spark.createDataFrame(out, "iter long, wv long, wh long, b long")
+
+
+# ---- Avro source round-trip (pure-Python codec, no jar) ----------------------
+
+
+@register(
+    "source_avro_roundtrip",
+    tags=("io", "sources", "avro"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT)        AS n,
+       CAST(sum(o_orderkey) AS BIGINT)  AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                        AS price_units
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro scan/sink via the pure-Python container codec (format
+    "pyavro") — closing the one environment-blocked format: the spark-avro
+    jar can't be fetched here, but the Avro 1.11 container format itself
+    is fully speakable from Python (avro_codec.py: zigzag varints,
+    deflate blocks, sync markers).  Write orders as Avro (one deflate
+    container per task), read it back through the distributed
+    file-per-partition reader, aggregate; the oracle aggregates the
+    ORIGINAL parquet, so encode + decode + schema mapping is exactly what
+    the differential check verifies.  On a real cluster the JVM
+    spark-avro connector is preferred (io.read_avro docstring); this is
+    the dependency-free fallback, golden-bytes-pinned against the public
+    spec in tests/test_avro.py."""
+    import tempfile
+
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+    tmp = tempfile.mkdtemp(prefix="avro_rt_")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src.write.format("pyavro").mode("append").save(f"{tmp}/orders_avro")
+    back = spark.read.format("pyavro").load(f"{tmp}/orders_avro")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("price_units"),
+    )

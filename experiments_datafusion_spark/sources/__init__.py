@@ -7,9 +7,10 @@ source regenerates the reference's workload tables natively — the same
 rows as generators.py's portable mode, proven by differential tests against
 both the JVM expression generator and a DuckDB md5 replay."""
 
+from experiments_datafusion_spark.sources.avro_source import PyAvroDataSource
 from experiments_datafusion_spark.sources.sortbench_source import (
     SortbenchDataSource,
     register_sources,
 )
 
-__all__ = ["SortbenchDataSource", "register_sources"]
+__all__ = ["PyAvroDataSource", "SortbenchDataSource", "register_sources"]

@@ -131,8 +131,11 @@ class SortbenchDataSource(DataSource):
 
 def register_sources(spark) -> None:
     """Idempotent registration of all custom Python sources."""
+    from experiments_datafusion_spark.sources.avro_source import PyAvroDataSource
+
     spark.dataSource.register(SortbenchDataSource)
     spark.dataSource.register(ChecksumDataSource)
+    spark.dataSource.register(PyAvroDataSource)
 
 
 # --- checksum sink: the WRITER half of the API (commit protocol demo) ------

@@ -115,11 +115,18 @@ def test_text_source_reads_lines(spark, tmp_path):
     assert df.count() == 3
 
 
-def test_avro_gated_with_clear_error(spark, sf_dir, tmp_path):
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="spark-avro"):
-        io.read_avro(spark, str(tmp_path / "nothing.avro"))
+def test_avro_roundtrip_via_python_fallback(spark, sf_dir, tmp_path):
+    """io.read_avro: the JVM connector is absent here, so the call routes
+    to the pure-Python pyavro DataSource — and must round-trip exactly
+    (round 5 closed the former NotImplementedError gate)."""
+    orders = io.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    io.write_avro(orders, str(tmp_path / "av"))
+    back = io.read_avro(spark, str(tmp_path / "av"))
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b and len(a) > 0
 
 
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
