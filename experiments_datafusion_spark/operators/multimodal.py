@@ -6,7 +6,7 @@ decode_wav_features parses them with the stdlib ``wave`` codec inside
 mapInPandas.  Images decode FOR REAL too (round 3): payloads are
 spec-compliant grayscale PNGs and decode_png_features parses them with
 stdlib zlib/struct (chunk walk, CRC validation, inflate, unfilter).
-JPEG/video decoding still needs codecs the container doesn't ship, so that
+Video decoding still needs codecs the container doesn't ship, so that
 path remains a clearly-marked NotImplementedError while the Spark-side
 plumbing (binary schema, Arrow batch shapes, partition-preserving
 mapInPandas) is real and tested.
@@ -59,13 +59,22 @@ def attach_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_real(payload: bytes, media_type: str):
-    """The real-codec path for image/video. Container ships no codecs ->
-    explicit stub (audio is NOT stubbed: WAV decodes for real below via the
-    stdlib ``wave`` module)."""
-    raise NotImplementedError(
-        "image/video decoding requires codecs not present in this "
-        "environment; production would decode here (PIL/ffmpeg). "
-        "Audio: see attach_wav_media/decode_wav_features (real stdlib WAV)."
+    """The real-codec dispatch.  As of round 5 every IMAGE and AUDIO
+    format in the corpus decodes for real — WAV (stdlib wave), PNG
+    (stdlib zlib/struct), BMP (struct), baseline JPEG (jpeg_codec.py:
+    DCT + Annex-K Huffman) — so only VIDEO remains gated: inter-frame
+    codecs (H.264-class motion compensation + CABAC) are a genuinely
+    different engineering tier and production would use ffmpeg here."""
+    if media_type == "video":
+        raise NotImplementedError(
+            "video decoding requires an inter-frame codec (ffmpeg class) "
+            "not implementable in-container; images/audio all decode for "
+            "real (WAV/PNG/BMP/JPEG codecs in this module + jpeg_codec.py)."
+        )
+    raise ValueError(
+        f"decode_real dispatches video only; use the typed decoders for "
+        f"{media_type!r} (decode_wav_features / decode_png_features / "
+        f"decode_bmp_features / decode_jpeg_features)"
     )
 
 
@@ -466,3 +475,83 @@ def resize_thumbnail(media: DataFrame, s: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, THUMB_SCHEMA)
+
+
+# --- JPEG: the fourth REAL codec (round 5) -----------------------------------
+#
+# Baseline grayscale JPEG (ITU-T T.81 SOF0) via jpeg_codec.py: real 8x8
+# DCT, Annex-K quantization + canonical Huffman coding, byte-stuffed
+# entropy stream.  The corpus is built from 8x8-block-constant EVEN-valued
+# tiles, for which quantization is provably lossless (DC = 8*(v-128) with
+# v-128 even divides the Annex-K quantum 16 exactly; every AC coefficient
+# is zero) — so decode returns the input bit-for-bit and the SQL oracle
+# replays the tile formula, while the codec performs its full real work.
+# Video remains the one honestly gated decode (decode_real).
+
+
+def _jpeg_tiles(doc_id: int) -> tuple[int, int]:
+    """(tiles_x, tiles_y) per doc; image is 8*tiles pixels on each side."""
+    return 2 + doc_id % 5, 2 + (doc_id // 5) % 4
+
+
+def _jpeg_tile_value(doc_id: int, ty, tx):
+    """Even-valued tile levels: 2 * ((doc_id*31 + ty*7 + tx*13) % 128)."""
+    return 2 * ((doc_id * 31 + ty * 7 + tx * 13) % 128)
+
+
+def attach_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a REAL baseline-JPEG payload per document from the
+    closed-form block-constant tile pattern."""
+    from experiments_datafusion_spark.jpeg_codec import encode_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ntx, nty = _jpeg_tiles(did)
+                ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
+                tiles = _jpeg_tile_value(did, ty, tx).astype(np.uint8)
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_gray(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+
+
+JPEG_FEATURE_SCHEMA = (
+    "media_id bigint, width int, height int, n_pixels bigint, "
+    "mean_pixel double, n_levels bigint"
+)
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode per payload (marker parse, Huffman decode,
+    dequantize, IDCT, level shift) then scalar features; exact half-up
+    mean as the other codecs."""
+    from experiments_datafusion_spark.jpeg_codec import decode_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "width", "height", "n_pixels",
+                    "mean_pixel", "n_levels",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_gray(bytes(payload))
+                h, w = px.shape
+                n = w * h
+                s = int(px.astype(np.int64).sum())
+                mean4 = (s * 20_000 + n) // (2 * n)  # exact half-up, 4dp
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(n)
+                out["mean_pixel"].append(mean4 / 10_000.0)
+                out["n_levels"].append(int(np.unique(px).size))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, JPEG_FEATURE_SCHEMA)

@@ -163,8 +163,8 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image feature extraction: build spec-compliant grayscale PNGs
     (closed-form pixels per doc_id), decode the actual bytes with the
     stdlib zlib/struct codec in mapInPandas, and emit header + pixel
-    features — the image twin of mm_features' WAV round trip.  JPEG/video
-    decode remains the documented gate (decode_real)."""
+    features — the image twin of mm_features' WAV round trip.  Round 5 adds
+    the real JPEG codec (mm_jpeg_features); only video stays gated."""
     media = M.attach_png_media(table(spark, sf_dir, "documents"))
     return M.decode_png_features(media)
 
@@ -245,3 +245,55 @@ def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices are exact integer math over closed-form pixels."""
     media = M.attach_png_media(table(spark, sf_dir, "documents"))
     return M.resize_thumbnail(media)
+
+
+@register(
+    "mm_jpeg_features",
+    tags=("llm", "multimodal"),
+    oracle="""
+-- Closed-form replay of the JPEG round trip (operators/multimodal.py
+-- attach_jpeg_media: 8x8-block-constant tiles, tile value
+-- 2*((doc_id*31 + ty*7 + tx*13) % 128) over a (2+doc_id%5) x
+-- (2+(doc_id//5)%4) tile grid; the Spark side decodes the actual
+-- baseline-JPEG bytes — marker parse, canonical Huffman, dequantize,
+-- IDCT — with jpeg_codec.py).  Even tile values make Annex-K DC
+-- quantization lossless (8*(v-128) divisible by quantum 16; AC all
+-- zero), so the decoded pixels equal the generated tiles EXACTLY and
+-- this oracle's tile algebra predicts them; same half-up mean as the
+-- PNG/BMP oracles.
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 5 AS ntx, 2 + (doc_id // 5) % 4 AS nty
+  FROM documents
+),
+tiles AS (
+  SELECT d.doc_id, d.ntx, d.nty,
+         2 * ((d.doc_id * 31 + ty.v * 7 + tx.v * 13) % 128) AS tv
+  FROM d,
+       UNNEST(generate_series(0, d.nty - 1)) AS ty(v),
+       UNNEST(generate_series(0, d.ntx - 1)) AS tx(v)
+),
+agg AS (
+  SELECT doc_id, any_value(ntx) AS ntx, any_value(nty) AS nty,
+         sum(tv) * 64 AS s, count(*) * 64 AS n,
+         count(DISTINCT tv) AS n_levels
+  FROM tiles GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(ntx * 8 AS INT) AS width,
+       CAST(nty * 8 AS INT) AS height,
+       CAST(n AS BIGINT) AS n_pixels,
+       ((s * 20000 + n) // (2 * n)) / 10000.0 AS mean_pixel,
+       CAST(n_levels AS BIGINT) AS n_levels
+FROM agg
+""",
+)
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG feature extraction (round 5, closing the third and last
+    codec stub except video): build baseline grayscale JPEGs from
+    block-constant even-valued tiles (the quantization-lossless regime —
+    see operators/multimodal.py), decode the ACTUAL entropy-coded bytes
+    with the pure-Python T.81 codec in mapInPandas, and emit header +
+    pixel features.  The differential check verifies the full encode ->
+    Huffman stream -> decode -> IDCT chain against tile algebra."""
+    media = M.attach_jpeg_media(table(spark, sf_dir, "documents"))
+    return M.decode_jpeg_features(media)
