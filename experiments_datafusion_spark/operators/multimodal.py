@@ -555,3 +555,171 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, JPEG_FEATURE_SCHEMA)
+
+
+# --- AVI: real VIDEO CONTAINER parsing (round 5) ------------------------------
+#
+# RIFF/AVI with uncompressed 8-bit DIB frames ('DIB ' handler, BI_RGB): the
+# same RIFF chunk grammar as WAV, BITMAPINFOHEADER frames with the BMP
+# codec's bottom-up stride-padded rows.  This narrows the video gate to
+# what is genuinely out of reach in-container — COMPRESSED inter-frame
+# codecs (H.264-class motion compensation); the container walk, stream
+# headers, frame extraction and per-frame pixel math are all real.
+
+AVI_FPS = 10
+
+
+def _avi_shape(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, height, width); widths deliberately include non-multiples
+    of 4 so DIB stride padding is genuinely exercised."""
+    return 2 + doc_id % 4, 4 + doc_id % 6, 5 + doc_id % 8
+
+
+def _avi_pixel(doc_id: int, f, y, x):
+    return (doc_id * 11 + f * 17 + y * 5 + x * 3) % 256
+
+
+def _dib_frame(px: np.ndarray) -> bytes:
+    """Bottom-up, stride-padded 8-bit rows (the BMP pixel-array layout)."""
+    h, w = px.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = px[::-1]  # bottom-up
+    return rows.tobytes()
+
+
+def _undib_frame(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = (w + 3) & ~3
+    if len(data) != stride * h:
+        raise ValueError("DIB frame size mismatch")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+    return rows[::-1, :w].copy()
+
+
+def _encode_avi_gray8(frames: np.ndarray) -> bytes:
+    """frames: (n, h, w) uint8 -> RIFF/AVI bytes (avih + vids strl with a
+    BITMAPINFOHEADER strf, movi list of 00db chunks)."""
+    import struct
+
+    n, h, w = frames.shape
+    stride = (w + 3) & ~3
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // AVI_FPS, stride * h * AVI_FPS, 0, 0x10,  # HASINDEX off->0x10 flags kept minimal
+        n, 0, 1, stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, AVI_FPS, 0, n,
+        stride * h, 0, -1, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 0, 0, 256, 0)
+    strf += b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi_body = b"movi" + b"".join(chunk(b"00db", _dib_frame(f)) for f in frames)
+    movi = chunk(b"LIST", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi_gray8(payload: bytes) -> np.ndarray:
+    """Walk the RIFF grammar, read the stream headers, extract and
+    un-DIB every 00db frame -> (n, h, w) uint8."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])  # skip list type, recurse into children
+            elif tag == b"strf":
+                (biSize, bw, bh, _pl, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", body, 0
+                )
+                if bpp != 8 or comp != 0:
+                    raise NotImplementedError(
+                        "compressed / non-8-bit AVI streams are the video "
+                        "gate; this decoder handles uncompressed DIB"
+                    )
+                w, h = bw, bh
+            elif tag == b"00db":
+                if w is None:
+                    raise ValueError("frame before stream format")
+                frames.append(_undib_frame(body, w, h))
+            pos += 8 + size + (size % 2)
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("no frames in AVI")
+    return np.stack(frames)
+
+
+def attach_avi_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a REAL RIFF/AVI payload per document (uncompressed DIB
+    frames, closed-form pixels)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, h, w = _avi_shape(did)
+                f, y, x = np.meshgrid(
+                    np.arange(n), np.arange(h), np.arange(w), indexing="ij"
+                )
+                frames = _avi_pixel(did, f, y, x).astype(np.uint8)
+                payloads.append(_encode_avi_gray8(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+
+
+AVI_FEATURE_SCHEMA = (
+    "media_id bigint, n_frames int, width int, height int, "
+    "px_sum bigint, motion_sum bigint"
+)
+
+
+def decode_avi_features(media: DataFrame) -> DataFrame:
+    """REAL container decode per payload: RIFF walk, header parse, frame
+    un-DIB; per-video pixel sum and total inter-frame absolute motion —
+    both exact integers, so the SQL oracle replays them from the pixel
+    formula."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id", "n_frames", "width", "height",
+                    "px_sum", "motion_sum",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fr = _decode_avi_gray8(bytes(payload)).astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_frames"].append(fr.shape[0])
+                out["width"].append(fr.shape[2])
+                out["height"].append(fr.shape[1])
+                out["px_sum"].append(int(fr.sum()))
+                out["motion_sum"].append(
+                    int(np.abs(np.diff(fr, axis=0)).sum()) if fr.shape[0] > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AVI_FEATURE_SCHEMA)

@@ -297,3 +297,51 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Huffman stream -> decode -> IDCT chain against tile algebra."""
     media = M.attach_jpeg_media(table(spark, sf_dir, "documents"))
     return M.decode_jpeg_features(media)
+
+
+@register(
+    "mm_avi_features",
+    tags=("llm", "multimodal", "video"),
+    oracle="""
+-- Closed-form replay of the AVI round trip (operators/multimodal.py
+-- attach_avi_media: RIFF/AVI container with uncompressed bottom-up
+-- stride-padded DIB frames; pixel(f,y,x) = (doc_id*11 + f*17 + y*5 +
+-- x*3) % 256 over a (2+doc%4)-frame (4+doc%6) x (5+doc%8) video; the
+-- Spark side walks the actual RIFF grammar, parses avih/strh/strf,
+-- extracts and un-pads every 00db frame).  px_sum and inter-frame
+-- motion_sum are exact integers, so the oracle replays the pixel
+-- formula directly.
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 6 AS h, 5 + doc_id % 8 AS w
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.nf, d.h, d.w, f.v AS f, y.v AS y, x.v AS x,
+         (d.doc_id * 11 + f.v * 17 + y.v * 5 + x.v * 3) % 256 AS p
+  FROM d,
+       UNNEST(generate_series(0, d.nf - 1)) AS f(v),
+       UNNEST(generate_series(0, d.h - 1)) AS y(v),
+       UNNEST(generate_series(0, d.w - 1)) AS x(v)
+)
+SELECT doc_id AS media_id,
+       CAST(any_value(nf) AS INT) AS n_frames,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN f > 0 THEN
+           abs(p - (doc_id * 11 + (f - 1) * 17 + y * 5 + x * 3) % 256)
+           ELSE 0 END) AS BIGINT) AS motion_sum
+FROM px GROUP BY doc_id
+""",
+)
+def mm_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-CONTAINER decode (round 5): build RIFF/AVI payloads with
+    uncompressed DIB frames (widths deliberately include non-multiples of
+    4, so stride padding is genuinely exercised), walk the actual RIFF
+    grammar in mapInPandas — lists, stream headers, frame chunks — and
+    emit per-video pixel-sum + inter-frame motion features.  This narrows
+    the video gate to COMPRESSED inter-frame codecs (decode_real); the
+    container layer every video pipeline starts with is now real, the
+    same honest-boundary pattern as the WAV/PNG/BMP/JPEG codecs."""
+    media = M.attach_avi_media(table(spark, sf_dir, "documents"))
+    return M.decode_avi_features(media)

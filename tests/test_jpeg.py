@@ -92,3 +92,46 @@ def test_high_frequency_roundtrip_runs():
     dec = J.decode_gray(J.encode_gray(img))
     assert dec.shape == img.shape
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 128
+
+
+# ---- AVI container (round 5, same file: the other new real codec) -----------
+
+
+def test_avi_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from experiments_datafusion_spark.operators import multimodal as M
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 6),
+        h=st.integers(1, 10),
+        w=st.integers(1, 13),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(n, h, w, seed):
+        rng = np.random.RandomState(seed)
+        frames = rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)
+        assert np.array_equal(
+            M._decode_avi_gray8(M._encode_avi_gray8(frames)), frames
+        )
+
+    inner()
+
+
+def test_avi_rejects_compressed_and_garbage():
+    import struct
+
+    from experiments_datafusion_spark.operators import multimodal as M
+
+    frames = np.zeros((2, 4, 4), dtype=np.uint8)
+    good = bytearray(M._encode_avi_gray8(frames))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        M._decode_avi_gray8(b"nope")
+    # flip the biCompression field inside strf to a nonzero fourcc
+    idx = bytes(good).index(b"strf") + 8  # chunk body start
+    comp_off = idx + 16  # biSize,i32 w,i32 h,u16 planes,u16 bpp -> compression
+    good[comp_off : comp_off + 4] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="video"):
+        M._decode_avi_gray8(bytes(good))
