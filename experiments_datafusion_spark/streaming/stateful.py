@@ -348,3 +348,81 @@ def streaming_cusum(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming Holt linear smoothing: twin of queries/round5.ts_holt_linear --
+
+HOLT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("level_u", LongType()),
+        StructField("trend_u", LongType()),
+        StructField("forecast_u", LongType()),
+    ]
+)
+
+# the 2-vector state the batch twin's docstring promises: (rows, level, trend)
+HOLT_STATE = StructType(
+    [
+        StructField("rn", LongType()),
+        StructField("l", LongType()),
+        StructField("b", LongType()),
+    ]
+)
+
+
+def _holt_update(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch through the Holt level+trend recurrence
+    (identical integer arithmetic to queries/round5.ts_holt_linear:
+    micro-units, a=3/10, B=1/10, TRUNCATING division), carrying
+    (rn, level, trend) — the named-multi-state shape
+    transformWithState formalizes, expressed on the GA API."""
+    import numpy as np
+
+    (user_id,) = key
+    rn, l, b = state.get if state.exists else (0, 0, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"], kind="mergesort")
+    v = np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64")
+
+    def tdiv(a: int, d: int) -> int:
+        return -((-a) // d) if a < 0 else a // d
+
+    rns, ls, bs = [], [], []
+    for x in v:
+        x = int(x)
+        if rn == 0:
+            l, b = x, 0
+        else:
+            ln = tdiv(3 * x + 7 * (l + b), 10)
+            b = tdiv((ln - l) + 9 * b, 10)
+            l = ln
+        rn += 1
+        rns.append(rn)
+        ls.append(l)
+        bs.append(b)
+    state.update((rn, l, b))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(v),
+            "rn": rns,
+            "level_u": ls,
+            "trend_u": bs,
+            "forecast_u": [a + c for a, c in zip(ls, bs)],
+        }
+    )
+
+
+def streaming_holt(events: DataFrame) -> DataFrame:
+    """Streaming per-user Holt linear smoothing — the stream twin of the
+    ts_holt_linear batch key (same integer recurrences, same output
+    schema).  State is one (rn, level, trend) triple per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _holt_update,
+        outputStructType=HOLT_OUTPUT,
+        stateStructType=HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

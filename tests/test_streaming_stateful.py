@@ -265,3 +265,52 @@ def test_streaming_cusum_matches_batch_key(spark, sf_dir, tmp_path):
         for r in all_queries()["ev_cusum"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_holt_matches_batch_key(spark, sf_dir, tmp_path):
+    """The stateful streaming Holt smoother must reproduce the batch
+    ts_holt_linear key exactly — multi-micro-batch replay (3 files), so
+    the 2-vector (level, trend) state genuinely CARRIES across batches."""
+    from experiments_datafusion_spark.queries import all_queries
+    from experiments_datafusion_spark.streaming.stateful import streaming_holt
+
+    d = tmp_path / "holt"
+    d.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # 3 time-sliced files appended SEQUENTIALLY (distinct mod times) +
+    # maxFilesPerTrigger=1 -> 3 micro-batches arriving in event-time order
+    # per key (the operator's in-order-arrival contract; FileStreamSource
+    # picks files up oldest-first)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    for i in range(3):
+        sl = ev.where(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span) if i < 2 else F.lit(True))
+        )
+        sl.coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(1.1)
+    raw_schema = spark.read.parquet(str(d)).schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = streaming_holt(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_holt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["rn"]): (r["level_u"], r["trend_u"], r["forecast_u"])
+        for r in spark.table("sink_holt").collect()
+    }
+    batch = {
+        (r["user_id"], r["rn"]): (r["level_u"], r["trend_u"], r["forecast_u"])
+        for r in all_queries()["ts_holt_linear"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
