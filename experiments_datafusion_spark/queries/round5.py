@@ -950,3 +950,106 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_units"),
     )
+
+
+# ---- snapshot time travel (Delta/Iceberg AS OF dataflow) ---------------------
+
+_TT_CUT = "1995-06-01"
+
+
+@register(
+    "table_time_travel",
+    tags=("io", "maintenance", "dimensional"),
+    oracle=f"""
+WITH v0 AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_TT_CUT}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+v1 AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+)
+SELECT version, status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(price_c) AS BIGINT) AS price_units
+FROM (
+  SELECT 0 AS version, * FROM v0
+  UNION ALL
+  SELECT 1 AS version, * FROM v1
+)
+GROUP BY version, status
+""",
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL — the Delta/Iceberg `VERSION AS OF` dataflow
+    rebuilt on immutable parquet snapshots: materialize version 0 (the
+    latest per-customer state before a cutover), apply the post-cutover
+    changelog with the merge_upsert full-outer dataflow into an immutable
+    version-1 directory, then query BOTH versions AS OF their snapshot —
+    which is all a lakehouse time-travel read is (the manifest pins which
+    immutable files a version sees; copy-on-write keeps old versions
+    valid).  The oracle recomputes each version's state straight from the
+    raw orders, so snapshot isolation — v0 unchanged by the v1 merge —
+    is exactly what the differential check verifies."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    tmp = tempfile.mkdtemp(prefix="timetravel_")
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col("o_custkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+            )
+        )
+
+    # snapshot v0: pre-cutover state, written immutably
+    latest(orders.where(F.col("o_orderdate") < _TT_CUT)).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/v0")
+    # changelog: latest post-cutover state per key; merge into v1
+    # (copy-on-write: v0's files are never touched)
+    changes = latest(orders.where(F.col("o_orderdate") >= _TT_CUT))
+    v0 = spark.read.parquet(f"{tmp}/v0")
+    merged = (
+        v0.alias("t")
+        .join(changes.alias("s"), F.col("t.k") == F.col("s.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.k"), F.col("t.k")).alias("k"),
+            F.coalesce(F.col("s.status"), F.col("t.status")).alias("status"),
+            F.coalesce(F.col("s.price_c"), F.col("t.price_c")).alias("price_c"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{tmp}/v1")
+    # AS OF reads: each version resolves to its immutable snapshot dir
+    reads = [
+        spark.read.parquet(f"{tmp}/v{i}").withColumn(
+            "version", F.lit(i).cast("long")
+        )
+        for i in (0, 1)
+    ]
+    return (
+        reads[0]
+        .unionByName(reads[1])
+        .groupBy("version", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").cast("bigint").alias("price_units"),
+        )
+    )
