@@ -1053,3 +1053,106 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("bigint").alias("price_units"),
         )
     )
+
+
+# ---- geo: haversine k-nearest-neighbors --------------------------------------
+
+_GEO_K = 3
+_GEO_NQ = 8
+
+
+@register(
+    "geo_haversine_knn",
+    tags=("geo", "join", "similarity"),
+    oracle=f"""
+WITH pts AS (
+  SELECT DISTINCT user_id AS uid,
+    -60 + (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#lat'), 1, 15))
+           AS BIGINT) % 12000) / 100.0 AS lat,
+    -180 + (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#lon'), 1, 15))
+           AS BIGINT) % 36000) / 100.0 AS lon
+  FROM events
+),
+q AS (SELECT * FROM pts WHERE uid < {_GEO_NQ}),
+d AS (
+  SELECT q.uid AS query_id, p.uid AS neighbor_id,
+         2 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(p.lat - q.lat) / 2), 2)
+           + cos(radians(q.lat)) * cos(radians(p.lat))
+             * pow(sin(radians(p.lon - q.lon) / 2), 2)
+         )) AS dist_m
+  FROM q CROSS JOIN pts p
+  WHERE p.uid <> q.uid
+)
+SELECT query_id, neighbor_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(floor(dist_m) AS BIGINT) AS dist_m
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_m, neighbor_id) AS rank
+  FROM d
+) WHERE rank <= {_GEO_K}
+""",
+)
+def geo_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine k-nearest-neighbors: each of {_GEO_NQ} query users finds
+    its 3 geographically closest users — the geo retrieval twin of
+    sim_topk_bruteforce (broadcast queries x partitioned points, windowed
+    rank), on hash-synthesized coordinates so both engines see identical
+    rationals.  The haversine chain (radians/sin/cos/asin/sqrt) is ONE
+    identical IEEE expression per pair used only for rank SELECTION and a
+    floor-to-meters report — the single-expression-transcendental recipe;
+    ranks tie-break on neighbor id.  Scale path: the grid-bucketed
+    candidate generator (join_spatial_grid) replaces the cross join at
+    corpus scale; this key is the exactness baseline it verifies against."""
+    ev = table(spark, sf_dir, "events")
+
+    def h(col, salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = ev.select("user_id").distinct().select(
+        F.col("user_id").alias("uid"),
+        (-60 + (h(F.col("user_id"), "#lat") % 12000) / 100.0).alias("lat"),
+        (-180 + (h(F.col("user_id"), "#lon") % 36000) / 100.0).alias("lon"),
+    )
+    q = pts.where(F.col("uid") < _GEO_NQ).select(
+        F.col("uid").alias("query_id"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    dlat = F.radians(F.col("lat") - F.col("qlat")) / 2
+    dlon = F.radians(F.col("lon") - F.col("qlon")) / 2
+    dist = (
+        2
+        * 6371000.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat), 2)
+                + F.cos(F.radians("qlat"))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(dlon), 2)
+            )
+        )
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(q))
+        .where(F.col("uid") != F.col("query_id"))
+        .select("query_id", F.col("uid").alias("neighbor_id"), dist.alias("dist_m"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_m", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _GEO_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor("dist_m").cast("bigint").alias("dist_m"),
+        )
+    )
