@@ -20,6 +20,7 @@ from experiments_datafusion_spark.queries import all_queries
 ALLOW_QUADRATIC = {
     "dedup_embedding_cosine",  # brute-force recall oracle (LSH twin is primary)
     "sim_topk_bruteforce",     # exactness baseline (LSH/IVF twins)
+    "geo_haversine_knn",       # exactness baseline (join_spatial_grid twin)
     "join_theta",              # non-equi join IS a nested-loop shape
     "join_cross",              # CROSS JOIN is the operator itself
     "join_range_bands",        # points-in-intervals via broadcast bands
