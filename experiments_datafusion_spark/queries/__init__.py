@@ -120,8 +120,8 @@ _PRIORITY = (
 # dedup_url_canonical, ev_attribution_outer, sql_udf_declarative,
 # scalar_try_arith, source_xml_roundtrip, join_asof_tolerance,
 # ts_holt_linear, ev_cep_kleene, ml_logreg_hardsig, source_avro_roundtrip,
-# mm_jpeg_features, mm_avi_features, table_time_travel, geo_haversine_knn
-# — then backfill with anything round 6 registers.
+# mm_jpeg_features, mm_avi_features, table_time_travel, geo_haversine_knn,
+# stats_mann_whitney — then backfill with anything round 6 registers.
 
 
 @dataclass(frozen=True)

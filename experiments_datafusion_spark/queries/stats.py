@@ -1259,3 +1259,64 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "stats_mann_whitney",
+    tags=("stats", "drift", "events"),
+    oracle=f"""
+WITH {_SQL_PERIOD_CTES},
+ranked AS (
+  SELECT event_type, period,
+         -- tie-averaged rank in DOUBLED units: 2*r_min + (ties-1) is an
+         -- exact integer even when the average rank is a .5
+         2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+           + count(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+  FROM pe
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE period = 0) AS BIGINT) AS n1,
+       CAST(count(*) FILTER (WHERE period = 1) AS BIGINT) AS n2,
+       CAST(sum(CASE WHEN period = 0 THEN r2 ELSE 0 END)
+            - count(*) FILTER (WHERE period = 0)
+              * (count(*) FILTER (WHERE period = 0) + 1) AS BIGINT) AS u1_2x
+FROM ranked
+GROUP BY event_type
+""",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the first and second
+    half of the stream, per event type — the NONPARAMETRIC drift test the
+    parametric suite (PSI/KS/chi2) lacks: sensitive to location shifts
+    with no distributional assumption, and, being rank-based, EXACTLY
+    integer end-to-end.  Tie handling is the textbook average rank,
+    carried in doubled units (2*r_min + ties - 1) so .5 averages stay
+    integers; U1 = R1 - n1(n1+1)/2 is reported as u1_2x = 2*R1 - n1(n1+1).
+
+    Shape at 100 TB: one window rank over (event_type, value) — a single
+    exchange+sort — then one grouped aggregate; no float anywhere."""
+    e = table(spark, sf_dir, "events")
+    tr = e.agg(F.min(_us("ts")).alias("min_us"), F.max(_us("ts")).alias("max_us"))
+    pe = e.crossJoin(F.broadcast(tr)).select(
+        "event_type",
+        "value",
+        F.when(_us("ts") < F.expr("min_us + (max_us - min_us) div 2"), 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type", "value")
+    ranked = pe.select(
+        "event_type",
+        "period",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    n1 = F.count(F.when(F.col("period") == 0, 1))
+    return ranked.groupBy("event_type").agg(
+        n1.cast("bigint").alias("n1"),
+        F.count(F.when(F.col("period") == 1, 1)).cast("bigint").alias("n2"),
+        (
+            F.sum(F.when(F.col("period") == 0, F.col("r2")).otherwise(0))
+            - n1 * (n1 + 1)
+        ).cast("bigint").alias("u1_2x"),
+    )
