@@ -121,7 +121,8 @@ _PRIORITY = (
 # scalar_try_arith, source_xml_roundtrip, join_asof_tolerance,
 # ts_holt_linear, ev_cep_kleene, ml_logreg_hardsig, source_avro_roundtrip,
 # mm_jpeg_features, mm_avi_features, table_time_travel, geo_haversine_knn,
-# stats_mann_whitney — then backfill with anything round 6 registers.
+# stats_mann_whitney, stats_welch_t — then backfill with anything round 6
+# registers.
 
 
 @dataclass(frozen=True)

@@ -1320,3 +1320,70 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             - n1 * (n1 + 1)
         ).cast("bigint").alias("u1_2x"),
     )
+
+
+@register(
+    "stats_welch_t",
+    tags=("stats", "drift", "events"),
+    oracle=f"""
+WITH {_SQL_PERIOD_CTES},
+q AS (
+  SELECT event_type, period,
+         CAST(round(value * 1000, 0) AS BIGINT) AS v_m
+  FROM pe
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE period = 0) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE period = 1) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN period = 0 THEN v_m ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN period = 1 THEN v_m ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN period = 0 THEN v_m * v_m ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN period = 1 THEN v_m * v_m ELSE 0 END) AS BIGINT) AS q2
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       round(
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+             + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2
+           ), 6) AS t_stat
+FROM m
+""",
+)
+def stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between the first and second
+    half of the stream, per event type — the parametric partner of
+    stats_mann_whitney.  Exactness: values milli-quantized to int64, ALL
+    cross-row accumulation is integer moment sums (count/sum/sum-of-
+    squares); the statistic itself is ONE identical IEEE expression on
+    those sums (int64->double conversion is deterministic round-to-
+    nearest in both engines), with round(,6) absorbing nothing but the
+    final rendering — the ts_autocorr recipe.  Shape: one map-side-
+    combined grouped aggregate over the events scan."""
+    e = table(spark, sf_dir, "events")
+    tr = e.agg(F.min(_us("ts")).alias("min_us"), F.max(_us("ts")).alias("max_us"))
+    q = e.crossJoin(F.broadcast(tr)).select(
+        "event_type",
+        F.when(_us("ts") < F.expr("min_us + (max_us - min_us) div 2"), 0)
+        .otherwise(1)
+        .alias("period"),
+        F.round(F.col("value") * 1000, 0).cast("long").alias("v_m"),
+    )
+    agg = q.groupBy("event_type").agg(
+        F.count(F.when(F.col("period") == 0, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("period") == 1, 1)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("period") == 0, F.col("v_m")).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("period") == 1, F.col("v_m")).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(F.col("period") == 0, F.col("v_m") * F.col("v_m")).otherwise(0)).cast("bigint").alias("q1"),
+        F.sum(F.when(F.col("period") == 1, F.col("v_m") * F.col("v_m")).otherwise(0)).cast("bigint").alias("q2"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    q1d, q2d = F.col("q1").cast("double"), F.col("q2").cast("double")
+    n1, n2 = F.col("n1"), F.col("n2")
+    t = (s1d / n1 - s2d / n2) / F.sqrt(
+        (q1d - s1d * F.col("s1") / n1) / (n1 - 1) / n1
+        + (q2d - s2d * F.col("s2") / n2) / (n2 - 1) / n2
+    )
+    return agg.select("event_type", "n1", "n2", F.round(t, 6).alias("t_stat"))

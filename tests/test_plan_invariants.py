@@ -38,6 +38,7 @@ ALLOW_SCALAR_BROADCAST = {
     "drift_ks",                  # 1-row sample-size totals for the D statistic
     "drift_psi",                 # 1-row time/value-range scalars for binning
     "stats_mann_whitney",        # 1-row time-range scalars for the period split
+    "stats_welch_t",             # 1-row time-range scalars for the period split
     "kl_source_divergence",      # 1-row corpus token total for p_g
     "docs_length_histogram",     # total-docs row for bucket shares
     "ev_funnel",                 # step-1 cohort size as 1-row denominator
