@@ -175,11 +175,26 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     spec pin in tests/test_avro.py."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception:  # AnalysisException: FAILED_READ_FILE / unknown format
+    except Exception as exc:
+        # Fall back ONLY on the connector-absent signature ("Failed to find
+        # the data source: avro" / DATA_SOURCE_NOT_FOUND).  On a
+        # jar-equipped cluster a genuine read failure (corrupt file,
+        # permissions) must surface as itself, not be masked by a fallback
+        # whose codec supports a narrower type surface (round-5 advisor).
+        msg = str(exc)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+            or "Failed to find data source" in msg
+        ):
+            raise
         from experiments_datafusion_spark.sources import register_sources
 
         register_sources(spark)
-        return spark.read.format("pyavro").load(path)
+        try:
+            return spark.read.format("pyavro").load(path)
+        except Exception as fallback_exc:
+            raise fallback_exc from exc  # keep the original connector error
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "append") -> None:

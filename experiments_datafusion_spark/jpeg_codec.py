@@ -40,11 +40,15 @@ QTABLE = np.array(
     dtype=np.int32,
 ).reshape(8, 8)
 
-# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient.
+# T.81 Figure A.6: odd diagonals (r+c odd) are traversed row-ASCENDING
+# ((0,1) before (1,0)), even diagonals row-DESCENDING ((2,0) before (0,2)
+# i.e. column-ascending).  tests/test_jpeg.py pins the derived table
+# against the published 64-entry order, so a parity regression is loud.
 def _zigzag_order():
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     return order
 
@@ -148,7 +152,10 @@ class _BitReader:
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:  # skip the stuffed 0x00
-            assert self.data[self.pos] == 0x00, "unexpected marker in scan"
+            # explicit raise, not assert: malformed streams (truncation,
+            # restart markers — unsupported) must fail under python -O too
+            if self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker in scan")
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
@@ -258,7 +265,8 @@ def decode_gray(data: bytes) -> np.ndarray:
     dc_map, ac_map = None, None
     h = w = None
     while True:
-        assert data[pos] == 0xFF, "marker expected"
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -266,7 +274,8 @@ def decode_gray(data: bytes) -> np.ndarray:
         seglen = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            assert body[0] & 0xF0 == 0, "only 8-bit quant tables"
+            if body[0] & 0xF0:
+                raise ValueError("only 8-bit quant tables")
             q = np.zeros((8, 8), dtype=np.int32)
             for k, (r, c) in enumerate(ZIGZAG):
                 q[r, c] = body[1 + k]

@@ -179,7 +179,18 @@ class _PyAvroWriter(DataSourceWriter):
         return _AvroCommit(final, n)
 
     def commit(self, messages) -> None:
-        pass  # files already atomically in place per task
+        # Task outputs are already atomically in place (os.replace above).
+        # Overwrite semantics are finalized here on the driver: any
+        # pre-existing *.avro not produced by THIS job is removed, so
+        # mode('overwrite') cannot silently union old and new data
+        # (round-5 advisor finding: the flag was stored but never acted on).
+        if self.overwrite:
+            keep = {
+                os.path.basename(m.path) for m in messages or [] if m is not None
+            }
+            for name in os.listdir(self.path):
+                if name.endswith(".avro") and name not in keep:
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         for m in messages or []:

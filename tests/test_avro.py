@@ -155,3 +155,24 @@ def test_pyavro_roundtrip_partition_invariant(spark, sf_dir, tmp_path):
     batch = norm(orders)
     assert norm(read1) == batch
     assert norm(read7) == batch
+
+
+def test_pyavro_overwrite_removes_stale_files(spark, tmp_path):
+    """mode('overwrite') must not union with pre-existing part files: the
+    round-5 advisor found the flag was stored but never honored.  Write 5
+    rows 3-way, overwrite with 2 rows 1-way: exactly the 2 rows remain and
+    the stale part-*.avro files are gone."""
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+    dst = str(tmp_path / "ow")
+    spark.range(5).repartition(3).write.format("pyavro").mode("append").save(dst)
+    import os
+
+    assert len([f for f in os.listdir(dst) if f.endswith(".avro")]) == 3
+    spark.range(100, 102).coalesce(1).write.format("pyavro").mode(
+        "overwrite"
+    ).save(dst)
+    assert len([f for f in os.listdir(dst) if f.endswith(".avro")]) == 1
+    got = sorted(r[0] for r in spark.read.format("pyavro").load(dst).collect())
+    assert got == [100, 101]

@@ -48,6 +48,26 @@ def test_odd_flat_blocks_within_dc_quantum(nty, ntx, seed):
     assert np.abs(err).max() <= 1
 
 
+# T.81 Figure A.6 zigzag order, as natural (row-major) indexes r*8+c —
+# the published 64-entry table, transcribed by hand.  Pins the derived
+# ZIGZAG against the spec so a diagonal-parity regression (round-5 advisor
+# finding: the sort key produced the TRANSPOSE) cannot pass silently.
+_T81_ZIGZAG_NATURAL = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def test_zigzag_matches_published_t81_table():
+    assert [r * 8 + c for r, c in J.ZIGZAG] == _T81_ZIGZAG_NATURAL
+
+
 def test_smooth_gradient_error_bounded():
     x = np.linspace(0, 255, 64)
     img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
