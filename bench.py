@@ -2,8 +2,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line:
 
-  {"metric": "suite_time", "value": <sum of per-query min times>, "unit": "sec",
-   "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+  {"metric": "suite_time", "value": <sum of per-query median times>, "unit": "sec",
+   "queries": {"tpch_q1": sec, ...}, "headline_windows": {...}, "sf": 0.1}
+
+The headline set runs as WINDOWS (default 3) interleaved exclusive windows —
+each window times every Spark query once and every DuckDB oracle once on the
+same parquet — and "queries"/"duck_queries"/"ratio_median" are per-query
+MEDIANS across windows (protocol rationale in BENCH_NOTES.md: two r5 windows
+measured 1.30x and 1.67x on identical plans; the gate is 2x).
 
 Also reproduces the reference's own benchmark (runall.sh:1-8 sweep shape —
 multi-column sort of the four workload schemas) at 100k rows, timed the same
@@ -34,6 +40,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # steady-state is what we measure, matching BASELINE.md's protocol.
 ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
+# Round-6 protocol hardening: the headline suite runs as N interleaved
+# exclusive windows (Spark pass then DuckDB pass, repeated), and every
+# reported number is the per-query MEDIAN across windows.  Two same-round
+# single windows in r5 measured 1.30x and 1.67x on identical plans — host
+# drift exceeded the round-over-round signal, and the gate is 2x, so
+# single-window point estimates are no longer adequate.  Interleaving puts
+# both engines inside each drift regime; the median drops one bad window.
+WINDOWS = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOWS", "3"))
+# Charts re-rendered on every bench run kept re-dirtying the committed
+# img/*.svg tree (three rounds running).  Render only on explicit opt-in.
+RENDER_CHARTS = os.environ.get("BENCH_CHARTS", "0") == "1"
 
 # Representative coverage: scan/filter/agg, joins, sort/topk, windows,
 # grouping, event-time, dedup (exact + LSH + jaccard), similarity, text.
@@ -123,6 +140,112 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _duck_connect():
+    """DuckDB connection with the oracle views over the same parquet."""
+    import duckdb
+
+    from experiments_datafusion_spark.io import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count() or 32}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def run_headline_windows(spark, registry) -> tuple[dict, dict]:
+    """N interleaved exclusive windows over the headline set.
+
+    Each window times every Spark query once (noop sink) then every DuckDB
+    oracle once (fetchall), so host drift within the round hits both
+    engines symmetrically.  One untimed warmup pass precedes window 1
+    (Janino codegen / duckdb plan cache).  Returns (results, record) where
+    results[name] = median Spark seconds (feeds the suite total and
+    round-over-round comparison) and record carries the full per-window
+    times + median ratios for BENCH_r{N}.json.
+    """
+    con = _duck_connect()
+    oracled = [n for n in HEADLINE if registry[n].oracle is not None]
+    # warmup: codegen for Spark, plan/IO cache for duckdb
+    for name in HEADLINE:
+        force(registry[name].fn(spark, SF_DIR))
+    for name in oracled:
+        con.execute(registry[name].oracle).fetchall()
+    windows: list[dict[str, dict[str, float]]] = []
+    for w in range(WINDOWS):
+        spark_t: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            force(registry[name].fn(spark, SF_DIR))
+            spark_t[name] = round(time.perf_counter() - t0, 4)
+        duck_t: dict[str, float] = {}
+        for name in oracled:
+            t0 = time.perf_counter()
+            con.execute(registry[name].oracle).fetchall()
+            duck_t[name] = round(time.perf_counter() - t0, 4)
+        windows.append({"spark": spark_t, "duck": duck_t})
+        print(
+            f"[bench] window {w + 1}/{WINDOWS}: spark={round(sum(spark_t.values()), 2)}s"
+            f" duck={round(sum(duck_t.values()), 2)}s",
+            file=sys.stderr,
+            flush=True,
+        )
+    con.close()
+    results = {
+        name: round(_median([w["spark"][name] for w in windows]), 4)
+        for name in HEADLINE
+    }
+    duck_median = {
+        name: round(_median([w["duck"][name] for w in windows]), 4)
+        for name in oracled
+    }
+    ratio_median = {
+        name: round(
+            _median(
+                [
+                    w["spark"][name] / w["duck"][name]
+                    for w in windows
+                    if w["duck"][name] > 0
+                ]
+            ),
+            3,
+        )
+        for name in oracled
+    }
+    per_window_totals = [
+        round(
+            sum(w["spark"][n] for n in oracled) / max(sum(w["duck"].values()), 1e-9),
+            3,
+        )
+        for w in windows
+    ]
+    record = {
+        "protocol": f"median-of-{WINDOWS} interleaved exclusive windows",
+        "windows": windows,
+        "duck_queries": duck_median,
+        "ratio_median": ratio_median,
+        "ratio_total_per_window": per_window_totals,
+        "ratio_total_median": round(_median(per_window_totals), 3),
+    }
+    for name in HEADLINE:
+        r = ratio_median.get(name)
+        print(
+            f"[bench] {name}: spark={results[name]}s"
+            + (f" duck={duck_median[name]}s ratio={r}" if r is not None else " (rows-only)"),
+            file=sys.stderr,
+            flush=True,
+        )
+    return results, record
+
+
 def time_df(build, iters: int = ITERS, warmup: int = WARMUP) -> float:
     for _ in range(warmup):
         force(build())
@@ -142,16 +265,11 @@ def main() -> None:
     spark = get_spark("edfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
-    results: dict[str, float] = {}
-
-    for name in HEADLINE:
-        q = registry[name]
-        results[name] = round(time_df(lambda: q.fn(spark, SF_DIR)), 4)
-        print(f"[bench] {name}: {results[name]}s", file=sys.stderr, flush=True)
-        # NOTE: no clearCache here — unpersisting another query's lazy
-        # localCheckpoint blocks mid-flight raced the executor accumulators
-        # (SparkException noise in BENCH_r01); the ContextCleaner reclaims
-        # unreferenced blocks on its own.
+    # NOTE: no clearCache between queries — unpersisting another query's
+    # lazy localCheckpoint blocks mid-flight raced the executor accumulators
+    # (SparkException noise in BENCH_r01); the ContextCleaner reclaims
+    # unreferenced blocks on its own.
+    results, headline_record = run_headline_windows(spark, registry)
 
     # reference-parity sort bench: the four workload cases + the radix probe
     # case, swept over batch size like runall.sh, one series per sort
@@ -191,7 +309,8 @@ def main() -> None:
         # endpoint (runall.sh END=100000), which BASELINE.md compares at;
         # the 1M/10M/100M points exist to exhibit the scaling shape.
         results[f"refsort_{case.replace('-', '_')}"] = next(
-            p["sec"] for p in case_series["radix"] if p["n"] == REF_SORT_ROWS
+            (p["sec"] for p in case_series["radix"] if p["n"] == REF_SORT_ROWS),
+            case_series["radix"][-1]["sec"],  # capped dev runs: largest point
         )
 
     # analytics decade sweep: generated corpora, noop sink, single timed
@@ -238,6 +357,8 @@ def main() -> None:
         print(f"[bench] winnowing hash A/B @{ANALYTICS_AB_SIZE}: {ab}", file=sys.stderr, flush=True)
 
     try:
+        if not RENDER_CHARTS:
+            raise RuntimeError("chart rendering disabled (set BENCH_CHARTS=1)")
         from experiments_datafusion_spark.charts import render_multi_line_chart
 
         render_multi_line_chart(
@@ -279,6 +400,7 @@ def main() -> None:
                 "queries": results,
                 "refsort_sweep": sweep,
                 "analytics_sweep": analytics_sweep,
+                "headline_windows": headline_record,
                 "sf": sf_val,
                 "iters": ITERS,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),

@@ -66,63 +66,31 @@ _MODULES = (
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
-# (50 queries per round).  Rounds 1-2 verified tpch/relational (r1,
-# CORRECTNESS_r01.json 49/50) and aggregates/windows/scalars/sqlfrontend/
-# llm_*/sampling/udf-pandas (r2, CORRECTNESS_r02.json 50/50).  Round 3
-# verified events, the curation pipeline, hygiene, ml, the sortbench
-# workloads, multimodal, llm_extras and the top analytics keys (r3,
-# CORRECTNESS_r03.json 50/50).  Round 4 verified the 29-key backlog, the
-# round-4 dimensional/time-series/curation operators and the sketch pair
-# (r4, CORRECTNESS_r04.json 48 full + 2 rows-only by design).  Round 5
-# rotates in the 47 keys that registered after the round-4 window filled
-# (every one already green at all three scales via tools/drive_entry.py
-# and independently re-verified by the round-4 judge) — after this window
-# lands, every registry key has a lifetime DRIVER verdict.  Keys listed
-# here surface FIRST (in this order) in queries()/oracle_sql(); everything
-# else follows in registration order.
+# (50 queries per round).  Lifetime ledger: r1 tpch/relational (49/50);
+# r2 aggregates/windows/scalars/sqlfrontend/llm_*/sampling/udf-pandas
+# (50/50); r3 events/pipeline/hygiene/ml/sortbench/multimodal/llm_extras/
+# analytics (50/50); r4 the 29-key backlog + dimensional/time-series/
+# curation/sketches (48 full + 2 rows-only by design); r5 the 47-key
+# post-r4 backlog + 3 round-5 riders (49 full + 1 rows-only by design).
+# Round 6 rotates in the 19 round-5 keys that only the round-5 judge has
+# verified (VERDICT r5 ask #1 — after this window lands, all 269 legacy
+# keys have a lifetime DRIVER verdict), then the round-6 registrations.
+# Keys listed here surface FIRST (in this order) in queries()/
+# oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # statistical-monitoring tier (7)
-    "drift_psi", "drift_ks", "drift_chi2", "ev_markov_chain",
-    "assoc_rules", "anomaly_mad", "kl_source_divergence",
-    # continuation batch (7)
-    "profile_columns", "win_gap_islands", "join_spatial_grid",
-    "ev_rate_limit", "agg_activity_bitmap", "udf_cogroup",
-    "docs_tfidf_cosine",
-    # retrieval / recurrence trio (3)
-    "search_rrf_fusion", "freq_token_pairs", "ev_ewma",
-    # similarity / join hardening (2)
-    "sim_topk_pq_trained", "join_bloom_prefilter",
-    # modern SQL surface (5)
-    "sql_parameterized", "sql_recursive_spine", "sql_scripting_block",
-    "grouping_id_flags", "group_collated",
-    # window / text / dq (4)
-    "win_rolling_median", "text_containment", "dq_expectations",
-    "join_interval_overlap",
-    # multimodal (2)
-    "mm_bmp_features", "mm_thumbnail",
-    # graph / segmentation (2)
-    "graph_bfs", "rfm_segmentation",
-    # late round-4 batch (15)
-    "dedup_jaccard_capped", "ts_autocorr", "period_over_period",
-    "heavy_hitters_sketch", "agg_multi_distinct", "winsorize_stats",
-    "histogram_equidepth", "ev_cusum", "ts_bollinger",
-    "abc_pareto_class", "cohort_ltv", "ev_top_paths",
-    "ev_user_lifecycle", "join_null_safe", "ev_dau_wau_mau",
-    # round-5 additions: exactly 3 ride at the window tail (window holds
-    # 50 and the backlog above is 47); the rest are verified locally and
-    # rotate into the round-6 window
-    "docs_winnowing_fast", "sql_pipe_syntax", "join_temporal_scd2",
+    # the 19 judge-only round-5 keys (VERDICT r5 "Next round" #1, verbatim)
+    "dedup_url_canonical", "ev_attribution_outer", "ev_cep_kleene",
+    "geo_haversine_knn", "join_asof_tolerance", "ml_logreg_hardsig",
+    "mm_avi_features", "mm_jpeg_features", "sample_weighted",
+    "scalar_try_arith", "source_avro_roundtrip", "source_xml_roundtrip",
+    "sql_udf_declarative", "stats_mann_whitney", "stats_welch_t",
+    "table_time_travel", "text_entropy", "ts_holt_linear",
+    "ts_seasonality",
+    # round-6 registrations ride the remaining 31 window slots, newest
+    # coverage first (each appended here as it registers; each verified at
+    # sf0.01 via tools/drive_entry.py on registration and the full
+    # registry re-swept before round close)
 )
-
-# Round-6 window plan: lead with the round-5 keys that registered after
-# the 3 window riders above (all green at sf0.01 via tools/drive_entry.py
-# on registration): sample_weighted, text_entropy, ts_seasonality,
-# dedup_url_canonical, ev_attribution_outer, sql_udf_declarative,
-# scalar_try_arith, source_xml_roundtrip, join_asof_tolerance,
-# ts_holt_linear, ev_cep_kleene, ml_logreg_hardsig, source_avro_roundtrip,
-# mm_jpeg_features, mm_avi_features, table_time_travel, geo_haversine_knn,
-# stats_mann_whitney, stats_welch_t — then backfill with anything round 6
-# registers.
 
 
 @dataclass(frozen=True)
