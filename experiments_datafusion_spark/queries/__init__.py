@@ -63,6 +63,7 @@ _MODULES = (
     "search",  # round 4/5: RRF rank fusion, token-pair co-occurrence mining
     "stats",  # round 4/5: PSI/KS/chi2 drift, Markov chain, rules, MAD, KL
     "round5",  # round 5: pipe SQL, temporal SCD2 join, weighted sample, entropy
+    "round6",  # round 6: grid-routed geo kNN, fast-hash twins, RLE8 AVI, time travel v2
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
@@ -90,6 +91,7 @@ _PRIORITY = (
     # coverage first (each appended here as it registers; each verified at
     # sf0.01 via tools/drive_entry.py on registration and the full
     # registry re-swept before round close)
+    "geo_knn_grid",
 )
 
 

@@ -21,6 +21,11 @@ ALLOW_QUADRATIC = {
     "dedup_embedding_cosine",  # brute-force recall oracle (LSH twin is primary)
     "sim_topk_bruteforce",     # exactness baseline (LSH/IVF twins)
     "geo_haversine_knn",       # exactness baseline (join_spatial_grid twin)
+    "geo_knn_grid",            # NLJ is the PROOF-CERTIFIED fallback branch:
+                               # probe side = queries the grid bound could
+                               # not certify, provably empty at density
+                               # (test_round6 pins zero fallback at sf0.01);
+                               # the measured work is the grid hash join
     "join_theta",              # non-equi join IS a nested-loop shape
     "join_cross",              # CROSS JOIN is the operator itself
     "join_range_bands",        # points-in-intervals via broadcast bands
