@@ -95,6 +95,25 @@ _PRIORITY = (
 )
 
 
+# Keys deliberately registered WITHOUT a DuckDB oracle (the driver runs the
+# weaker rows-only check on them).  Every oracle=None registration MUST be
+# listed here — tests/test_smoke.py asserts registry-unoracled == this set,
+# so accidentally dropping an oracle fails loudly while driver-window
+# rotation can never go stale (hardcoded per-round window pins broke twice:
+# r2 and r6).  Each entry carries a property/bound test in lieu of the
+# oracle; see its docstring for which.
+ROWS_ONLY_BY_DESIGN = frozenset(
+    {
+        "agg_approx",  # sketch outputs: bound tests in tests/test_sketches.py
+        "agg_sketch_rollup",  # ditto (mergeable-sketch rollup)
+        "table_sample",  # seeded Bernoulli: determinism+bounds in test_smoke
+        "docs_winnowing_fast",  # output EXPOSES xxhash64 values (fp_xor) —
+        # no DuckDB replay; recall pinned hash-independent in
+        # tests/test_hash_knob.py
+    }
+)
+
+
 @dataclass(frozen=True)
 class Query:
     name: str

@@ -126,10 +126,12 @@ SPAN_W = 32
 SPAN_STRIDE = 16
 
 
-@register(
-    "text_dup_spans",
-    tags=("llm", "dedup", "text"),
-    oracle=f"""
+# Shared by text_dup_spans (md5 key, here) and its production-hash twin
+# text_dup_spans_fast (round6.py): the output is a pure function of span-hash
+# EQUALITY classes — no hash value ever reaches a column — so ONE md5 oracle
+# replays BOTH sides of the hash knob exactly (collisions aside, ~1e-6 odds
+# at sf0.1 for a 60-bit space).
+DUP_SPANS_ORACLE = f"""
 WITH spans0 AS (
   SELECT DISTINCT doc_id, substring(text, p, {SPAN_W}) AS span
   FROM documents,
@@ -151,7 +153,13 @@ per_doc AS (
 SELECT doc_id, n_spans, n_dup,
        round(n_dup * 1.0 / n_spans, 4) AS dup_frac
 FROM per_doc WHERE n_dup > 0
-""",
+"""
+
+
+@register(
+    "text_dup_spans",
+    tags=("llm", "dedup", "text"),
+    oracle=DUP_SPANS_ORACLE,
 )
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span fraction: stride-16 char-32 windows,
@@ -385,10 +393,9 @@ def mix_epochs_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_ngram_novelty",
-    tags=("llm", "text", "dedup"),
-    oracle=f"""
+# Hash-knob-shareable for the same reason as DUP_SPANS_ORACLE: novelty is a
+# pure function of shingle-hash equality classes (first-doc argmin + counts).
+NGRAM_NOVELTY_ORACLE = f"""
 WITH {_SQL_SH_ONLY},
 firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
 SELECT sh.doc_id,
@@ -399,16 +406,16 @@ SELECT sh.doc_id,
             // count(*) AS BIGINT) AS novelty_milli
 FROM sh JOIN firsts f USING (s)
 GROUP BY sh.doc_id
-""",
-)
-def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document n-gram NOVELTY against the corpus ordered by doc_id:
-    the share of a doc's distinct 3-word shingles whose FIRST occurrence
-    (min doc_id) is this doc — the curriculum/dedup signal 'how much of
-    this document is new text'.  Shape: one posting list, one keyed min,
-    one join back on the shingle hash — identical scale behaviour to the
-    Jaccard posting-list join, never all-pairs."""
-    sh = D.doc_shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+"""
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
+    """docs_ngram_novelty's dataflow with the shingle hash as a knob —
+    T.hash64 (md5, oracled key below) or T.fast_hash64 (xxhash64, the
+    production twin registered in round6.py)."""
+    sh = D.doc_shingles(
+        table(spark, sf_dir, "documents"), hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     joined = sh.join(firsts, "shingle")
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
@@ -418,6 +425,22 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         ((novel * 1000 - (novel * 1000) % total) / total).cast("long").alias("novelty_milli"),
     )
+
+
+@register(
+    "docs_ngram_novelty",
+    tags=("llm", "text", "dedup"),
+    oracle=NGRAM_NOVELTY_ORACLE,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the corpus ordered by doc_id:
+    the share of a doc's distinct 3-word shingles whose FIRST occurrence
+    (min doc_id) is this doc — the curriculum/dedup signal 'how much of
+    this document is new text'.  Shape: one posting list, one keyed min,
+    one join back on the shingle hash — identical scale behaviour to the
+    Jaccard posting-list join, never all-pairs.  Hash knob: md5 here;
+    docs_ngram_novelty_fast (round6.py) is the xxhash64 production twin."""
+    return ngram_novelty(spark, sf_dir, T.hash64)
 
 
 _BM25_TERMS = ("data", "model", "system", "learning")
@@ -600,10 +623,9 @@ _SQL_SH_COMMON = _SQL_SHINGLE_CTE.split(",\njac")[0]
 _CONT_MILLI = 600  # report pairs where either containment >= 60%
 
 
-@register(
-    "text_containment",
-    tags=("llm", "dedup", "text"),
-    oracle=f"""
+# Hash-knob-shareable: containment counts are pure equality-class
+# functionals of the shingle hash (see DUP_SPANS_ORACLE).
+CONTAINMENT_ORACLE = f"""
 WITH {_SQL_SH_COMMON},
 pairs AS (
   SELECT x, y, c,
@@ -621,21 +643,16 @@ SELECT x, y,
        CAST(cont_y_milli AS BIGINT) AS cont_y_milli
 FROM pairs
 WHERE cont_x_milli >= {_CONT_MILLI} OR cont_y_milli >= {_CONT_MILLI}
-""",
-)
-def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC containment near-dup detection: |A ∩ B| / |A| — the
-    direction-aware measure that catches quote/substring duplication a
-    symmetric Jaccard misses (a short doc fully quoted inside a long one
-    has low Jaccard but containment ~1 in one direction).  Reports every
-    pair where EITHER direction's containment >= 60%, with exact integer
-    milli-unit scores (c * 1000 // |side| — no float division anywhere).
+"""
 
-    Shape: identical scale behaviour to the exact-Jaccard join — one
-    posting-list self-join on 60-bit shingle hashes (high-cardinality
-    partitioning, no all-pairs), two broadcast-size size joins; the only
-    change vs jaccard_pairs is the denominator."""
-    sh = D.doc_shingles(table(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+
+def containment_pairs(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
+    """text_containment's dataflow with the shingle hash as a knob —
+    T.hash64 (md5, oracled key below) or T.fast_hash64 (xxhash64, the
+    production twin registered in round6.py)."""
+    sh = D.doc_shingles(
+        table(spark, sf_dir, "documents"), hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -665,6 +682,27 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cont_y_milli") >= _CONT_MILLI)
         )
     )
+
+
+@register(
+    "text_containment",
+    tags=("llm", "dedup", "text"),
+    oracle=CONTAINMENT_ORACLE,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup detection: |A ∩ B| / |A| — the
+    direction-aware measure that catches quote/substring duplication a
+    symmetric Jaccard misses (a short doc fully quoted inside a long one
+    has low Jaccard but containment ~1 in one direction).  Reports every
+    pair where EITHER direction's containment >= 60%, with exact integer
+    milli-unit scores (c * 1000 // |side| — no float division anywhere).
+
+    Shape: identical scale behaviour to the exact-Jaccard join — one
+    posting-list self-join on 60-bit shingle hashes (high-cardinality
+    partitioning, no all-pairs), two broadcast-size size joins; the only
+    change vs jaccard_pairs is the denominator.  Hash knob: md5 here;
+    text_containment_fast (round6.py) is the xxhash64 production twin."""
+    return containment_pairs(spark, sf_dir, T.hash64)
 
 
 # --- sparse TF-IDF cosine document-similarity join ---------------------------

@@ -9,6 +9,7 @@ opaque fingerprint values differ.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from experiments_datafusion_spark.operators import text as T
@@ -101,3 +102,30 @@ def test_shingle_posting_recall_hash_independent(spark, sf_dir):
     p_fast = pairs(T.fast_hash64)
     assert p_md5, "fixture produced no shingle-sharing pairs (vacuous)"
     assert p_md5 == p_fast
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "slow_key, fast_key",
+    [
+        ("text_dup_spans", "text_dup_spans_fast"),
+        ("docs_ngram_novelty", "docs_ngram_novelty_fast"),
+        ("text_containment", "text_containment_fast"),
+    ],
+)
+def test_posting_list_twins_identical_output(spark, sf_dir, slow_key, fast_key):
+    """The round-7 production twins: unlike winnowing (whose fp_xor exposes
+    hash VALUES), these outputs are pure functions of hash equality
+    classes, so the xxhash64 twin must equal the md5 key ROW FOR ROW —
+    the strongest hash-independence statement, and the reason the twins
+    can share the md5 oracle."""
+    from experiments_datafusion_spark.queries import all_queries
+
+    q = all_queries()
+    slow = q[slow_key].fn(spark, sf_dir)
+    fast = q[fast_key].fn(spark, sf_dir)
+    assert fast.columns == slow.columns
+    assert _rows(fast) == _rows(slow)

@@ -21,11 +21,13 @@ ALLOW_QUADRATIC = {
     "dedup_embedding_cosine",  # brute-force recall oracle (LSH twin is primary)
     "sim_topk_bruteforce",     # exactness baseline (LSH/IVF twins)
     "geo_haversine_knn",       # exactness baseline (join_spatial_grid twin)
-    "geo_knn_grid",            # NLJ is the PROOF-CERTIFIED fallback branch:
-                               # probe side = queries the grid bound could
-                               # not certify, provably empty at density
-                               # (test_round6 pins zero fallback at sf0.01);
-                               # the measured work is the grid hash join
+    # geo_knn_grid needs NO entry since round 7: the brute fallback branch
+    # is only BUILT when the per-query proof fails to certify some query
+    # (driver-side emptiness probe, queries/round6.py) — on every fixture
+    # density the proof certifies all queries, so the plan carries only the
+    # grid hash join and the minimality test below would flag a stale
+    # entry.  If a future density triggers the fallback, re-add it here
+    # with that density documented.
     "join_theta",              # non-equi join IS a nested-loop shape
     "join_cross",              # CROSS JOIN is the operator itself
     "join_range_bands",        # points-in-intervals via broadcast bands

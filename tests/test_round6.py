@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from experiments_datafusion_spark.queries import round5 as R5
@@ -15,14 +17,19 @@ def _knn_set(df):
     }
 
 
-@pytest.mark.parametrize("sf_dir_case", ["/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir_case", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
 def test_geo_knn_grid_recall_equals_brute_with_zero_fallback(spark, sf_dir_case):
     """The judge-ask proof: the grid path alone (no brute fallback) must
-    reproduce the brute baseline exactly at the fixture scale — recall 1.0
-    from the 3x3 neighborhood, certified per-query by the
-    out-of-neighborhood distance bound."""
+    reproduce the brute baseline exactly at BOTH driver fixture scales —
+    recall 1.0 from the 3x3 neighborhood, certified per-query by the
+    out-of-neighborhood distance bound.  Since round 7 the brute branch is
+    not even BUILT when certification covers every query (the dead-scan
+    fix), so brute_branch is None here."""
     exact, brute_branch, n_fallback = R6._geo_knn_grid_parts(spark, sf_dir_case)
     assert n_fallback.collect()[0]["n_fallback"] == 0
+    assert brute_branch is None  # no dead scan of pts in the plan
     grid = _knn_set(R6.geo_knn_grid(spark, sf_dir_case))
     brute = _knn_set(R5.geo_haversine_knn(spark, sf_dir_case))
     assert grid == brute and len(grid) > 0
@@ -36,6 +43,44 @@ def test_geo_knn_grid_equals_brute_at_sparse_density(spark):
     grid = _knn_set(R6.geo_knn_grid(spark, sf))
     brute = _knn_set(R5.geo_haversine_knn(spark, sf))
     assert grid == brute and len(grid) > 0
+
+
+def test_geo_knn_grid_fallback_branch_correct(spark, monkeypatch):
+    """Force the proof to certify NOTHING (guarantee_m = 0): every query
+    takes the brute fallback branch, whose output must still equal the
+    baseline — proving the branch stays alive and correct after the
+    round-7 dead-scan fix made it conditional."""
+    sf = "/root/testdata/sf0.01"
+    real = R6._grid_shape
+    monkeypatch.setattr(
+        R6, "_grid_shape", lambda n, k: (*real(n, k)[:2], 0.0)
+    )
+    exact, brute_branch, n_fallback = R6._geo_knn_grid_parts(spark, sf)
+    assert brute_branch is not None
+    assert n_fallback.collect()[0]["n_fallback"] > 0
+    grid = _knn_set(R6.geo_knn_grid(spark, sf))
+    brute = _knn_set(R5.geo_haversine_knn(spark, sf))
+    assert grid == brute and len(grid) > 0
+
+
+def test_grid_shape_three_row_lat_bound_finite():
+    """nrows == 3 leaves one row outside a boundary query's CLAMPED lat
+    neighborhood, so the lat axis must impose a finite bound there (the
+    round-6 advisor exactness hole: `nrows > 3` certified queries whose
+    true neighbor lived in the excluded row).  Only 1- and 2-row grids are
+    fully covered by the 3-row neighborhood."""
+    for n in range(150, 700, 5):
+        nrows, _, bound = R6._grid_shape(n, 3)
+        if nrows == 3:
+            assert math.isfinite(bound)
+            assert bound <= R6._EARTH_R * math.radians(120.0 / 3)
+            break
+    else:
+        pytest.fail("no density with nrows == 3 in the probe range")
+    for n in (1, 10, 50):
+        nrows, ncols, bound = R6._grid_shape(n, 3)
+        if nrows <= 2 and ncols <= 3:
+            assert bound == math.inf  # fully covered axes impose no bound
 
 
 def test_geo_grid_shape_guarantee_monotone():

@@ -20,24 +20,29 @@ def test_queries_oracle_keys_align():
     assert not missing, f"oracle_sql keys not in queries(): {missing}"
 
 
-def test_round5_driver_window_is_pinned():
+def test_driver_window_is_pinned():
     """The driver's CORRECTNESS pass verifies a 50-key prefix of queries().
-    Round 5 aims that window at the 47 keys without a lifetime driver
-    verdict plus 3 round-5 riders; a module edit must not silently
-    displace them (the round-2 lesson)."""
-    from experiments_datafusion_spark.queries import _PRIORITY
+    Two invariants, both WINDOW-RELATIVE so rotating the window between
+    rounds cannot stale this test (hardcoded per-round snapshots broke in
+    r2 and again in r6):
+      1. the registry surfaces exactly _PRIORITY as its prefix — a module
+         edit must not silently displace the driver window;
+      2. a key runs without an oracle ONLY when the registry documents it
+         in ROWS_ONLY_BY_DESIGN — dropping an oracle by accident (or adding
+         an unoracled key without its property-test story) fails here."""
+    from experiments_datafusion_spark.queries import (
+        ROWS_ONLY_BY_DESIGN,
+        _PRIORITY,
+        all_queries,
+    )
 
     keys = list(entrymod.queries())
     assert len(_PRIORITY) <= 50
     assert keys[: len(_PRIORITY)] == list(_PRIORITY)
-    # every priority key is driver-checkable; the hash-knob production
-    # twin is the one documented rows-only exception this round
-    # (xxhash64 has no DuckDB replay)
-    import experiments_datafusion_spark.queries as Q
-
-    q = Q.all_queries()
-    unoracled = [n for n in _PRIORITY if q[n].oracle is None]
-    assert unoracled == ["docs_winnowing_fast"], unoracled
+    unoracled = {n for n, q in all_queries().items() if q.oracle is None}
+    assert unoracled == ROWS_ONLY_BY_DESIGN, (
+        unoracled ^ ROWS_ONLY_BY_DESIGN
+    )
 
 
 def test_table_sample_deterministic_and_bounded(spark, sf_dir):
