@@ -72,26 +72,35 @@ _MODULES = (
 # (50/50); r3 events/pipeline/hygiene/ml/sortbench/multimodal/llm_extras/
 # analytics (50/50); r4 the 29-key backlog + dimensional/time-series/
 # curation/sketches (48 full + 2 rows-only by design); r5 the 47-key
-# post-r4 backlog + 3 round-5 riders (49 full + 1 rows-only by design).
-# Round 6 rotates in the 19 round-5 keys that only the round-5 judge has
-# verified (VERDICT r5 ask #1 — after this window lands, all 269 legacy
-# keys have a lifetime DRIVER verdict), then the round-6 registrations.
+# post-r4 backlog + 3 round-5 riders (49 full + 1 rows-only by design);
+# r6 the 19 judge-only round-5 keys + geo_knn_grid — with which ALL
+# pre-round-7 keys have a lifetime driver verdict.
+#
+# FRESHNESS POLICY (from round 7 on, VERDICT r6 ask #8): with lifetime
+# coverage complete, each round's window = this round's NEW/CHANGED keys
+# first, then the LEAST-RECENTLY-verified keys (oldest driver round first,
+# ties alphabetical, computed from the CORRECTNESS_r*.json ledger) — so
+# driver coverage stays warm instead of frozen at old snapshots.
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # the 19 judge-only round-5 keys (VERDICT r5 "Next round" #1, verbatim)
-    "dedup_url_canonical", "ev_attribution_outer", "ev_cep_kleene",
-    "geo_haversine_knn", "join_asof_tolerance", "ml_logreg_hardsig",
-    "mm_avi_features", "mm_jpeg_features", "sample_weighted",
-    "scalar_try_arith", "source_avro_roundtrip", "source_xml_roundtrip",
-    "sql_udf_declarative", "stats_mann_whitney", "stats_welch_t",
-    "table_time_travel", "text_entropy", "ts_holt_linear",
-    "ts_seasonality",
-    # round-6 registrations ride the remaining 31 window slots, newest
-    # coverage first (each appended here as it registers; each verified at
-    # sf0.01 via tools/drive_entry.py on registration and the full
-    # registry re-swept before round close)
-    "geo_knn_grid",
+    # round-7 new keys (no lifetime verdict yet) + geo_knn_grid (its plan
+    # changed this round: exactness-bound fix + conditional fallback)
+    "text_dup_spans_fast", "docs_ngram_novelty_fast", "text_containment_fast",
+    "mm_rle_features", "table_time_travel_multi", "geo_knn_grid",
+    # the 44 least-recently-verified keys (all last seen in the r1 window)
+    "distinct_rows", "dropdup_subset", "filter_predicates", "gather_by_index",
+    "join_anti", "join_asof", "join_cross", "join_full", "join_inner",
+    "join_left", "join_right", "join_semi", "join_theta", "limit_offset",
+    "pivot_status", "proj_expr", "scalar_decimal", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all",
+    "setop_union_all", "setop_union_distinct", "sort_multicol",
+    "table_sample", "topk", "tpch_q1", "tpch_q10",
+    "tpch_q11_important_parts", "tpch_q12_shipmode", "tpch_q13_custdist",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty", "tpch_q18", "tpch_q19_disjunctive",
+    "tpch_q20_semi_chain", "tpch_q21_waiting", "tpch_q22_opportunity",
+    "tpch_q2_maxbal", "tpch_q3", "tpch_q4", "tpch_q5",
 )
 
 

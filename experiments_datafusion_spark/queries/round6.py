@@ -317,3 +317,201 @@ def text_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores are exact integer ratios of equality-class counts —
     hash-invariant output."""
     return llm_extras.containment_pairs(spark, sf_dir, T.fast_hash64)
+
+
+# ---- BI_RLE8 compressed-AVI decode --------------------------------------------
+
+
+@register(
+    "mm_rle_features",
+    tags=("llm", "multimodal", "video"),
+    oracle="""
+-- Closed-form replay of the BI_RLE8 round trip (operators/multimodal.py
+-- attach_avi_rle_media: RIFF/AVI container, biCompression=1, '00dc'
+-- chunks; pixel(f,y,x) = (doc_id*7 + f*13 + y*11 + 3*xq) % 256 with
+-- xq = x on every third row (per-pixel steps -> RLE absolute mode) and
+-- xq = x//4 elsewhere (runs of 4 -> RLE encoded mode), over a
+-- (2+doc%3)-frame (4+doc%5) x (6+doc%9) video; the Spark side walks the
+-- actual RIFF grammar and decodes the real two-byte-opcode RLE stream —
+-- runs, absolute blocks, word padding, EOL/EOB escapes).  px_sum and
+-- inter-frame motion_sum are exact integers, so the oracle replays the
+-- pixel formula directly, exactly like the uncompressed mm_avi_features.
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 5 AS h, 6 + doc_id % 9 AS w
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.nf, d.h, d.w, f.v AS f, y.v AS y, x.v AS x,
+         (d.doc_id * 7 + f.v * 13 + y.v * 11
+          + 3 * (CASE WHEN y.v % 3 = 2 THEN x.v ELSE x.v // 4 END)) % 256 AS p
+  FROM d,
+       UNNEST(generate_series(0, d.nf - 1)) AS f(v),
+       UNNEST(generate_series(0, d.h - 1)) AS y(v),
+       UNNEST(generate_series(0, d.w - 1)) AS x(v)
+)
+SELECT doc_id AS media_id,
+       CAST(any_value(nf) AS INT) AS n_frames,
+       CAST(any_value(w) AS INT) AS width,
+       CAST(any_value(h) AS INT) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN f > 0 THEN
+           abs(p - (doc_id * 7 + (f - 1) * 13 + y * 11
+                    + 3 * (CASE WHEN y % 3 = 2 THEN x ELSE x // 4 END)) % 256)
+           ELSE 0 END) AS BIGINT) AS motion_sum
+FROM px GROUP BY doc_id
+""",
+)
+def mm_rle_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode (round 7, the r5 ask the round-6
+    docstring promised): build RIFF/AVI payloads whose frames are BI_RLE8
+    run-length streams — the two-byte-opcode Windows RLE codec with
+    encoded runs, absolute-mode literal blocks (word-padded), and EOL/EOB
+    escapes, both modes exercised by construction — then walk the actual
+    container and entropy-decode every '00dc' chunk in mapInPandas
+    (operators/multimodal.py _rle8_decode).  This narrows the video gate
+    from 'any compression' to DCT/inter-frame codecs only
+    (decode_real); a hypothesis test round-trips arbitrary frames
+    through the encoder/decoder pair (tests/test_round6.py)."""
+    from experiments_datafusion_spark.operators import multimodal as M
+
+    media = M.attach_avi_rle_media(table(spark, sf_dir, "documents"))
+    return M.decode_avi_features(media)
+
+
+# ---- multi-snapshot time travel with ADD COLUMN schema evolution --------------
+
+_TTM_CUT1 = "1995-06-01"
+_TTM_CUT2 = "1996-06-01"
+
+
+@register(
+    "table_time_travel_multi",
+    tags=("io", "maintenance", "dimensional"),
+    oracle=f"""
+WITH v0 AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TTM_CUT1}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+v1 AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TTM_CUT2}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+v2 AS (
+  -- a key's latest overall row: merged state after both changelogs; the
+  -- evolved column is only non-NULL when that latest row is >= cut2
+  -- (ADD COLUMN back-fills nothing for carried-over rows)
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CASE WHEN o_orderdate >= TIMESTAMP '{_TTM_CUT2}'
+              THEN o_orderpriority END AS priority
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+)
+SELECT version, status,
+       CAST(count(*) AS BIGINT)       AS n,
+       CAST(sum(price_c) AS BIGINT)   AS price_units,
+       CAST(count(priority) AS BIGINT) AS n_prio
+FROM (
+  SELECT 0 AS version, * FROM v0
+  UNION ALL SELECT 1 AS version, * FROM v1
+  UNION ALL SELECT 2 AS version, * FROM v2
+)
+GROUP BY version, status
+""",
+)
+def table_time_travel_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-snapshot TIME TRAVEL with SCHEMA EVOLUTION (round 7, the r5
+    ask the round-6 docstring promised): three immutable parquet snapshots
+    v0 -> v1 -> v2 where the v2 merge ADDs a column (`priority`) the
+    earlier snapshots never wrote — the lakehouse `ALTER TABLE ADD COLUMN`
+    + copy-on-write dataflow.  Reading all versions through the evolved
+    schema (unionByName allowMissingColumns — what a manifest-driven
+    reader does) must render the old snapshots' missing column as NULL:
+    the oracle pins n_prio = 0 for versions 0/1 and the exact non-NULL
+    count for v2, plus snapshot isolation for every version's rows.
+    v0 = latest pre-cut1 state per customer; v1 = v0 merged with the
+    [cut1, cut2) changelog; v2 = v1 merged with the >= cut2 changelog
+    carrying the NEW column (carried-over rows keep NULL — ADD COLUMN
+    back-fills nothing)."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    tmp = tempfile.mkdtemp(prefix="timetravel_multi_")
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df, with_priority: bool):
+        cols = [
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        ]
+        if with_priority:
+            cols.append(F.col("o_orderpriority").alias("priority"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols)
+        )
+
+    def merge(target, source):
+        # full-outer upsert; columns present only on one side pass through
+        # (the source's NEW column stays NULL for carried-over target rows)
+        t_cols, s_cols = set(target.columns), set(source.columns)
+        out = []
+        for c in sorted(t_cols | s_cols):
+            if c in t_cols and c in s_cols:
+                out.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            else:
+                side = "t" if c in t_cols else "s"
+                out.append(F.col(f"{side}.{c}").alias(c))
+        return (
+            target.alias("t")
+            .join(source.alias("s"), F.col("t.k") == F.col("s.k"), "full_outer")
+            .select(*out)
+        )
+
+    # v0: immutable pre-cut1 snapshot
+    latest(orders.where(F.col("o_orderdate") < _TTM_CUT1), False).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/v0")
+    v0 = spark.read.parquet(f"{tmp}/v0")
+    # v1: copy-on-write merge of the [cut1, cut2) changelog — same schema
+    ch1 = latest(
+        orders.where(
+            (F.col("o_orderdate") >= _TTM_CUT1) & (F.col("o_orderdate") < _TTM_CUT2)
+        ),
+        False,
+    )
+    merge(v0, ch1).write.mode("overwrite").parquet(f"{tmp}/v1")
+    v1 = spark.read.parquet(f"{tmp}/v1")
+    # v2: the changelog CARRIES A NEW COLUMN (ADD COLUMN schema evolution);
+    # v0/v1 files are never rewritten
+    ch2 = latest(orders.where(F.col("o_orderdate") >= _TTM_CUT2), True)
+    merge(v1, ch2).write.mode("overwrite").parquet(f"{tmp}/v2")
+    # AS OF reads through the EVOLVED schema: old snapshots surface the
+    # added column as NULL
+    reads = [
+        spark.read.parquet(f"{tmp}/v{i}").withColumn("version", F.lit(i).cast("long"))
+        for i in (0, 1, 2)
+    ]
+    allv = reads[0]
+    for r in reads[1:]:
+        allv = allv.unionByName(r, allowMissingColumns=True)
+    return allv.groupBy("version", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_c").cast("bigint").alias("price_units"),
+        F.count("priority").cast("bigint").alias("n_prio"),
+    )
