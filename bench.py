@@ -88,7 +88,21 @@ HEADLINE = [
     "join_temporal_scd2",  # round 5: point-in-time SCD2 join (fact x versions)
     "docs_winnowing_fast",  # round 5: winnowing on the xxhash64 knob side
     "text_entropy",  # round 5: char-entropy explode + grouped aggregate
+    # round-7 hash-knob A/B pairs: each *_fast twin measured beside its md5
+    # key under the same interleaved-window protocol (the knob's cost is a
+    # first-class bench number, not a one-off note)
+    "text_dup_spans_fast",
+    "docs_ngram_novelty",
+    "docs_ngram_novelty_fast",
+    "text_containment",
+    "text_containment_fast",
 ]
+
+# The round-4 headline composition — a FIXED anchor subtotal recorded in
+# every BENCH_r*.json so gate drift is attributable across rounds without
+# archaeology (VERDICT r6 ask #6): new flagships change the full-suite
+# total, but this subtotal compares like-for-like forever.
+R4_COMPARABLE = tuple(HEADLINE[:29])
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
 
@@ -179,19 +193,30 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         force(registry[name].fn(spark, SF_DIR))
     for name in oracled:
         con.execute(registry[name].oracle).fetchall()
+    # raw (unrounded) perf_counter deltas drive every ratio; the windows
+    # record rounds for display only.  Guard rationale (round-6 advisor):
+    # a sub-50us oracle used to round to 0.0000, get filtered from the
+    # per-window ratio list, and _median([]) killed the whole bench run.
+    raw: list[dict[str, dict[str, float]]] = []
     windows: list[dict[str, dict[str, float]]] = []
     for w in range(WINDOWS):
         spark_t: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(registry[name].fn(spark, SF_DIR))
-            spark_t[name] = round(time.perf_counter() - t0, 4)
+            spark_t[name] = time.perf_counter() - t0
         duck_t: dict[str, float] = {}
         for name in oracled:
             t0 = time.perf_counter()
             con.execute(registry[name].oracle).fetchall()
-            duck_t[name] = round(time.perf_counter() - t0, 4)
-        windows.append({"spark": spark_t, "duck": duck_t})
+            duck_t[name] = time.perf_counter() - t0
+        raw.append({"spark": spark_t, "duck": duck_t})
+        windows.append(
+            {
+                "spark": {n: round(v, 4) for n, v in spark_t.items()},
+                "duck": {n: round(v, 4) for n, v in duck_t.items()},
+            }
+        )
         print(
             f"[bench] window {w + 1}/{WINDOWS}: spark={round(sum(spark_t.values()), 2)}s"
             f" duck={round(sum(duck_t.values()), 2)}s",
@@ -200,33 +225,33 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         )
     con.close()
     results = {
-        name: round(_median([w["spark"][name] for w in windows]), 4)
+        name: round(_median([w["spark"][name] for w in raw]), 4)
         for name in HEADLINE
     }
     duck_median = {
-        name: round(_median([w["duck"][name] for w in windows]), 4)
+        name: round(_median([w["duck"][name] for w in raw]), 4)
         for name in oracled
     }
-    ratio_median = {
-        name: round(
-            _median(
-                [
-                    w["spark"][name] / w["duck"][name]
-                    for w in windows
-                    if w["duck"][name] > 0
-                ]
-            ),
-            3,
-        )
-        for name in oracled
-    }
-    per_window_totals = [
-        round(
-            sum(w["spark"][n] for n in oracled) / max(sum(w["duck"].values()), 1e-9),
-            3,
-        )
-        for w in windows
-    ]
+    ratio_median = {}
+    for name in oracled:
+        ratios = [
+            w["spark"][name] / w["duck"][name] for w in raw if w["duck"][name] > 0
+        ]
+        ratio_median[name] = round(_median(ratios), 3) if ratios else None
+
+    def _totals(keys: list[str]) -> list[float]:
+        return [
+            round(
+                sum(w["spark"][n] for n in keys)
+                / max(sum(w["duck"][n] for n in keys), 1e-9),
+                3,
+            )
+            for w in raw
+        ]
+
+    per_window_totals = _totals(oracled)
+    r4_oracled = [n for n in R4_COMPARABLE if registry[n].oracle is not None]
+    r4_totals = _totals(r4_oracled)
     record = {
         "protocol": f"median-of-{WINDOWS} interleaved exclusive windows",
         "windows": windows,
@@ -234,6 +259,10 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         "ratio_median": ratio_median,
         "ratio_total_per_window": per_window_totals,
         "ratio_total_median": round(_median(per_window_totals), 3),
+        # the fixed round-4 anchor: like-for-like across every round
+        "r4_comparable_keys": len(r4_oracled),
+        "ratio_total_r4_per_window": r4_totals,
+        "ratio_total_r4_median": round(_median(r4_totals), 3),
     }
     for name in HEADLINE:
         r = ratio_median.get(name)
@@ -276,6 +305,7 @@ def main() -> None:
     # strategy (the reference's two-strategy chart shape, lib.rs:23-52);
     # the radix-series 100k endpoint doubles as the headline number.
     sweep: dict[str, dict[str, list[dict[str, float]]]] = {}
+    refsort_points: dict[str, int] = {}
     for case in (*generators.CASES, RADIX_PROBE_CASE):
         def build(case=case, n=REF_SORT_ROWS):
             return sort_ops.sort_batch(generators.generate_batch(spark, case, n))
@@ -306,12 +336,21 @@ def main() -> None:
         spark.conf.set("spark.sql.sort.enableRadixSort", "true")
         sweep[case] = case_series
         # headline stays the radix-series 100k point — the reference's own
-        # endpoint (runall.sh END=100000), which BASELINE.md compares at;
-        # the 1M/10M/100M points exist to exhibit the scaling shape.
-        results[f"refsort_{case.replace('-', '_')}"] = next(
-            (p["sec"] for p in case_series["radix"] if p["n"] == REF_SORT_ROWS),
-            case_series["radix"][-1]["sec"],  # capped dev runs: largest point
+        # endpoint (runall.sh END=100000), which BASELINE.md compares at.
+        # On a capped dev run (SPARK_GRAFT_SWEEP_CAP < 100k) the point is
+        # absent; the key is then SUFFIXED with the substituted row count
+        # so a capped timing can never be read as the full-run number in a
+        # round-over-round comparison (round-6 advisor finding), and
+        # refsort_points records the n behind every headline key.
+        ck = f"refsort_{case.replace('-', '_')}"
+        point = next(
+            (p for p in case_series["radix"] if p["n"] == REF_SORT_ROWS), None
         )
+        if point is None:
+            point = case_series["radix"][-1]
+            ck = f"{ck}_at_{point['n']}"
+        results[ck] = point["sec"]
+        refsort_points[ck] = point["n"]
 
     # analytics decade sweep: generated corpora, noop sink, single timed
     # run per point (shape, not steady-state, is the question; the first
@@ -398,6 +437,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "refsort_points": refsort_points,
                 "refsort_sweep": sweep,
                 "analytics_sweep": analytics_sweep,
                 "headline_windows": headline_record,

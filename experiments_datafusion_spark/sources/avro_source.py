@@ -47,6 +47,21 @@ _AVRO_TO_DDL = {
 }
 
 
+# TIMESTAMP TIMEZONE INVARIANT (settled round 7, retiring the round-5
+# session-UTC guard and its round-6 placement finding): Spark 4's Python
+# DataSource channel exchanges TimestampType as naive datetimes in a FIXED
+# UTC-micros convention, independent of BOTH spark.sql.session.timeZone and
+# the OS/process timezone — verified empirically against parquet as ground
+# truth for every combination (session UTC/NY x process TZ UTC/NY): the
+# stored instant always equals parquet's and session-tz rendering shifts
+# identically for both formats.  The codec's mapping (writer:
+# naive.replace(tzinfo=utc) -> micros; reader: the exact inverse) matches
+# that convention, so NO timezone guard is needed anywhere: non-UTC
+# sessions read and write pyavro timestamps correctly.
+# tests/test_avro.py::test_non_utc_session_timestamp_parity pins the
+# session-tz half of the claim.
+
+
 def _list_avro_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]

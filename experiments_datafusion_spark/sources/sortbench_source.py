@@ -130,21 +130,17 @@ class SortbenchDataSource(DataSource):
 
 
 def register_sources(spark) -> None:
-    """Idempotent registration of all custom Python sources."""
+    """Idempotent registration of all custom Python sources.
+
+    No environment checks happen here: registering a source must never
+    fail for a session that won't use it (round-6 advisor finding — a UTC
+    guard for pyavro used to live here and blocked sortbench/checksum
+    registration on non-UTC sessions).  The guard itself is retired: the
+    Python DataSource timestamp channel is timezone-independent by
+    convention and pyavro's mapping matches it (see the invariant note in
+    avro_source.py)."""
     from experiments_datafusion_spark.sources.avro_source import PyAvroDataSource
 
-    # pyavro's timestamp-micros mapping reinterprets Spark's session-local
-    # naive datetimes as UTC (writer: replace(tzinfo=utc); reader: the
-    # inverse).  That is only correct when the session timezone IS UTC —
-    # session.py pins it, but enforce it here so an un-tuned session fails
-    # loudly instead of silently shifting every TimestampType value by the
-    # zone offset (round-5 advisor finding).
-    tz = spark.conf.get("spark.sql.session.timeZone", "")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
-        raise RuntimeError(
-            f"pyavro requires spark.sql.session.timeZone=UTC (got {tz!r}); "
-            "call experiments_datafusion_spark.session.tune(spark) first"
-        )
     spark.dataSource.register(SortbenchDataSource)
     spark.dataSource.register(ChecksumDataSource)
     spark.dataSource.register(PyAvroDataSource)

@@ -176,3 +176,43 @@ def test_pyavro_overwrite_removes_stale_files(spark, tmp_path):
     assert len([f for f in os.listdir(dst) if f.endswith(".avro")]) == 1
     got = sorted(r[0] for r in spark.read.format("pyavro").load(dst).collect())
     assert got == [100, 101]
+
+
+def test_non_utc_session_timestamp_parity(spark, tmp_path):
+    """Round-7 invariant pin (retires the round-5 session-UTC guard and
+    its round-6 placement finding): the Python DataSource timestamp
+    channel is session-timezone-independent, so a pyavro write under a
+    non-UTC session stores the SAME instant parquet does — rendered
+    identically in the writing session and again after switching back to
+    UTC.  Registration and timestamp-free use never depended on the
+    timezone either."""
+    import pyspark.sql.functions as F
+
+    from experiments_datafusion_spark.sources import register_sources
+
+    register_sources(spark)
+
+    def render(df):
+        return [
+            r.s
+            for r in df.select(
+                F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("s")
+            ).orderBy("s").collect()
+        ]
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        register_sources(spark)  # registration never fails on timezone
+        # '12:00' parses as NY-local here -> instant 17:00 UTC
+        ts = spark.sql("SELECT CAST('1970-01-01 12:00:00' AS TIMESTAMP) AS t")
+        ts.write.format("pyavro").mode("overwrite").save(str(tmp_path / "a"))
+        ts.write.mode("overwrite").parquet(str(tmp_path / "p"))
+        in_ny = render(spark.read.format("pyavro").load(str(tmp_path / "a")))
+        assert in_ny == render(spark.read.parquet(str(tmp_path / "p")))
+        assert in_ny == ["1970-01-01 12:00:00"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    in_utc = render(spark.read.format("pyavro").load(str(tmp_path / "a")))
+    assert in_utc == render(spark.read.parquet(str(tmp_path / "p")))
+    assert in_utc == ["1970-01-01 17:00:00"]  # same instant, UTC rendering

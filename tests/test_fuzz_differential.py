@@ -1,8 +1,10 @@
 """Pytest face of the seeded differential query fuzzer
-(tools/fuzz_differential.py): 40 random specs across all seven families
+(tools/fuzz_differential.py): 40 random specs across all NINE families
 (filter/group/aggregate, windows, set ops, scalars, outer joins with
-derived NULLABLE join keys, GROUPING SETS with grouping() flags), each
-lowered from ONE AST to both a Spark plan and a DuckDB SQL string and
+derived NULLABLE join keys, GROUPING SETS with grouping() flags, and the
+round-7 axes: correlated scalar/EXISTS/NOT-EXISTS subqueries with non-equi
+correlation, and INTERSECT/EXCEPT [ALL] over derived nullable columns),
+each lowered from ONE AST to both a Spark plan and a DuckDB SQL string and
 compared under the registry normalization.  Probes the composition
 space between the hand-written keys; seeded, so a failure reproduces with
 `python tools/fuzz_differential.py 40 20240814 /root/testdata/sf0.001`."""

@@ -429,6 +429,165 @@ def gsspec_to_spark(spec: GSSpec, df):
     return grouped.agg(*flags, *_agg_spark(spec.aggs))
 
 
+# ---- correlated-subquery specs (round 7) -------------------------------------
+#
+# Scalar / EXISTS / NOT EXISTS subqueries over lineitem correlated to each
+# orders row on the orderkey PLUS a non-equi cross-table predicate
+# (l_shipdate > o_orderdate), so decorrelation is genuinely exercised: the
+# Spark lowering is the standard rewrite (scalar-agg -> outer-key left join
+# + group; EXISTS -> left_semi; NOT EXISTS -> left_anti with the compound
+# condition), compared against the engines' native correlated planners.
+
+
+@dataclass
+class CorrSpec:
+    kind: str  # scalar_count | scalar_max | scalar_sum_units | exists | not_exists
+    opreds: list[Pred]  # outer (orders) side
+    lpreds: list[Pred]  # inner (lineitem) side
+    nonequi: bool  # add l_shipdate > o_orderdate to the correlation
+
+
+def gen_corrspec(rng: random.Random) -> CorrSpec:
+    kind = rng.choice(
+        ["scalar_count", "scalar_max", "scalar_sum_units", "exists", "not_exists"]
+    )
+    return CorrSpec(
+        kind,
+        _gen_preds(rng, "orders", rng.randint(1, 2)),
+        _gen_preds(rng, "lineitem", rng.randint(1, 2)),
+        rng.random() < 0.6,
+    )
+
+
+def corrspec_to_sql(spec: CorrSpec) -> str:
+    oc = " AND ".join(_sql_pred(p) for p in spec.opreds)
+    lc = " AND ".join(_sql_pred(p) for p in spec.lpreds)
+    corr = "l.l_orderkey = o.o_orderkey"
+    if spec.nonequi:
+        corr += " AND l.l_shipdate > o.o_orderdate"
+    inner = f"FROM lineitem l WHERE {corr} AND ({lc})"
+    if spec.kind == "exists":
+        return (
+            f"SELECT o_orderkey, o_orderstatus FROM orders o "
+            f"WHERE ({oc}) AND EXISTS (SELECT 1 {inner})"
+        )
+    if spec.kind == "not_exists":
+        return (
+            f"SELECT o_orderkey, o_orderstatus FROM orders o "
+            f"WHERE ({oc}) AND NOT EXISTS (SELECT 1 {inner})"
+        )
+    sub = {
+        "scalar_count": "CAST(count(*) AS BIGINT)",
+        "scalar_max": "max(l.l_quantity)",
+        "scalar_sum_units": "CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)",
+    }[spec.kind]
+    return (
+        f"SELECT o_orderkey, o_orderstatus, (SELECT {sub} {inner}) AS sub_v "
+        f"FROM orders o WHERE {oc}"
+    )
+
+
+def corrspec_to_spark(spec: CorrSpec, lineitem, orders):
+    o = orders.where(_spark_cond(spec.opreds, "AND"))
+    li = lineitem.where(_spark_cond(spec.lpreds, "AND"))
+    cond = li["l_orderkey"] == o["o_orderkey"]
+    if spec.nonequi:
+        cond = cond & (li["l_shipdate"] > o["o_orderdate"])
+    if spec.kind in ("exists", "not_exists"):
+        how = "left_semi" if spec.kind == "exists" else "left_anti"
+        return o.join(li, cond, how).select("o_orderkey", "o_orderstatus")
+    # scalar-agg decorrelation: left join, group by the outer row key, then
+    # aggregate ONLY inner columns — count(inner) is 0 and max/sum NULL for
+    # unmatched outer rows, exactly the scalar subquery's semantics
+    agg = {
+        "scalar_count": F.count(li["l_partkey"]).cast("bigint"),
+        "scalar_max": F.max(li["l_quantity"]),
+        "scalar_sum_units": F.sum(
+            F.round(li["l_extendedprice"] * 100, 0).cast("long")
+        ).cast("bigint"),
+    }[spec.kind]
+    return (
+        o.join(li, cond, "left")
+        .groupBy(o["o_orderkey"], o["o_orderstatus"])
+        .agg(agg.alias("sub_v"))
+    )
+
+
+# ---- set ops over DERIVED NULLABLE columns (round 7) --------------------------
+#
+# The round-5 outer-join axis derives nullable JOIN keys; this axis derives
+# nullable SET-OP columns — INTERSECT/EXCEPT [ALL] treat NULLs as EQUAL
+# (distinct semantics), the opposite of join/WHERE NULL semantics, which is
+# exactly where lowering bugs live (the round-4 EXCEPT bug's composition
+# space).  Columns: two CASE-derived nullable strings + whole-valued qty.
+
+
+@dataclass
+class NullSetSpec:
+    op: str  # key of SETOPS
+    preds_a: list[Pred]
+    preds_b: list[Pred]
+    null_mod_f: int  # l_orderkey % m == 0 -> NULL flag column
+    null_mod_s: int  # l_linenumber % m == 0 -> NULL status column
+
+
+def gen_nullsetspec(rng: random.Random) -> NullSetSpec:
+    return NullSetSpec(
+        rng.choice(sorted(SETOPS)),
+        _gen_preds(rng, "lineitem", rng.randint(1, 2)),
+        _gen_preds(rng, "lineitem", rng.randint(1, 2)),
+        rng.choice([2, 3, 5]),
+        rng.choice([2, 3]),
+    )
+
+
+def _nullset_cols_sql(spec: NullSetSpec) -> str:
+    return (
+        f"CASE WHEN l_orderkey % {spec.null_mod_f} = 0 THEN NULL "
+        f"ELSE l_returnflag END AS f, "
+        f"CASE WHEN l_linenumber % {spec.null_mod_s} = 0 THEN NULL "
+        f"ELSE l_linestatus END AS s, "
+        f"CAST(l_quantity AS INT) AS qty"
+    )
+
+
+def nullsetspec_to_sql(spec: NullSetSpec) -> str:
+    ca = " AND ".join(_sql_pred(p) for p in spec.preds_a)
+    cb = " AND ".join(_sql_pred(p) for p in spec.preds_b)
+    cols = _nullset_cols_sql(spec)
+    return (
+        "SELECT f, s, qty, CAST(count(*) AS BIGINT) AS n FROM ("
+        f"SELECT {cols} FROM lineitem WHERE {ca} "
+        f"{SETOPS[spec.op]} "
+        f"SELECT {cols} FROM lineitem WHERE {cb}"
+        ") GROUP BY 1, 2, 3"
+    )
+
+
+def nullsetspec_to_spark(spec: NullSetSpec, df):
+    def side(preds):
+        return df.where(_spark_cond(preds, "AND")).select(
+            F.when(F.col("l_orderkey") % spec.null_mod_f != 0, F.col("l_returnflag"))
+            .alias("f"),
+            F.when(F.col("l_linenumber") % spec.null_mod_s != 0, F.col("l_linestatus"))
+            .alias("s"),
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
+
+    a, b = side(spec.preds_a), side(spec.preds_b)
+    combined = {
+        "union_all": lambda: a.unionByName(b),
+        "union": lambda: a.unionByName(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except": lambda: a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[spec.op]()
+    return combined.groupBy("f", "s", "qty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 # ---- window-function specs --------------------------------------------------
 
 WIN_FUNCS = ("row_number", "rank", "dense_rank", "lag", "lead", "sum_units_frame", "min_frame")
@@ -876,6 +1035,14 @@ def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tupl
             # the () grand-total set hits the same empty-input divergence
             # as ROLLUP/CUBE (see the known-divergence branch below)
             grouping = "sets" if () in gspec.sets else None
+        elif r < 0.75:
+            crspec = gen_corrspec(rng)
+            sql = corrspec_to_sql(crspec)
+            builder = lambda: corrspec_to_spark(crspec, dfs["lineitem"], dfs["orders"])  # noqa: B023,E731
+        elif r < 0.83:
+            nsspec = gen_nullsetspec(rng)
+            sql = nullsetspec_to_sql(nsspec)
+            builder = lambda: nullsetspec_to_spark(nsspec, dfs["lineitem"])  # noqa: B023,E731
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
