@@ -116,9 +116,9 @@ ROWS_ONLY_BY_DESIGN = frozenset(
         "agg_approx",  # sketch outputs: bound tests in tests/test_sketches.py
         "agg_sketch_rollup",  # ditto (mergeable-sketch rollup)
         "table_sample",  # seeded Bernoulli: determinism+bounds in test_smoke
-        "docs_winnowing_fast",  # output EXPOSES xxhash64 values (fp_xor) —
-        # no DuckDB replay; recall pinned hash-independent in
-        # tests/test_hash_knob.py
+        # docs_winnowing_fast GRADUATED in round 7: its xxhash64 values are
+        # now replayed bit-exactly in DuckDB (oracle_xxhash.py), so the one
+        # key whose output exposes production-hash values is fully oracled.
     }
 )
 

@@ -300,23 +300,57 @@ def _winnowing_agg(fps: DataFrame) -> DataFrame:
     )
 
 
+def _winnowing_fast_oracle() -> str:
+    from experiments_datafusion_spark.oracle_xxhash import xxh64_8byte_ctes
+
+    return f"""
+-- the PRODUCTION hash replayed bit-exactly: XXH64(seed 42) of each 8-char
+-- gram, computed in DuckDB as exact 128-bit wrap-around arithmetic
+-- (oracle_xxhash.py; ASCII fixture verified, chars == UTF-8 bytes)
+WITH grams AS (
+  SELECT doc_id, p.i AS pos, substr(text, p.i, {_WIN_K}) AS g8
+  FROM documents, UNNEST(generate_series(1, len(text) - {_WIN_K} + 1)) AS p(i)
+  WHERE len(text) >= {_WIN_K}
+),
+{xxh64_8byte_ctes("grams", "g8")},
+wins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM xxf
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos >= {_WIN_W}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       bit_xor(fp)              AS fp_xor
+FROM fps
+GROUP BY doc_id
+"""
+
+
 @register(
     "docs_winnowing_fast",
     tags=("llm", "dedup", "text", "fast-twin"),
-    # rows-only BY DESIGN: xxhash64 has no DuckDB replay.  The semantic
-    # guarantee (identical pair recall to the oracled md5 key) is pinned
-    # by tests/test_hash_knob.py on the fixture.
+    # FULLY ORACLED since round 7: the xxhash64 values themselves are
+    # replayed in DuckDB via oracle_xxhash.py's 128-bit wrap-around SQL
+    # (this key's output EXPOSES hash values through fp_xor, so unlike the
+    # posting-list twins it could not share the md5 oracle; now it needs
+    # neither — the production hash has its own exact replay).
+    oracle=_winnowing_fast_oracle(),
 )
 def docs_winnowing_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_winnowing on the production side of the hash knob: the SAME
     zero-shuffle winnowing plan with T.fast_hash64 (xxhash64) instead of
     the md5-derived portable hash.  Winnowing's recall guarantee (shared
     substrings of length >= k+w-1 share a fingerprint) holds for ANY hash,
-    so the guaranteed pair tier — the one dedup decisions rest on — is
-    hash-independent; only the opaque fingerprint values (and coincidental
-    sub-guarantee candidate pairs) differ.  Rows-only key; the guarantee
-    is property-tested for both hashes (tests/test_hash_knob.py) and the
-    ~40% wall-time cut is recorded in BENCH_NOTES.md."""
+    and since round 7 the xxhash64 values are ALSO bit-exactly replayed by
+    the DuckDB oracle (XXH64 short path as exact HUGEINT arithmetic —
+    oracle_xxhash.py), so the production path is value-verified end to
+    end, retiring this key's rows-only status.  Pair-recall
+    hash-independence stays pinned in tests/test_hash_knob.py; the ~40%
+    wall-time cut of the knob is recorded in BENCH_NOTES.md."""
     return _winnowing_agg(winnowing_fps(spark, sf_dir, T.fast_hash64))
 
 
