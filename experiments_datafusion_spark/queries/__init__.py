@@ -64,6 +64,7 @@ _MODULES = (
     "stats",  # round 4/5: PSI/KS/chi2 drift, Markov chain, rules, MAD, KL
     "round5",  # round 5: pipe SQL, temporal SCD2 join, weighted sample, entropy
     "round6",  # round 6: grid-routed geo kNN, fast-hash twins, RLE8 AVI, time travel v2
+    "round7",  # round 7: BPE merge training, snapshot vacuum
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
@@ -85,10 +86,15 @@ _MODULES = (
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
     # round-7 new keys (no lifetime verdict yet) + geo_knn_grid (its plan
-    # changed this round: exactness-bound fix + conditional fallback)
+    # changed this round: exactness-bound fix + conditional fallback) +
+    # docs_winnowing_fast (gained its xxhash64-replay oracle this round)
+    "text_bpe_train", "table_vacuum",
     "text_dup_spans_fast", "docs_ngram_novelty_fast", "text_containment_fast",
     "mm_rle_features", "table_time_travel_multi", "geo_knn_grid",
-    # the 44 least-recently-verified keys (all last seen in the r1 window)
+    "docs_winnowing_fast",
+    # the least-recently-verified fill (all last seen in the r1 window;
+    # tpch_q3/q4/q5 rotated out to make room for the round-7 keys — they
+    # lead the next round's LRV queue)
     "distinct_rows", "dropdup_subset", "filter_predicates", "gather_by_index",
     "join_anti", "join_asof", "join_cross", "join_full", "join_inner",
     "join_left", "join_right", "join_semi", "join_theta", "limit_offset",
@@ -100,7 +106,7 @@ _PRIORITY = (
     "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty", "tpch_q18", "tpch_q19_disjunctive",
     "tpch_q20_semi_chain", "tpch_q21_waiting", "tpch_q22_opportunity",
-    "tpch_q2_maxbal", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q2_maxbal",
 )
 
 

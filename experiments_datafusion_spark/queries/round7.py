@@ -1,0 +1,327 @@
+"""Round-7 operators: BPE tokenizer-merge training (the tokenizer-training
+dataflow a 100 TB text pipeline runs before anything else) and snapshot
+VACUUM (the retention half of the time-travel story).
+
+Same contract as every other module: each key is the Spark plan you would
+ship at 100 TB with a DuckDB oracle replaying the semantics exactly; all
+counts are exact integers, so nothing can diverge on accumulation order."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.queries import register
+
+# ---- BPE merge training -------------------------------------------------------
+#
+# Classic byte-pair-encoding training (Sennrich et al. '16), 3 unrolled
+# rounds over the word-frequency table: count adjacent symbol pairs
+# weighted by word frequency, take the argmax pair, merge its greedy
+# LEFT-TO-RIGHT non-overlapping occurrences, repeat.  The relational trick
+# that makes the merge application a PLAIN WINDOW dataflow (no per-row fold,
+# same plan in both engines): for pair (a, b) a position merges iff it
+# matches and sits at an EVEN OFFSET within its run of consecutive matches —
+# for a != b runs are singletons (a match at i forces s[i+1] = b != a, so
+# i+1 cannot match) and every match merges; for a == b a run of L equal
+# symbols merges floor(L/2) pairs exactly like the greedy scan.
+#
+# Scale shape: pair counting is the canonical tokenizer-training shuffle
+# (groupBy pair, sum freq) over the DISTINCT-WORD table (corpus-frequency
+# weighted — orders of magnitude smaller than the corpus); the argmax is
+# O(1) driver state per round (the kmeans/PQ-trainer pattern); merge
+# application is a per-word window pass, embarrassingly parallel.
+
+_BPE_ROUNDS = 3
+_BPE_TOPK = 10  # final-vocab report rows
+
+
+def _bpe_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, freq, pos, sym): each distinct word exploded to dense 1-based
+    character positions, carrying its corpus frequency."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    return wf.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring("w", i, F.lit(1)),
+            )
+        ).alias("p0", "sym"),
+    ).select("w", "freq", (F.col("p0") + 1).alias("pos"), "sym")
+
+
+def _bpe_top_pair(sym: DataFrame) -> tuple[str, str, int]:
+    """Argmax adjacent pair (weighted by word freq), ties broken (left,
+    right) ascending — O(1) driver state, exact integers."""
+    win = Window.partitionBy("w").orderBy("pos")
+    pairs = (
+        sym.withColumn("nxt", F.lead("sym").over(win))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "sym", "nxt")
+        .limit(1)
+        .collect()
+    )
+    r = pairs[0]
+    return r["sym"], r["nxt"], r["cnt"]
+
+
+def _bpe_apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
+    """Merge greedy non-overlapping (a, b) occurrences via the even-offset
+    run rule; positions re-densified."""
+    win = Window.partitionBy("w").orderBy("pos")
+    m = sym.withColumn("nxt", F.lead("sym").over(win)).withColumn(
+        "mt", (F.col("sym") == a) & (F.col("nxt") == b)
+    )
+    # run key: pos minus the running match count is constant inside a run
+    # of consecutive matches (positions are dense)
+    m = m.withColumn(
+        "rk", F.col("pos") - F.sum(F.when(F.col("mt"), 1).otherwise(0)).over(win)
+    )
+    mwin = Window.partitionBy("w", "mt", "rk").orderBy("pos")
+    m = m.withColumn(
+        "do_merge", F.col("mt") & ((F.row_number().over(mwin) - 1) % 2 == 0)
+    ).withColumn("consumed", F.coalesce(F.lag("do_merge").over(win), F.lit(False)))
+    out = (
+        m.where(~F.col("consumed"))
+        .select(
+            "w",
+            "freq",
+            "pos",
+            F.when(F.col("do_merge"), F.lit(a + b)).otherwise(F.col("sym")).alias("sym"),
+        )
+        .withColumn("pos", F.row_number().over(Window.partitionBy("w").orderBy("pos")))
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _bpe_oracle() -> str:
+    sym_cte = """wf AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+s0 AS (
+  SELECT w, freq, p.i AS pos, substr(w, p.i, 1) AS sym
+  FROM wf, UNNEST(generate_series(1, len(w))) AS p(i)
+)"""
+
+    def iteration(i: int) -> str:
+        s, t, nxt = f"s{i - 1}", f"t{i}", f"s{i}"
+        return f"""p{i} AS (
+  SELECT sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, freq
+  FROM {s}
+),
+c{i} AS (
+  SELECT sym, nxt, sum(freq) AS cnt FROM p{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+),
+{t} AS (SELECT sym AS a, nxt AS b, cnt FROM c{i}
+        ORDER BY cnt DESC, sym, nxt LIMIT 1),
+m{i} AS (
+  SELECT s.*, t.a, t.b,
+         (s.sym = t.a AND lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = t.b)
+           AS mt
+  FROM {s} s CROSS JOIN {t} t
+),
+r{i} AS (
+  SELECT *, pos - sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY w ORDER BY pos) AS rk
+  FROM m{i}
+),
+d{i} AS (
+  SELECT *, (mt AND (row_number() OVER (PARTITION BY w, mt, rk ORDER BY pos) - 1) % 2 = 0)
+              AS do_merge
+  FROM r{i}
+),
+k{i} AS (
+  SELECT *, coalesce(lag(do_merge) OVER (PARTITION BY w ORDER BY pos), FALSE)
+              AS consumed
+  FROM d{i}
+),
+{nxt} AS (
+  SELECT w, freq,
+         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN do_merge THEN a || b ELSE sym END AS sym
+  FROM k{i} WHERE NOT consumed
+)"""
+
+    its = ",\n".join(iteration(i) for i in range(1, _BPE_ROUNDS + 1))
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, a AS left, b AS right, CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH {sym_cte},
+{its},
+vocab AS (
+  SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM s{_BPE_ROUNDS} GROUP BY sym
+),
+topv AS (
+  SELECT sym, cnt, row_number() OVER (ORDER BY cnt DESC, sym) AS rnk
+  FROM vocab
+)
+SELECT * FROM (
+  {merge_rows}
+  UNION ALL
+  SELECT ({_BPE_ROUNDS} + rnk)::BIGINT, sym, NULL, cnt FROM topv
+  WHERE rnk <= {_BPE_TOPK}
+)
+"""
+
+
+@register(
+    "text_bpe_train",
+    tags=("llm", "text", "tokenizer", "iterative"),
+    oracle=_bpe_oracle(),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge TRAINING, 3 unrolled rounds: adjacent-pair
+    counting over the corpus-frequency-weighted distinct-word table ->
+    argmax pair (count desc, pair asc — exact-integer ties) -> greedy
+    left-to-right non-overlapping merge applied as a pure window dataflow
+    (the even-offset-within-run rule; see the module comment for why that
+    equals the greedy scan), repeated.  Output: the 3 learned merges
+    (rank, left, right, weighted pair count) plus the top-10 tokens of the
+    post-merge vocabulary — the latter computed distributively from the
+    final symbol table, so the oracle verifies the merge APPLICATIONS, not
+    just the argmax choices.  The DuckDB oracle replays all 3 rounds as
+    one chained-CTE program with zero driver state."""
+    sym = _bpe_symbols(spark, sf_dir).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        a, b, cnt = _bpe_top_pair(sym)
+        merges.append((rnd, a, b, cnt))
+        sym = _bpe_apply_merge(sym, a, b)
+    vocab = (
+        sym.groupBy("sym")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "sym")
+        .limit(_BPE_TOPK)
+        .select(
+            (
+                F.lit(_BPE_ROUNDS)
+                + F.row_number().over(
+                    Window.orderBy(F.desc("cnt"), "sym")
+                )
+            ).cast("bigint").alias("rank"),
+            F.col("sym").alias("left"),
+            F.lit(None).cast("string").alias("right"),
+            "cnt",
+        )
+    )
+    mdf = spark.createDataFrame(
+        merges, "rank bigint, left string, right string, cnt bigint"
+    )
+    return mdf.unionByName(vocab)
+
+
+# ---- snapshot VACUUM (the retention half of time travel) ----------------------
+
+_VAC_CUT = "1995-06-01"
+
+
+def vacuum_unreferenced(root: str, live_files: set[str]) -> list[str]:
+    """Delete every data file under ``root`` that the live manifest does
+    not reference; returns the removed paths.  This is all a lakehouse
+    VACUUM is: the manifest pins the live version's immutable files, and
+    retention reclaims everything copy-on-write left behind.  Driver-side
+    file ops by design — at scale this is a metadata walk over the
+    manifest diff, never a data read."""
+    import os
+
+    removed = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if f.endswith(".parquet") and p not in live_files:
+                os.remove(p)
+                removed.append(p)
+    return removed
+
+
+@register(
+    "table_vacuum",
+    tags=("io", "maintenance", "dimensional"),
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+)
+SELECT status,
+       CAST(count(*) AS BIGINT)     AS n,
+       CAST(sum(price_c) AS BIGINT) AS price_units
+FROM v1 GROUP BY status
+""",
+)
+def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot VACUUM — the retention pass that completes the
+    time-travel story: materialize v0 (pre-cutover latest state), merge
+    the changelog copy-on-write into v1 (all-new files; v0 untouched),
+    then vacuum every data file the LIVE manifest (v1) does not reference
+    and read the surviving table.  The oracle recomputes v1's state from
+    raw orders, proving the vacuum removed ONLY dead files; the pytest
+    twin (tests/test_round7.py) additionally pins that v0's files are
+    gone, the old version no longer reads, and exactly v1's file set
+    survives."""
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="vacuum_")
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col("o_custkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+            )
+        )
+
+    latest(orders.where(F.col("o_orderdate") < _VAC_CUT)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/v0")
+    v0 = spark.read.parquet(f"{root}/v0")
+    changes = latest(orders.where(F.col("o_orderdate") >= _VAC_CUT))
+    merged = (
+        v0.alias("t")
+        .join(changes.alias("s"), F.col("t.k") == F.col("s.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.k"), F.col("t.k")).alias("k"),
+            F.coalesce(F.col("s.status"), F.col("t.status")).alias("status"),
+            F.coalesce(F.col("s.price_c"), F.col("t.price_c")).alias("price_c"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{root}/v1")
+    live = {
+        os.path.join(f"{root}/v1", f)
+        for f in os.listdir(f"{root}/v1")
+        if f.endswith(".parquet")
+    }
+    vacuum_unreferenced(root, live)
+    return (
+        spark.read.parquet(f"{root}/v1")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").cast("bigint").alias("price_units"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Round-7 operators: BPE merge-rule equivalence + vacuum file semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from experiments_datafusion_spark.queries import round7 as R7
+
+
+def _ref_bpe(words: dict[str, int], rounds: int):
+    """Independent pure-Python reference BPE: per round, count adjacent
+    pairs weighted by word freq, argmax (count desc, pair asc), then the
+    textbook greedy LEFT-TO-RIGHT scan merge."""
+    symbols = {w: list(w) for w in words}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in symbols.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + words[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w, syms in symbols.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symbols[w] = out
+    return merges, symbols
+
+
+def test_bpe_window_rule_equals_greedy_scan(spark):
+    """The even-offset-within-run window rule must merge EXACTLY the
+    positions the textbook greedy left-to-right scan merges — including
+    the adversarial overlap cases (runs of the argmax pair's repeated
+    symbol: 'aaaa' -> [aa, aa], 'aaa' -> [aa, a])."""
+    corpus = {
+        "aaaa": 50, "aaa": 40, "aab": 30, "abab": 20, "baaab": 10,
+        "aaaaa": 5, "xy": 3, "a": 2,
+    }
+    rows = [(w, n) for w, n in corpus.items()]
+    wf = spark.createDataFrame(rows, "w string, freq long")
+    import pyspark.sql.functions as F
+
+    sym = wf.select(
+        "w",
+        "freq",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring("w", i, F.lit(1)),
+            )
+        ).alias("p0", "sym"),
+    ).select("w", "freq", (F.col("p0") + 1).alias("pos"), "sym")
+
+    ref_merges, ref_symbols = _ref_bpe(corpus, 3)
+    for a, b, cnt in ref_merges:
+        ga, gb, gcnt = R7._bpe_top_pair(sym)
+        assert (ga, gb, gcnt) == (a, b, cnt)
+        sym = R7._bpe_apply_merge(sym, ga, gb)
+    got = {}
+    for r in sym.orderBy("w", "pos").collect():
+        got.setdefault(r.w, []).append(r.sym)
+    assert got == ref_symbols
+
+
+def test_vacuum_removes_only_dead_files(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "tbl")
+    spark.range(10).select(F.col("id").alias("v")).repartition(2).write.parquet(
+        f"{root}/v0"
+    )
+    spark.range(20).select((F.col("id") * 2).alias("v")).repartition(2).write.parquet(
+        f"{root}/v1"
+    )
+    live = {
+        os.path.join(f"{root}/v1", f)
+        for f in os.listdir(f"{root}/v1")
+        if f.endswith(".parquet")
+    }
+    removed = R7.vacuum_unreferenced(root, live)
+    assert removed and all("/v0/" in p for p in removed)
+    # live version intact, dead version unreadable
+    assert spark.read.parquet(f"{root}/v1").count() == 20
+    leftover = [
+        f for f in os.listdir(f"{root}/v0") if f.endswith(".parquet")
+    ]
+    assert leftover == []
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{root}/v0").collect()
+
+
+def test_table_vacuum_key_runs(spark, sf_dir):
+    out = {r.status: (r.n, r.price_units) for r in R7.table_vacuum(spark, sf_dir).collect()}
+    assert out and all(n > 0 for n, _ in out.values())
