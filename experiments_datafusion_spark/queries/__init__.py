@@ -88,13 +88,14 @@ _PRIORITY = (
     # round-7 new keys (no lifetime verdict yet) + geo_knn_grid (its plan
     # changed this round: exactness-bound fix + conditional fallback) +
     # docs_winnowing_fast (gained its xxhash64-replay oracle this round)
-    "text_bpe_train", "table_vacuum",
+    "text_bpe_train", "text_bpe_apply", "table_vacuum",
     "text_dup_spans_fast", "docs_ngram_novelty_fast", "text_containment_fast",
     "mm_rle_features", "table_time_travel_multi", "geo_knn_grid",
     "docs_winnowing_fast",
     # the least-recently-verified fill (all last seen in the r1 window;
-    # tpch_q3/q4/q5 rotated out to make room for the round-7 keys — they
-    # lead the next round's LRV queue)
+    # tpch_q2_maxbal/q3/q4/q5 rotated out to make room for the round-7
+    # keys — they lead the next round's LRV queue; tools/lrv_window.py
+    # computes the fill from the CORRECTNESS ledger)
     "distinct_rows", "dropdup_subset", "filter_predicates", "gather_by_index",
     "join_anti", "join_asof", "join_cross", "join_full", "join_inner",
     "join_left", "join_right", "join_semi", "join_theta", "limit_offset",
@@ -106,7 +107,6 @@ _PRIORITY = (
     "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty", "tpch_q18", "tpch_q19_disjunctive",
     "tpch_q20_semi_chain", "tpch_q21_waiting", "tpch_q22_opportunity",
-    "tpch_q2_maxbal",
 )
 
 

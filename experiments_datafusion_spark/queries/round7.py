@@ -103,7 +103,10 @@ def _bpe_apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
-def _bpe_oracle() -> str:
+def _bpe_train_ctes() -> str:
+    """The shared WITH-body: word freqs, char symbols, and _BPE_ROUNDS
+    chained merge iterations ending in CTE ``s{_BPE_ROUNDS}`` (the final
+    symbol table) with ``t{i}`` holding round i's argmax pair."""
     sym_cte = """wf AS (
   SELECT w, count(*) AS freq FROM (
     SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
@@ -156,13 +159,16 @@ k{i} AS (
 )"""
 
     its = ",\n".join(iteration(i) for i in range(1, _BPE_ROUNDS + 1))
+    return f"{sym_cte},\n{its}"
+
+
+def _bpe_oracle() -> str:
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS rank, a AS left, b AS right, CAST(cnt AS BIGINT) AS cnt FROM t{i}"
         for i in range(1, _BPE_ROUNDS + 1)
     )
     return f"""
-WITH {sym_cte},
-{its},
+WITH {_bpe_train_ctes()},
 vocab AS (
   SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM s{_BPE_ROUNDS} GROUP BY sym
 ),
@@ -323,5 +329,70 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("price_c").cast("bigint").alias("price_units"),
+        )
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""
+WITH {_bpe_train_ctes()},
+wtok AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_tok FROM s{_BPE_ROUNDS} GROUP BY w
+),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT)        AS n_words,
+       CAST(sum(t.n_tok) AS BIGINT)    AS n_tokens,
+       CAST(sum(len(d.w)) AS BIGINT)   AS n_chars,
+       CAST(sum(t.n_tok) * 1000 // sum(len(d.w)) AS BIGINT) AS tok_per_kchar
+FROM docw d JOIN wtok t USING (w)
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "text_bpe_apply",
+    tags=("llm", "text", "tokenizer"),
+    oracle=_bpe_apply_oracle(),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE the corpus with the trained BPE merges — the apply half of
+    text_bpe_train, and the honest way a tokenizer runs at 100 TB: the
+    merge loop touches only the DISTINCT-WORD table (orders of magnitude
+    smaller than the corpus), producing a word -> token-count dictionary
+    that joins back to the corpus' word occurrences (a broadcast-size
+    dictionary at real vocabulary sizes).  Output per document: word,
+    BPE-token and character counts plus exact integer tokens-per-kilochar
+    — the token-budget signal text_token_budget estimates with a regex,
+    now computed from an actual learned tokenizer.  The oracle replays
+    training AND application in one chained-CTE program."""
+    sym = _bpe_symbols(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(_BPE_ROUNDS):
+        a, b, _cnt = _bpe_top_pair(sym)
+        sym = _bpe_apply_merge(sym, a, b)
+    wtok = sym.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    docs = table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w"),
+    )
+    return (
+        docw.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_tokens * 1000) div n_chars").cast("bigint").alias("tok_per_kchar"),
         )
     )
