@@ -396,3 +396,178 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_tokens * 1000) div n_chars").cast("bigint").alias("tok_per_kchar"),
         )
     )
+
+
+# ---- perceptual-hash image near-dup pairs --------------------------------------
+#
+# The multimodal dedup tier beyond byte checksums (mm_dedup_payload catches
+# only exact copies): decode the REAL PNG payloads, nearest-neighbor
+# 8x8 thumbnail (the resize_thumbnail kernel), difference-hash the
+# horizontal gradients (8 rows x 7 comparisons = 56 bits — dHash, invariant
+# to constant brightness shifts), and pair images at Hamming <= 3 via
+# PIGEONHOLE-COMPLETE banding: 4 disjoint 14-bit chunks, a pair within 3
+# flips shares >= 1 intact chunk, so the bucket join provably finds every
+# pair — never all-pairs (the simhash_pairs argument applied to images).
+# The corpus is built with REAL near-dup family structure (the shared
+# attach_png_media ramp degenerates here: its gradients are monotone, so
+# every image dHashes alike and all pairs match — observed, rejected):
+# family f = doc_id % 200 fixes dimensions and a quadratic pixel pattern;
+# members differ by a small constant brightness shift (doc_id % 7).  Same
+# family => near-identical dHash (brightness invariance; only mod-256 wrap
+# positions flip), different family => different dims sample different
+# quadratic values => diverse hashes.  Checksums see family members as
+# DISTINCT files; the perceptual tier pairs them.
+
+_PH_BITS = 56
+_PH_T = 3
+_PH_BANDS = _PH_T + 1  # pigeonhole-complete
+_PH_BAND_BITS = _PH_BITS // _PH_BANDS
+_PH_FAMILIES = 200
+
+
+def _phash_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(w, h, base, shift): family-determined dims + pattern offset, plus
+    the per-member brightness shift."""
+    f = doc_id % _PH_FAMILIES
+    return 16 + f % 17, 16 + f % 13, (f * 31) % 256, doc_id % 7
+
+
+def _phash_coef(doc_id: int) -> int:
+    """Family-dependent odd quadratic coefficient: distinct families get
+    distinct gradient patterns, not just shifted copies of one ramp."""
+    return 3 + 2 * (doc_id % _PH_FAMILIES)
+
+
+def attach_phash_png_media(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads with near-dup family structure:
+    pixel[k] = (base + shift + coef(f)*k*k) % 256 over family dims."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from experiments_datafusion_spark.operators.multimodal import _encode_png_gray8
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w, h, base, shift = _phash_params(int(did))
+                k = np.arange(w * h, dtype=np.int64)
+                px = ((base + shift + _phash_coef(int(did)) * k * k) % 256).reshape(h, w)
+                payloads.append(_encode_png_gray8(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+
+
+def _dhash_media(media: DataFrame) -> DataFrame:
+    """(media_id, dhash): REAL PNG decode -> 8x8 NN thumbnail -> 56-bit
+    horizontal-gradient hash, per Arrow batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from experiments_datafusion_spark.operators.multimodal import _decode_png_gray8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = 8
+        for pdf in batches:
+            out = {"media_id": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = _decode_png_gray8(bytes(payload))
+                img = px.reshape(h, w)
+                yi = (np.arange(s, dtype=np.int64) * h) // s
+                xj = (np.arange(s, dtype=np.int64) * w) // s
+                thumb = img[np.ix_(yi, xj)].astype(np.int64)
+                bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.int64)  # 8x7
+                val = int((bits.reshape(-1) << np.arange(_PH_BITS)).sum())
+                out["media_id"].append(mid)
+                out["dhash"].append(val)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, "media_id bigint, dhash bigint")
+
+
+def _phash_oracle() -> str:
+    # thumbnail sample (i, j) of doc d: value (c + 3*idx^2) % 256 with
+    # idx(i, j) = ((i*h)//8)*w + (j*w)//8 and c = base + shift
+    # (attach_phash_png_media's closed form); dHash bit (i, j) compares
+    # the j+1 and j samples of row i.
+    def tval(i: int, j: int) -> str:
+        return (
+            f"(c + q * ((({i}*h)//8)*w + (({j}*w)//8)) "
+            f"* ((({i}*h)//8)*w + (({j}*w)//8))) % 256"
+        )
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN {tval(i, j + 1)} > {tval(i, j)} "
+        f"THEN {1 << (i * 7 + j)} ELSE 0 END)"
+        for i in range(8)
+        for j in range(7)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         16 + (doc_id % {_PH_FAMILIES}) % 17 AS w,
+         16 + (doc_id % {_PH_FAMILIES}) % 13 AS h,
+         ((doc_id % {_PH_FAMILIES}) * 31) % 256 + doc_id % 7 AS c,
+         3 + 2 * (doc_id % {_PH_FAMILIES}) AS q
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS dh FROM d
+)
+SELECT a.doc_id AS x, b.doc_id AS y,
+       CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= {_PH_T}
+"""
+
+
+@register(
+    "mm_phash_pairs",
+    tags=("llm", "multimodal", "dedup", "similarity"),
+    oracle=_phash_oracle(),
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs by perceptual hash — the dedup tier byte
+    checksums cannot reach: decode the real PNG payloads, 8x8-thumbnail,
+    56-bit dHash (horizontal gradients; constant-brightness invariant),
+    then pair at Hamming <= 3 via pigeonhole-complete 4-band bucketing —
+    a pair within 3 flips shares an intact 14-bit chunk, so the banded
+    join provably finds every pair without an all-pairs scan.  The corpus
+    carries genuine near-dup structure (brightness-shifted family members
+    whose CHECKSUMS differ — see the module comment).  The oracle replays
+    the thumbnails' closed-form pixel algebra and brute-forces all pairs,
+    so the differential check proves BOTH the real-decode hash values and
+    the banding's completeness."""
+    media = attach_phash_png_media(table(spark, sf_dir, "documents"))
+    hashes = _dhash_media(media).localCheckpoint(eager=True)
+    chunk_exprs = [
+        F.shiftright(F.col("dhash"), k * _PH_BAND_BITS).bitwiseAND(
+            F.lit((1 << _PH_BAND_BITS) - 1)
+        )
+        for k in range(_PH_BANDS)
+    ]
+    chunks = hashes.select(
+        "media_id", "dhash", F.posexplode(F.array(*chunk_exprs)).alias("band", "ck")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .where(ham <= _PH_T)
+        .select(
+            F.col("a.media_id").alias("x"),
+            F.col("b.media_id").alias("y"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )

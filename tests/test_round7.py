@@ -103,3 +103,31 @@ def test_vacuum_removes_only_dead_files(spark, tmp_path):
 def test_table_vacuum_key_runs(spark, sf_dir):
     out = {r.status: (r.n, r.price_units) for r in R7.table_vacuum(spark, sf_dir).collect()}
     assert out and all(n > 0 for n, _ in out.values())
+
+
+def test_phash_pairs_beyond_checksum(spark):
+    """The perceptual tier's reason to exist: within-family pairs have
+    DIFFERENT byte checksums (brightness-shifted pixels) yet small Hamming
+    distance; the key's pairs are overwhelmingly same-family; and the
+    banding found pairs the checksum dedup cannot."""
+    import pyspark.sql.functions as F
+
+    from experiments_datafusion_spark.io import table
+
+    sf = "/root/testdata/sf0.01"
+    pairs = R7.mm_phash_pairs(spark, sf).collect()
+    assert pairs
+    fam = R7._PH_FAMILIES
+    same_family = [r for r in pairs if r.x % fam == r.y % fam]
+    assert len(same_family) / len(pairs) > 0.95
+    # checksums differ within a family whenever the brightness shift does
+    media = R7.attach_phash_png_media(table(spark, sf, "documents"))
+    sums = {
+        r.media_id: r.c
+        for r in media.select("media_id", F.md5(F.col("payload").cast("string")).alias("c")).collect()
+    }
+    shifted = [
+        (r.x, r.y) for r in same_family if r.x % 7 != r.y % 7
+    ]
+    assert shifted, "fixture produced no shifted same-family pairs (vacuous)"
+    assert all(sums[x] != sums[y] for x, y in shifted)
