@@ -96,7 +96,18 @@ HEADLINE = [
     "docs_ngram_novelty_fast",
     "text_containment",
     "text_containment_fast",
+    # round-7 flagships
+    "text_bpe_apply",  # BPE train + corpus tokenization (dictionary join)
+    "mm_phash_pairs",  # real decode -> dHash -> banded Hamming near-dups
 ]
+
+# Keys whose DuckDB oracle is an EMULATION rather than a native-engine
+# query (docs_winnowing_fast replays xxhash64 as 128-bit SQL arithmetic —
+# a correctness device, not a fair perf baseline).  Their Spark time is
+# still measured and reported; their oracle is simply not timed, so the
+# engine-vs-oracle ratio never gains from an artificially slow
+# denominator.
+BENCH_ORACLE_EXCLUDE = {"docs_winnowing_fast"}
 
 # The round-4 headline composition — a FIXED anchor subtotal recorded in
 # every BENCH_r*.json so gate drift is attributable across rounds without
@@ -187,7 +198,11 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
     times + median ratios for BENCH_r{N}.json.
     """
     con = _duck_connect()
-    oracled = [n for n in HEADLINE if registry[n].oracle is not None]
+    oracled = [
+        n
+        for n in HEADLINE
+        if registry[n].oracle is not None and n not in BENCH_ORACLE_EXCLUDE
+    ]
     # warmup: codegen for Spark, plan/IO cache for duckdb
     for name in HEADLINE:
         force(registry[name].fn(spark, SF_DIR))
@@ -268,7 +283,7 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         r = ratio_median.get(name)
         print(
             f"[bench] {name}: spark={results[name]}s"
-            + (f" duck={duck_median[name]}s ratio={r}" if r is not None else " (rows-only)"),
+            + (f" duck={duck_median[name]}s ratio={r}" if r is not None else " (no oracle timing)"),
             file=sys.stderr,
             flush=True,
         )

@@ -571,3 +571,81 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---- right-to-be-forgotten delete (data governance) ----------------------------
+
+_RTBF_MOD = 101  # forget custkeys ≡ 0 (mod 101) — deterministic cohort
+
+
+@register(
+    "table_delete_compliance",
+    tags=("io", "maintenance", "governance"),
+    oracle=f"""
+WITH c AS (
+  SELECT count(*) AS before_n,
+         CAST(sum(CASE WHEN c_custkey % {_RTBF_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS del_n,
+         CAST(sum(CASE WHEN c_custkey % {_RTBF_MOD} <> 0 THEN c_custkey ELSE 0 END) AS BIGINT) AS key_sum
+  FROM customer
+),
+o AS (
+  SELECT count(*) AS before_n,
+         CAST(sum(CASE WHEN o_custkey % {_RTBF_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS del_n,
+         CAST(sum(CASE WHEN o_custkey % {_RTBF_MOD} <> 0 THEN o_custkey ELSE 0 END) AS BIGINT) AS key_sum
+  FROM orders
+)
+SELECT 'customer' AS tbl, CAST(before_n AS BIGINT) AS rows_before,
+       CAST(before_n - del_n AS BIGINT) AS rows_after, del_n AS deleted,
+       0::BIGINT AS remaining_forgotten, key_sum FROM c
+UNION ALL
+SELECT 'orders', CAST(before_n AS BIGINT), CAST(before_n - del_n AS BIGINT),
+       del_n, 0::BIGINT, key_sum FROM o
+""",
+)
+def table_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten DELETE — the compliance dataflow every
+    lakehouse needs: a deterministic cohort of customers is erased from
+    BOTH the dimension and its fact table by copy-on-write rewrite
+    (anti-filter -> new immutable snapshot; the original files are never
+    edited), and the audit row per table is computed by READING THE
+    REWRITE BACK — rows_after, a content-sensitive surviving-key checksum,
+    and remaining_forgotten (provably 0) all come from the new files, so
+    the oracle's raw-table arithmetic genuinely verifies the rewrite
+    dropped exactly the cohort and nothing else.  At 100 TB this is the
+    standard DELETE pattern: partition-pruned rewrite of affected files
+    plus a manifest swap (table_vacuum reclaims the old ones)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="rtbf_")
+    out = []
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        df = table(spark, sf_dir, tbl)
+        before = df.count()
+        kept = df.where(F.col(key) % _RTBF_MOD != 0)
+        kept.write.mode("overwrite").parquet(f"{root}/{tbl}/v1")
+        back = spark.read.parquet(f"{root}/{tbl}/v1")
+        audit = back.agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            F.sum(F.when(F.col(key) % _RTBF_MOD == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("remaining_forgotten"),
+            F.sum(key).cast("bigint").alias("key_sum"),
+        ).withColumns(
+            {
+                "tbl": F.lit(tbl),
+                "rows_before": F.lit(before).cast("bigint"),
+            }
+        )
+        out.append(
+            audit.select(
+                "tbl",
+                "rows_before",
+                F.col("rows_after").cast("bigint"),
+                (F.lit(before) - F.col("rows_after")).cast("bigint").alias("deleted"),
+                F.coalesce(F.col("remaining_forgotten"), F.lit(0)).alias(
+                    "remaining_forgotten"
+                ),
+                "key_sum",
+            )
+        )
+    return out[0].unionByName(out[1])
