@@ -131,3 +131,28 @@ def test_phash_pairs_beyond_checksum(spark):
     ]
     assert shifted, "fixture produced no shifted same-family pairs (vacuous)"
     assert all(sums[x] != sums[y] for x, y in shifted)
+
+
+def test_wav_fingerprint_pairs_beyond_checksum(spark):
+    """Audio twin of the phash claim: same-family pairs dominate, and
+    their byte checksums differ whenever the DC offset does."""
+    import pyspark.sql.functions as F
+
+    from experiments_datafusion_spark.io import table
+
+    sf = "/root/testdata/sf0.01"
+    pairs = R7.mm_wav_fingerprint_pairs(spark, sf).collect()
+    assert pairs
+    fam = R7._AF_FAMILIES
+    same = [r for r in pairs if r.x % fam == r.y % fam]
+    assert len(same) / len(pairs) > 0.9
+    media = R7.attach_fingerprint_wav_media(table(spark, sf, "documents"))
+    sums = {
+        r.media_id: r.c
+        for r in media.select(
+            "media_id", F.md5(F.col("payload").cast("string")).alias("c")
+        ).collect()
+    }
+    shifted = [(r.x, r.y) for r in same if r.x % 7 != r.y % 7]
+    assert shifted, "fixture produced no DC-shifted same-family pairs (vacuous)"
+    assert all(sums[x] != sums[y] for x, y in shifted)
