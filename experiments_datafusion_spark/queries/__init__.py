@@ -64,7 +64,7 @@ _MODULES = (
     "stats",  # round 4/5: PSI/KS/chi2 drift, Markov chain, rules, MAD, KL
     "round5",  # round 5: pipe SQL, temporal SCD2 join, weighted sample, entropy
     "round6",  # round 6: grid-routed geo kNN, fast-hash twins, RLE8 AVI, time travel v2
-    "round7",  # round 7: BPE merge training, snapshot vacuum
+    "round7",  # round 7: BPE train/apply, vacuum, RTBF delete, phash/audio dedup
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

@@ -1,6 +1,9 @@
-"""Round-7 operators: BPE tokenizer-merge training (the tokenizer-training
-dataflow a 100 TB text pipeline runs before anything else) and snapshot
-VACUUM (the retention half of the time-travel story).
+"""Round-7 operators: BPE tokenizer-merge training + corpus tokenization
+(the tokenizer dataflow a 100 TB text pipeline runs before anything else),
+snapshot VACUUM and right-to-be-forgotten DELETE (the retention and
+governance halves of the time-travel story), and the perceptual-dedup
+family — image dHash pairs and audio energy-contour fingerprint pairs,
+both real-decode + pigeonhole-complete banded Hamming joins.
 
 Same contract as every other module: each key is the Spark plan you would
 ship at 100 TB with a DuckDB oracle replaying the semantics exactly; all

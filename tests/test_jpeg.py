@@ -149,9 +149,17 @@ def test_avi_rejects_compressed_and_garbage():
     good = bytearray(M._encode_avi_gray8(frames))
     with pytest.raises(ValueError, match="RIFF/AVI"):
         M._decode_avi_gray8(b"nope")
-    # flip the biCompression field inside strf to a nonzero fourcc
+    # flip the biCompression field inside strf PAST the supported set —
+    # 0 (BI_RGB) and, since round 7, 1 (BI_RLE8) both decode for real, so
+    # the DCT/inter-frame gate is any OTHER codec id
     idx = bytes(good).index(b"strf") + 8  # chunk body start
     comp_off = idx + 16  # biSize,i32 w,i32 h,u16 planes,u16 bpp -> compression
-    good[comp_off : comp_off + 4] = struct.pack("<I", 1)
-    with pytest.raises(NotImplementedError, match="video"):
+    good[comp_off : comp_off + 4] = struct.pack("<I", 2)
+    with pytest.raises(NotImplementedError, match="video gate"):
         M._decode_avi_gray8(bytes(good))
+    # a compressed ('00dc') chunk inside a stream whose strf declares
+    # BI_RGB is malformed, not gated
+    bad = bytearray(M._encode_avi_gray8(frames))
+    bad[bytes(bad).index(b"00db") : bytes(bad).index(b"00db") + 4] = b"00dc"
+    with pytest.raises(ValueError, match="non-RLE8"):
+        M._decode_avi_gray8(bytes(bad))
