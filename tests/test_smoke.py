@@ -54,3 +54,21 @@ def test_table_sample_deterministic_and_bounded(spark, sf_dir):
     total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     assert n1 == n2  # seeded sample is reproducible
     assert 0.05 * total < n1 < 0.15 * total  # ~10% Bernoulli
+
+
+def test_bench_headline_keys_valid():
+    """bench.py's key lists must stay consistent with the registry: every
+    headline key exists, the oracle-exclusion list only names ORACLED
+    headline keys (excluding a rows-only key would be a no-op typo), and
+    the r4-comparable anchor is exactly the headline's first 29 entries —
+    the cross-round comparability contract."""
+    from bench import BENCH_ORACLE_EXCLUDE, HEADLINE, R4_COMPARABLE
+    from experiments_datafusion_spark.queries import all_queries
+
+    q = all_queries()
+    missing = [k for k in HEADLINE if k not in q]
+    assert not missing, missing
+    assert set(BENCH_ORACLE_EXCLUDE) <= set(HEADLINE)
+    for k in BENCH_ORACLE_EXCLUDE:
+        assert q[k].oracle is not None, f"{k}: excluded but has no oracle anyway"
+    assert tuple(R4_COMPARABLE) == tuple(HEADLINE[:29])
