@@ -89,7 +89,7 @@ _PRIORITY = (
     # changed this round: exactness-bound fix + conditional fallback) +
     # docs_winnowing_fast (gained its xxhash64-replay oracle this round)
     "text_bpe_train", "text_bpe_apply", "table_vacuum", "mm_phash_pairs",
-    "table_delete_compliance", "mm_wav_fingerprint_pairs",
+    "table_delete_compliance", "mm_wav_fingerprint_pairs", "win_distribution",
     "text_dup_spans_fast", "docs_ngram_novelty_fast", "text_containment_fast",
     "mm_rle_features", "table_time_travel_multi", "geo_knn_grid",
     "docs_winnowing_fast",
@@ -106,7 +106,7 @@ _PRIORITY = (
     "table_sample", "topk", "tpch_q1", "tpch_q10",
     "tpch_q11_important_parts", "tpch_q12_shipmode", "tpch_q13_custdist",
     "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty", "tpch_q18", "tpch_q19_disjunctive",
+    "tpch_q17_small_qty", "tpch_q18",
 )
 
 

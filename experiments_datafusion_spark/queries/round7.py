@@ -830,3 +830,46 @@ def mm_wav_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---- distribution window functions ---------------------------------------------
+
+
+@register(
+    "win_distribution",
+    tags=("window", "analytic"),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ntile(4) OVER w AS BIGINT)            AS quartile,
+       round(percent_rank() OVER w, 6)            AS pct_rank,
+       round(cume_dist() OVER w, 6)               AS cume
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01'
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window-function trio — ntile(4), percent_rank,
+    cume_dist — over a TOTAL order (price, orderkey, linenumber), the one
+    precondition that makes all three deterministic across engines:
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers<=/n are single
+    IEEE divisions of exact integers (identical in both engines; rounded
+    6dp only for hash stability), and ntile's floor-division bucketing is
+    spec-identical.  Shape: one hash exchange on the partition key, one
+    sort — the plain window pattern."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-03-01")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
