@@ -114,6 +114,13 @@ BENCH_ORACLE_EXCLUDE = {"docs_winnowing_fast"}
 # archaeology (VERDICT r6 ask #6): new flagships change the full-suite
 # total, but this subtotal compares like-for-like forever.
 R4_COMPARABLE = tuple(HEADLINE[:29])
+# An anchor key that is also oracle-excluded would never be timed in DuckDB
+# and `_totals` would KeyError the whole bench (VERDICT r7 defect #2); the
+# literal anchor composition is additionally pinned in tests/test_smoke.py
+# so reordering HEADLINE's first 29 entries can't silently change it.
+assert not (set(BENCH_ORACLE_EXCLUDE) & set(R4_COMPARABLE)), (
+    "oracle-excluded keys may not enter the fixed r4 anchor"
+)
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
 
@@ -171,6 +178,20 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _host_load() -> tuple[float, int, int]:
+    """(loadavg_1min, busy_jiffies, total_jiffies) from /proc — per-window
+    host-load telemetry (VERDICT r7 ask #5): a drift window (the r7
+    mid-round 2.59x run) becomes attributable to load in the artifact
+    itself instead of by narrative."""
+    try:
+        load = float(open("/proc/loadavg").read().split()[0])
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return load, sum(vals) - idle, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return -1.0, 0, 0
+
+
 def _duck_connect():
     """DuckDB connection with the oracle views over the same parquet."""
     import duckdb
@@ -214,7 +235,10 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
     # per-window ratio list, and _median([]) killed the whole bench run.
     raw: list[dict[str, dict[str, float]]] = []
     windows: list[dict[str, dict[str, float]]] = []
+    loadavg_per_window: list[float] = []
+    cpu_busy_frac_per_window: list[float] = []
     for w in range(WINDOWS):
+        load0, busy0, total0 = _host_load()
         spark_t: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -225,6 +249,16 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
             t0 = time.perf_counter()
             con.execute(registry[name].oracle).fetchall()
             duck_t[name] = time.perf_counter() - t0
+        load1, busy1, total1 = _host_load()
+        # loadavg at the window boundary (1-min EWMA, so the END sample
+        # reflects the window's regime) + the window's own busy fraction
+        # from /proc/stat jiffy deltas (32 CPUs busy with our work alone
+        # reads ~suite-parallelism/ncpu; anything materially above the
+        # other windows means a co-tenant was competing).
+        loadavg_per_window.append(round(max(load0, load1), 2))
+        cpu_busy_frac_per_window.append(
+            round((busy1 - busy0) / max(total1 - total0, 1), 4)
+        )
         raw.append({"spark": spark_t, "duck": duck_t})
         windows.append(
             {
@@ -255,6 +289,11 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         ratio_median[name] = round(_median(ratios), 3) if ratios else None
 
     def _totals(keys: list[str]) -> list[float]:
+        # defensively drop keys without a timed oracle (BENCH_ORACLE_EXCLUDE
+        # members are never in w["duck"]; the module-level assert makes this
+        # unreachable for the r4 anchor, but a future caller shouldn't be
+        # one KeyError away from killing the whole bench)
+        keys = [n for n in keys if n in raw[0]["duck"]]
         return [
             round(
                 sum(w["spark"][n] for n in keys)
@@ -274,6 +313,9 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         "ratio_median": ratio_median,
         "ratio_total_per_window": per_window_totals,
         "ratio_total_median": round(_median(per_window_totals), 3),
+        # host-load telemetry per window (VERDICT r7 ask #5)
+        "loadavg_per_window": loadavg_per_window,
+        "cpu_busy_frac_per_window": cpu_busy_frac_per_window,
         # the fixed round-4 anchor: like-for-like across every round
         "r4_comparable_keys": len(r4_oracled),
         "ratio_total_r4_per_window": r4_totals,

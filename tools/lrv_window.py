@@ -44,7 +44,10 @@ def main() -> None:
     if never:
         print(f"# WARNING: never driver-verified (put these FIRST): {never}")
     lrv = sorted((k for k in registry if k in last), key=lambda k: (last[k], k))
-    fill = [k for k in lrv if k not in new_keys][: WINDOW - len(new_keys) - len(never)]
+    # clamp: > WINDOW new+never keys would make the stop negative and the
+    # slice wrap to nearly the whole LRV list (round-7 advisor finding)
+    n_fill = max(0, WINDOW - len(new_keys) - len(never))
+    fill = [k for k in lrv if k not in new_keys][:n_fill]
     window = list(new_keys) + never + fill
     rounds = sorted({last[k] for k in fill})
     print(f"# window = {len(window)} keys; LRV fill drawn from rounds {rounds}")
