@@ -11,7 +11,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.io import materialize_then_rmtree, table
 from experiments_datafusion_spark.queries import register
 
 
@@ -173,7 +173,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_declared = eio.compact_parquet(spark, src, dst, target_file_bytes=1 << 40)
     n_actual = len(list(Path(dst).glob("*.parquet")))
     assert n_declared == n_actual == 1, (n_declared, n_actual)
-    return spark.read.parquet(dst).agg(
+    out = spark.read.parquet(dst).agg(
         F.count("*").alias("n_rows"),
         F.sum("o_custkey").alias("custkey_sum"),
     ).select(F.lit(1).cast("long").alias("out_files"), "n_rows", "custkey_sum")
+    return materialize_then_rmtree(out, tmp)

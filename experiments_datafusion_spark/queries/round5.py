@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.io import materialize_then_rmtree, table
 from experiments_datafusion_spark.queries import register
 
 
@@ -522,11 +522,12 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         row_tag="order",
         schema="o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING",
     )
-    return back.groupBy("o_orderstatus").agg(
+    out = back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.sum("o_custkey").cast("bigint").alias("cust_sum"),
     )
+    return materialize_then_rmtree(out, tmp)
 
 
 # ---- as-of join with tolerance ----------------------------------------------
@@ -943,13 +944,14 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.write.format("pyavro").mode("append").save(f"{tmp}/orders_avro")
     back = spark.read.format("pyavro").load(f"{tmp}/orders_avro")
-    return back.groupBy("o_orderstatus").agg(
+    out = back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .cast("bigint")
         .alias("price_units"),
     )
+    return materialize_then_rmtree(out, tmp)
 
 
 # ---- snapshot time travel (Delta/Iceberg AS OF dataflow) ---------------------
@@ -1044,7 +1046,7 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in (0, 1)
     ]
-    return (
+    out = (
         reads[0]
         .unionByName(reads[1])
         .groupBy("version", "status")
@@ -1053,6 +1055,7 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("bigint").alias("price_units"),
         )
     )
+    return materialize_then_rmtree(out, tmp)
 
 
 # ---- geo: haversine k-nearest-neighbors --------------------------------------

@@ -20,7 +20,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.io import materialize_then_rmtree, table
 from experiments_datafusion_spark.operators import text as T
 from experiments_datafusion_spark.queries import llm_extras, register
 from experiments_datafusion_spark.queries.round5 import _GEO_K, _GEO_NQ
@@ -510,8 +510,9 @@ def table_time_travel_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = reads[0]
     for r in reads[1:]:
         allv = allv.unionByName(r, allowMissingColumns=True)
-    return allv.groupBy("version", "status").agg(
+    out = allv.groupBy("version", "status").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("price_c").cast("bigint").alias("price_units"),
         F.count("priority").cast("bigint").alias("n_prio"),
     )
+    return materialize_then_rmtree(out, tmp)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from experiments_datafusion_spark.io import table
+from experiments_datafusion_spark.io import materialize_then_rmtree, table
 from experiments_datafusion_spark.queries import register
 
 # ---- BPE merge training -------------------------------------------------------
@@ -326,7 +326,7 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.endswith(".parquet")
     }
     vacuum_unreferenced(root, live)
-    return (
+    out = (
         spark.read.parquet(f"{root}/v1")
         .groupBy("status")
         .agg(
@@ -334,6 +334,7 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").cast("bigint").alias("price_units"),
         )
     )
+    return materialize_then_rmtree(out, root)
 
 
 def _bpe_apply_oracle() -> str:
@@ -651,7 +652,7 @@ def table_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "key_sum",
             )
         )
-    return out[0].unionByName(out[1])
+    return materialize_then_rmtree(out[0].unionByName(out[1]), root)
 
 
 # ---- audio fingerprint near-dup pairs ------------------------------------------

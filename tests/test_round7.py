@@ -156,3 +156,45 @@ def test_wav_fingerprint_pairs_beyond_checksum(spark):
     shifted = [(r.x, r.y) for r in same if r.x % 7 != r.y % 7]
     assert shifted, "fixture produced no DC-shifted same-family pairs (vacuous)"
     assert all(sums[x] != sums[y] for x, y in shifted)
+
+
+# ---- snapshot temp-tree cleanup (VERDICT r7 defect #1 / r8 defect #1) --------
+
+_SNAPSHOT_KEYS = {
+    # registry key -> (module attr, mkdtemp prefix it must clean up)
+    "table_vacuum": ("round7", "table_vacuum", "vacuum_"),
+    "table_delete_compliance": ("round7", "table_delete_compliance", "rtbf_"),
+    "table_time_travel_multi": ("round6", "table_time_travel_multi", "timetravel_multi_"),
+    "source_xml_roundtrip": ("round5", "source_xml_roundtrip", "xml_rt_"),
+    "source_avro_roundtrip": ("round5", "source_avro_roundtrip", "avro_rt_"),
+    "table_time_travel": ("round5", "table_time_travel", "timetravel_"),
+    "compact_small_files": ("extras", "compact_small_files", "compact_sf_"),
+}
+
+
+@pytest.mark.parametrize("key", sorted(_SNAPSHOT_KEYS))
+def test_snapshot_keys_remove_their_temp_trees(spark, sf_dir, key):
+    """Every mkdtemp-backed snapshot/roundtrip key must leave NO temp tree
+    behind once its DataFrame is built (materialize_then_rmtree eagerly
+    pins the tiny audit aggregate, then rmtree's the snapshot root) — the
+    bench re-runs these every window, so a leak compounds ~a dozen
+    orphaned trees per run.  `timetravel_multi_` is checked before
+    `timetravel_` would false-positive on it via prefix overlap because
+    the glob is exact-prefix on the mkdtemp basename, which embeds a
+    random suffix directly after the prefix — both prefixes are asserted
+    independently here anyway."""
+    import glob
+    import importlib
+    import tempfile
+
+    mod_name, fn_name, prefix = _SNAPSHOT_KEYS[key]
+    mod = importlib.import_module(f"experiments_datafusion_spark.queries.{mod_name}")
+    tmp_root = tempfile.gettempdir()
+    before = set(glob.glob(os.path.join(tmp_root, f"{prefix}*")))
+    df = getattr(mod, fn_name)(spark, sf_dir)
+    after = set(glob.glob(os.path.join(tmp_root, f"{prefix}*")))
+    leaked = after - before
+    assert not leaked, f"{key} leaked temp trees: {sorted(leaked)}"
+    # the result must still be fully readable after the tree is gone
+    rows = df.collect()
+    assert rows, f"{key}: empty result after snapshot cleanup"
