@@ -99,6 +99,8 @@ HEADLINE = [
     # round-7 flagships
     "text_bpe_apply",  # BPE train + corpus tokenization (dictionary join)
     "mm_phash_pairs",  # real decode -> dHash -> banded Hamming near-dups
+    # round-9 flagship
+    "sortbench_merge",  # multi-batch sorted-run merge (reference README.md:3-5)
 ]
 
 # Keys whose DuckDB oracle is an EMULATION rather than a native-engine
@@ -118,9 +120,11 @@ R4_COMPARABLE = tuple(HEADLINE[:29])
 # and `_totals` would KeyError the whole bench (VERDICT r7 defect #2); the
 # literal anchor composition is additionally pinned in tests/test_smoke.py
 # so reordering HEADLINE's first 29 entries can't silently change it.
-assert not (set(BENCH_ORACLE_EXCLUDE) & set(R4_COMPARABLE)), (
-    "oracle-excluded keys may not enter the fixed r4 anchor"
-)
+# ValueError, not assert: the guard must survive `python -O` (advisor r8) —
+# stripped asserts would leave only _totals' defensive filter, which shrinks
+# the anchor silently instead of failing loudly.
+if set(BENCH_ORACLE_EXCLUDE) & set(R4_COMPARABLE):
+    raise ValueError("oracle-excluded keys may not enter the fixed r4 anchor")
 
 REF_SORT_ROWS = 100_000  # reference sweep endpoint (runall.sh:2 END=100000)
 
@@ -152,6 +156,24 @@ SWEEP_SIZES = tuple(n for n in SWEEP_SIZES if n <= _SWEEP_CAP)
 # "i64-single" case IS radix-eligible and shows the genuine divergence.
 SORT_STRATEGIES = (("radix", "true"), ("comparator", "false"))
 RADIX_PROBE_CASE = "i64-single"
+
+# Multi-batch sorted-run MERGE series (round 9; reference README.md:3-5 —
+# the half of its finding where row-format encoding wins, fed by
+# split_batch data.rs:245-261): K pre-sorted pinned runs merged into one
+# total order (merge_sorted_runs = range exchange + per-partition sort),
+# timed under both strategies, against the direct sort of the SAME pinned
+# rows.  The Spark-shaped question: the range exchange interleaves up to
+# K sorted subsequences per reducer, which the comparator path's TimSort
+# merges adaptively while radix ignores order — so the strategy gap on
+# run-structured input is the translation of the reference's
+# single-batch-vs-merge asymmetry.
+MERGE_SWEEP_RUNS = (2, 8, 32)
+MERGE_SWEEP_SIZES = tuple(n for n in (1_000_000, 10_000_000) if n <= _SWEEP_CAP)
+# Two cases: the reference's mixed-tuple workload (multi-column — Spark
+# plans the comparator path regardless of the radix flag, so its two
+# series honestly coincide there) and the radix-eligible i64-single probe,
+# where the strategy divergence on run-structured input is measurable.
+MERGE_SWEEP_CASES = ("mixed-tuple", RADIX_PROBE_CASE)
 
 # Analytics decade sweep (round-5): the three CPU-bound dedup/fingerprint
 # flagships over generated corpora spanning a decade+ of document counts
@@ -256,9 +278,15 @@ def run_headline_windows(spark, registry) -> tuple[dict, dict]:
         # reads ~suite-parallelism/ncpu; anything materially above the
         # other windows means a co-tenant was competing).
         loadavg_per_window.append(round(max(load0, load1), 2))
-        cpu_busy_frac_per_window.append(
-            round((busy1 - busy0) / max(total1 - total0, 1), 4)
-        )
+        # a failed /proc read on EITHER end must record a loud sentinel, not
+        # a plausible-looking 0.0/negative fraction (advisor r8): total==0
+        # marks that end's _host_load as failed.
+        if total0 == 0 or total1 == 0:
+            cpu_busy_frac_per_window.append(-1.0)
+        else:
+            cpu_busy_frac_per_window.append(
+                round((busy1 - busy0) / max(total1 - total0, 1), 4)
+            )
         raw.append({"spark": spark_t, "duck": duck_t})
         windows.append(
             {
@@ -409,6 +437,56 @@ def main() -> None:
         results[ck] = point["sec"]
         refsort_points[ck] = point["n"]
 
+    # multi-batch merge series: pin the rows once per size (so the timed
+    # section is ONLY the merge / the direct sort, not generation), then
+    # for each run count K: scatter+sort the runs (untimed), pin them, and
+    # time the global merge under both strategies.  The direct-sort
+    # baseline of the same pinned rows anchors each size.
+    from experiments_datafusion_spark.operators import split as split_ops
+
+    merge_sweep: dict[str, dict] = {}
+    for case in MERGE_SWEEP_CASES:
+        for n in MERGE_SWEEP_SIZES:
+            base = generators.generate_batch(spark, case, n).persist()
+            base.count()  # pin
+            exprs = sort_ops.make_sort_exprs(base)
+            entry: dict = {"direct": {}, "runs": {}}
+            for strategy, conf in SORT_STRATEGIES:
+                spark.conf.set("spark.sql.sort.enableRadixSort", conf)
+                entry["direct"][strategy] = round(
+                    time_df(lambda: sort_ops.sort_batch(base, exprs), iters=2, warmup=1),
+                    4,
+                )
+            for k in MERGE_SWEEP_RUNS:
+                assigned = split_ops.assign_streams(base, k).withColumnRenamed(
+                    "stream", "run"
+                )
+                runs = (
+                    sort_ops.make_sorted_runs(assigned, k, exprs, run_col="run")
+                    .drop("run")
+                    .persist()
+                )
+                runs.count()  # pin the sorted runs; scatter+sort stays untimed
+                per_k = {}
+                for strategy, conf in SORT_STRATEGIES:
+                    spark.conf.set("spark.sql.sort.enableRadixSort", conf)
+                    per_k[strategy] = round(
+                        time_df(
+                            lambda: sort_ops.merge_sorted_runs(runs, exprs),
+                            iters=2,
+                            warmup=1,
+                        ),
+                        4,
+                    )
+                entry["runs"][str(k)] = per_k
+                runs.unpersist()
+            base.unpersist()
+            spark.conf.set("spark.sql.sort.enableRadixSort", "true")
+            merge_sweep[f"{case}@{n}"] = entry
+            print(
+                f"[bench] merge sweep {case}@{n}: {entry}", file=sys.stderr, flush=True
+            )
+
     # analytics decade sweep: generated corpora, noop sink, single timed
     # run per point (shape, not steady-state, is the question; the first
     # point pays codegen via one warmup)
@@ -496,6 +574,7 @@ def main() -> None:
                 "queries": results,
                 "refsort_points": refsort_points,
                 "refsort_sweep": sweep,
+                "merge_sweep": merge_sweep,
                 "analytics_sweep": analytics_sweep,
                 "headline_windows": headline_record,
                 "sf": sf_val,

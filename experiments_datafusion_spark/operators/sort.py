@@ -56,6 +56,41 @@ def sort_within_partitions(df: DataFrame, exprs: Sequence[Column] | None = None)
     return df.sortWithinPartitions(*(exprs if exprs is not None else make_sort_exprs(df)))
 
 
+def make_sorted_runs(
+    df: DataFrame,
+    num_runs: int,
+    exprs: Sequence[Column] | None = None,
+    run_col: str = "run",
+) -> DataFrame:
+    """Scatter rows into ``num_runs`` partition-resident runs (one run per
+    partition via hash repartition on ``run_col``) and sort each run — the
+    setup half of the reference's multi-batch regime (split_batch,
+    data.rs:245-261, feeding the merge benchmark README.md:3-5).  The run
+    column must already exist (operators/split.assign_streams*)."""
+    sort_cols = [c for c in df.columns if c != run_col]
+    return df.repartition(num_runs, F.col(run_col)).sortWithinPartitions(
+        *(exprs if exprs is not None else make_sort_exprs(df, sort_cols))
+    )
+
+
+def merge_sorted_runs(runs: DataFrame, exprs: Sequence[Column] | None = None) -> DataFrame:
+    """Globally merge pre-sorted runs into one total order — the
+    SortPreservingMerge analog of the reference's multi-batch merge regime
+    (README.md:3-5: the half of its finding where row-format encoding wins).
+
+    Spark has no user-level merge-without-sort: a total order is always
+    range-exchange + per-partition sort (`orderBy`).  The exchange
+    re-interleaves the runs, so each reducer sees up to K sorted
+    subsequences — input that the comparator strategy's TimSort
+    (spark.sql.sort.enableRadixSort=false; Spark's comparator sort IS
+    TimSort over record pointers) merges adaptively in ~O(n log K), while
+    the radix path ignores pre-existing order entirely.  That strategy
+    divergence on run-structured input is the Spark translation of the
+    reference's single-batch-vs-merge asymmetry; bench.py's merge series
+    measures it across N runs at 1M-10M rows."""
+    return runs.orderBy(*(exprs if exprs is not None else make_sort_exprs(runs)))
+
+
 def top_k(df: DataFrame, k: int, exprs: Sequence[Column] | None = None) -> DataFrame:
     """Sort + fetch: Spark plans TakeOrderedAndProject (per-partition heaps,
     no global sort) — the TopK operator DataFusion plans for

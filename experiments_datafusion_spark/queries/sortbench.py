@@ -118,6 +118,53 @@ def sortbench_mixed_dictionary_tuple(spark: SparkSession, sf_dir: str) -> DataFr
     return _sorted_case(spark, "mixed-dictionary-tuple")
 
 
+_MERGE_RUNS = 4
+
+
+@register(
+    "sortbench_merge",
+    tags=("sortbench", "sort", "merge"),
+    oracle=f"""
+WITH {_IDS}
+SELECT id,
+       CAST({_H.format(x=f"CAST(id AS VARCHAR) || '#{SPLIT_SEED}'")} % {_MERGE_RUNS}
+            AS INTEGER) AS run,
+       CAST({_sql_uniform(DATA_SEED, _N)} AS DOUBLE) AS f64,
+       {_sql_utf8_low(DATA_SEED + 1)} AS utf_low1,
+       {_sql_utf8_low(DATA_SEED + 2)} AS utf_low2,
+       {_sql_uniform(DATA_SEED + 3, _N)} AS i64
+FROM ids
+""",
+)
+def sortbench_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch sorted-run MERGE — the other half of the reference's
+    headline finding (README.md:3-5; split_batch data.rs:245-261 exists to
+    feed it): the mixed-tuple workload is split into {_MERGE_RUNS} runs by
+    the portable split hash (oracle-replayable, same recipe as
+    split_streams), each run is scattered to its own partition and sorted
+    (make_sorted_runs), and the runs are merged into ONE globally-ordered
+    output (merge_sorted_runs = range exchange + adaptive per-partition
+    merge).  The oracle regenerates the identical (id, run, tuple) rows, so
+    generation AND the run assignment are differentially verified; the
+    ordering invariants — merge output identical, row for row, to the
+    direct full sort — live in tests/test_sort.py, same contract as the
+    single-batch sortbench keys."""
+    base = spark.range(_N).select(
+        F.col("id"),
+        generators._f64(DATA_SEED, _N, portable=True).alias("f64"),
+        generators._utf8_low(DATA_SEED + 1, portable=True).alias("utf_low1"),
+        generators._utf8_low(DATA_SEED + 2, portable=True).alias("utf_low2"),
+        generators._i64(DATA_SEED + 3, _N, portable=True).alias("i64"),
+    )
+    assigned = split_ops.assign_streams_hash(
+        base, _MERGE_RUNS, F.col("id").cast("string")
+    ).withColumnRenamed("stream", "run")
+    data_cols = ["f64", "utf_low1", "utf_low2", "i64"]
+    exprs = sort_ops.make_sort_exprs(assigned, data_cols)
+    runs = sort_ops.make_sorted_runs(assigned, _MERGE_RUNS, exprs, run_col="run")
+    return sort_ops.merge_sorted_runs(runs, exprs)
+
+
 _SPLIT_KEY_SQL = (
     "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
     f" || '#{SPLIT_SEED}'"

@@ -83,3 +83,39 @@ def test_topk_matches_full_sort(spark):
     full = sort_ops.sort_batch(df).limit(50).collect()
     topk = sort_ops.top_k(df, 50).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in topk]
+
+
+def test_merge_sorted_runs_equals_direct_sort(spark):
+    """The multi-batch merge regime (sortbench_merge): splitting into K
+    sorted runs then merging must produce EXACTLY the direct full sort —
+    same key sequence in order, same full-row multiset — and the merged
+    output must be globally nondecreasing."""
+    base = generators.generate_batch(spark, "mixed-tuple", N)
+    assigned = split_ops.assign_streams(base, 8).withColumnRenamed("stream", "run")
+    data_cols = base.columns
+    exprs = sort_ops.make_sort_exprs(assigned, data_cols)
+    runs = sort_ops.make_sorted_runs(assigned, 8, exprs, run_col="run")
+    merged = sort_ops.merge_sorted_runs(runs, exprs)
+
+    merged_keys = [tuple(r[c] for c in data_cols) for r in merged.collect()]
+    direct_keys = [tuple(r) for r in sort_ops.sort_batch(base).collect()]
+    assert merged_keys == direct_keys          # same total order, row for row
+    assert merged_keys == sorted(merged_keys)  # globally nondecreasing
+    # permutation: merge lost/duplicated nothing (run column dropped first)
+    assert _multiset_hash(merged.select(*data_cols)) == _multiset_hash(base)
+
+
+def test_merge_sorted_runs_plan_shape(spark):
+    """The merge itself must cost exactly ONE range exchange on top of the
+    run scatter — no extra hash shuffles, no single-partition funnel."""
+    from experiments_datafusion_spark.plans.audit import audit
+
+    base = generators.generate_batch(spark, "mixed-tuple", 1_000)
+    assigned = split_ops.assign_streams(base, 4).withColumnRenamed("stream", "run")
+    exprs = sort_ops.make_sort_exprs(assigned, base.columns)
+    merged = sort_ops.merge_sorted_runs(
+        sort_ops.make_sorted_runs(assigned, 4, exprs, run_col="run"), exprs
+    )
+    p = audit(merged)
+    assert p.n_range_shuffles == 1, p.text
+    assert p.n_shuffles == 2, p.text  # scatter (hash on run) + merge (range)
