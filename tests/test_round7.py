@@ -64,13 +64,91 @@ def test_bpe_window_rule_equals_greedy_scan(spark):
 
     ref_merges, ref_symbols = _ref_bpe(corpus, 3)
     for a, b, cnt in ref_merges:
-        ga, gb, gcnt = R7._bpe_top_pair(sym)
-        assert (ga, gb, gcnt) == (a, b, cnt)
-        sym = R7._bpe_apply_merge(sym, ga, gb)
+        cand = R7._bpe_rank_candidates(sym)
+        assert cand[0] == (a, b, cnt)
+        sym = R7._bpe_apply_batch(sym, [cand[0]])  # batch of 1 == sequential
     got = {}
     for r in sym.orderBy("w", "pos").collect():
         got.setdefault(r.w, []).append(r.sym)
     assert got == ref_symbols
+
+
+def test_bpe_select_batch_blocking_rule():
+    """Blocking rule: accepted iff symbol-disjoint from EVERY higher-ranked
+    candidate (not just accepted ones), first `need` accepted win."""
+    cand = [
+        ("t", "h", 100),  # rank 1: accepted
+        ("h", "e", 90),   # shares 'h' with rank 1: blocked
+        ("e", "r", 80),   # shares 'e' with rank 2 (even though 2 was blocked): blocked
+        ("a", "n", 70),   # disjoint from ALL above: accepted
+        ("i", "n", 60),   # shares 'n' with rank 4: blocked
+        ("o", "u", 50),   # accepted (3rd)
+        ("x", "y", 40),   # would be 4th, but need=3
+    ]
+    sel = R7._bpe_select_batch(cand, 3)
+    assert sel == [("t", "h", 100), ("a", "n", 70), ("o", "u", 50)]
+    assert R7._bpe_select_batch(cand, 2) == [("t", "h", 100), ("a", "n", 70)]
+    assert R7._bpe_select_batch([], 3) == []
+
+
+def test_bpe_batched_apply_equals_sequential(spark):
+    """A symbol-disjoint batch applied in ONE window pass must produce the
+    same symbol table as applying its pairs one at a time (the disjointness
+    argument in the round7 module comment)."""
+    import pyspark.sql.functions as F
+
+    corpus = {"than": 30, "anthem": 20, "aaaa": 10, "outht": 5, "xyxy": 4}
+    rows = [(w, n) for w, n in corpus.items()]
+    wf = spark.createDataFrame(rows, "w string, freq long")
+
+    def explode(df):
+        return df.select(
+            "w",
+            "freq",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring("w", i, F.lit(1)),
+                )
+            ).alias("p0", "sym"),
+        ).select("w", "freq", (F.col("p0") + 1).alias("pos"), "sym")
+
+    batch = [("t", "h", 0), ("a", "n", 0), ("x", "y", 0)]
+    batched = R7._bpe_apply_batch(explode(wf), batch)
+    seq = explode(wf)
+    for p in batch:
+        seq = R7._bpe_apply_batch(seq, [p])
+    key = lambda df: [(r.w, r.pos, r.sym) for r in df.orderBy("w", "pos").collect()]
+    assert key(batched) == key(seq)
+
+
+def test_bpe_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """A corpus with no adjacent pairs (every word one char) must train
+    ZERO merges gracefully — no IndexError (VERDICT r8 defect #4) — and
+    the Spark output must still equal the DuckDB oracle's (vocab-only
+    rows, ranks starting at 1) on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    p = tmp_path / "documents.parquet"
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b a", "b c", "a c c"]}
+    ).to_parquet(p)
+    out = R7.text_bpe_train(spark, str(tmp_path)).toPandas()
+    assert list(out["rank"]) and out["right"].isna().all()  # vocab rows only
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    from experiments_datafusion_spark.queries import all_queries
+
+    oracle = all_queries()["text_bpe_train"].oracle
+    odf = con.execute(oracle).df()
+    s = out.sort_values("rank").reset_index(drop=True)
+    o = odf.sort_values("rank").reset_index(drop=True)
+    assert list(s["rank"]) == list(o["rank"])
+    assert list(s["left"]) == list(o["left"])
+    assert list(s["cnt"]) == list(o["cnt"])
 
 
 def test_vacuum_removes_only_dead_files(spark, tmp_path):
