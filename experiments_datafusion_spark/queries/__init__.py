@@ -65,6 +65,7 @@ _MODULES = (
     "round5",  # round 5: pipe SQL, temporal SCD2 join, weighted sample, entropy
     "round6",  # round 6: grid-routed geo kNN, fast-hash twins, RLE8 AVI, time travel v2
     "round7",  # round 7: BPE train/apply, vacuum, RTBF delete, phash/audio dedup
+    "round9",  # round 9: merge-on-read deletion vectors
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry
