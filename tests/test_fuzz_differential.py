@@ -35,6 +35,19 @@ def test_fuzz_40_specs(spark, sf_dir, duck):
     assert not fails, fails
 
 
+def test_fuzz_decimal_datetime_40_specs(spark, sf_dir, duck):
+    """Round-9 axes in isolation: decimal arithmetic (the int128/decimal
+    accumulation family behind the r4 1-ulp skew — everything computed in
+    DECIMAL and landed in exact integer units) and calendar conventions
+    (the dayofweek/date_diff shift family — each kind pairs Spark's
+    spelling with the convention-corrected DuckDB spelling).  Also green
+    at sf0.01 and sf0.1 (run manually:
+    `python -c "...run(40, 20250815, sf, only=('decimal','datetime'))"`)."""
+    results = run(40, 20250815, sf_dir, spark=spark, con=duck, only=("decimal", "datetime"))
+    fails = [(i, sql, d) for i, sql, ok, d in results if not ok]
+    assert not fails, fails
+
+
 def test_empty_input_rollup_divergence_pinned(spark, duck):
     """Engine-divergence exhibit (found by the fuzzer, seed 987654): on
     EMPTY input the SQL standard's empty grouping set inside ROLLUP/CUBE

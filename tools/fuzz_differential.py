@@ -831,6 +831,228 @@ def sspec_to_spark(spec: SSpec, df):
     return out.select(*cols)
 
 
+# ---- decimal-arithmetic specs (round 9) ---------------------------------------
+#
+# The axis that randomizes the int128/decimal accumulation family behind the
+# r4 1-ulp skew: every expression is computed in DECIMAL (never double) and
+# lands in exact integer units, so any divergence is an engine bug or a
+# broken parity recipe, never float noise.  Conventions encoded (both
+# engines verified): double->DECIMAL casts round to nearest; round() on
+# positive decimals is half-up in Spark and half-away in DuckDB (equal for
+# positives); exact quotients use the scaled-integer // recipe, never
+# decimal division (result-scale rules differ between engines).
+
+DEC_KINDS = ("disc_price_units", "charge_units", "ratio_div_micro", "price_band")
+
+
+@dataclass
+class DecSpec:
+    preds: list[Pred]
+    exprs: list[tuple[str, int, str]]  # (kind, param, alias)
+    group: str | None  # None = per-row projection; else grouped decimal SUMs
+
+
+def gen_decspec(rng: random.Random) -> DecSpec:
+    preds = _gen_preds(rng, "lineitem", rng.randint(1, 2))
+    kinds = rng.sample(DEC_KINDS, rng.randint(2, 4))
+    exprs = []
+    for i, kind in enumerate(kinds):
+        param = {
+            "ratio_div_micro": rng.choice([10_000, 1_000_000]),
+            "price_band": rng.randint(20_000, 70_000),
+        }.get(kind, 0)
+        exprs.append((kind, param, f"d{i}"))
+    group = rng.choice([None, "l_returnflag", "l_linestatus"])
+    return DecSpec(preds, exprs, group)
+
+
+_P = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_D = "CAST(l_discount AS DECIMAL(4,2))"
+_T = "CAST(l_tax AS DECIMAL(4,2))"
+
+_DEC_SQL = {
+    "disc_price_units": lambda p: f"CAST(round({_P} * (1 - {_D}), 2) * 100 AS BIGINT)",
+    "charge_units": lambda p: (
+        f"CAST(round({_P} * (1 - {_D}) * (1 + {_T}), 2) * 100 AS BIGINT)"
+    ),
+    # exact quotient: scaled-integer // (DuckDB // truncates toward zero,
+    # Spark `div` likewise for positives) — never decimal division
+    "ratio_div_micro": lambda p: (
+        f"(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * {p})"
+        f" // CAST(l_quantity AS BIGINT)"
+    ),
+    "price_band": lambda p: (
+        f"CASE WHEN {_P} > {p} THEN 'hi' WHEN {_P} > {p // 2} THEN 'mid'"
+        f" ELSE 'lo' END"
+    ),
+}
+
+
+def _dec_spark(kind: str, p: int):
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    if kind == "disc_price_units":
+        return (F.round(price * (F.lit(1) - disc), 2) * 100).cast("bigint")
+    if kind == "charge_units":
+        return (
+            F.round(price * (F.lit(1) - disc) * (F.lit(1) + tax), 2) * 100
+        ).cast("bigint")
+    if kind == "ratio_div_micro":
+        return F.expr(
+            f"(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * {p})"
+            f" div CAST(l_quantity AS BIGINT)"
+        )
+    return (
+        F.when(price > p, "hi").when(price > p // 2, "mid").otherwise("lo")
+    )
+
+
+def decspec_to_sql(spec: DecSpec) -> str:
+    conds = " AND ".join(_sql_pred(p) for p in spec.preds)
+    if spec.group is None:
+        parts = [f"{_DEC_SQL[k](p)} AS {alias}" for k, p, alias in spec.exprs]
+        return (
+            f"SELECT l_orderkey, l_linenumber, {', '.join(parts)} "
+            f"FROM lineitem WHERE {conds}"
+        )
+    # grouped: decimal SUM accumulation (the int128-skew family) — the sum
+    # runs in DECIMAL and is scaled to integer units only at the end
+    parts = [
+        f"CAST(sum({_DEC_SQL[k](p)}) AS BIGINT) AS {alias}"
+        for k, p, alias in spec.exprs
+        if k != "price_band"
+    ] or [f"CAST(sum({_DEC_SQL['disc_price_units'](0)}) AS BIGINT) AS d0"]
+    return (
+        f"SELECT {spec.group}, count(*) AS n, {', '.join(parts)} "
+        f"FROM lineitem WHERE {conds} GROUP BY {spec.group}"
+    )
+
+
+def decspec_to_spark(spec: DecSpec, df):
+    out = df.where(_spark_cond(spec.preds, "AND"))
+    if spec.group is None:
+        cols = [F.col("l_orderkey"), F.col("l_linenumber")]
+        cols += [_dec_spark(k, p).alias(alias) for k, p, alias in spec.exprs]
+        return out.select(*cols)
+    aggs = [
+        F.sum(_dec_spark(k, p)).cast("bigint").alias(alias)
+        for k, p, alias in spec.exprs
+        if k != "price_band"
+    ] or [F.sum(_dec_spark("disc_price_units", 0)).cast("bigint").alias("d0")]
+    return out.groupBy(spec.group).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+# ---- datetime-convention specs (round 9) ---------------------------------------
+#
+# The axis that randomizes the calendar-convention family behind the r4/r5
+# dayofweek/date_diff findings.  Every kind pairs Spark's spelling with the
+# DuckDB spelling of the SAME fact, with the convention delta corrected in
+# the SQL: Spark dayofweek is 1=Sunday while DuckDB's is 0=Sunday (+1);
+# Spark weekday is 0=Monday while DuckDB isodow is 1=Monday; datediff /
+# date_diff('day') both count boundary crossings for DATEs; add_months and
+# +INTERVAL MONTH both clamp to month end.
+
+DT_KINDS = (
+    "dow_sunday", "dow_iso", "ship_delay_days", "week_iso",
+    "month_add_clamp", "trunc_week_monday", "unix_days", "day_bucket",
+    "quarter_key", "last_day_of_month",
+)
+
+
+@dataclass
+class DtSpec:
+    preds: list[Pred]
+    exprs: list[tuple[str, int, str]]  # (kind, param, alias)
+
+
+def gen_dtspec(rng: random.Random) -> DtSpec:
+    preds = _gen_preds(rng, "lineitem", rng.randint(1, 2))
+    kinds = rng.sample(DT_KINDS, rng.randint(2, 4))
+    exprs = []
+    for i, kind in enumerate(kinds):
+        param = {
+            "month_add_clamp": rng.randint(1, 11),
+            "day_bucket": rng.choice([3, 7, 30]),
+        }.get(kind, 0)
+        exprs.append((kind, param, f"t{i}"))
+    return DtSpec(preds, exprs)
+
+
+# the fixture ships l_shipdate as TIMESTAMP_NTZ; every kind goes through an
+# explicit DATE cast in BOTH engines so the calendar functions see the same
+# type (Spark unix_date/trunc require DATE; DuckDB is laxer, which would
+# otherwise hide a convention mismatch behind an implicit coercion)
+_DT_D = "CAST(l_shipdate AS DATE)"
+_DT_ANCHOR = "1998-12-01"  # the fixture has one date column; delays anchor here
+
+_DT_SQL = {
+    # DuckDB dayofweek: 0=Sunday; Spark: 1=Sunday -> +1 aligns them
+    "dow_sunday": lambda p: f"CAST(dayofweek({_DT_D}) + 1 AS BIGINT)",
+    # ISO weekday 1=Mon..7=Sun: DuckDB isodow vs Spark weekday()+1
+    "dow_iso": lambda p: f"CAST(isodow({_DT_D}) AS BIGINT)",
+    "ship_delay_days": lambda p: (
+        f"CAST(date_diff('day', {_DT_D}, DATE '{_DT_ANCHOR}') AS BIGINT)"
+    ),
+    "week_iso": lambda p: f"CAST(weekofyear({_DT_D}) AS BIGINT)",
+    "month_add_clamp": lambda p: (
+        f"CAST({_DT_D} + INTERVAL {p} MONTH AS DATE)"
+    ),
+    "trunc_week_monday": lambda p: f"CAST(date_trunc('week', {_DT_D}) AS DATE)",
+    "unix_days": lambda p: (
+        f"CAST(date_diff('day', DATE '1970-01-01', {_DT_D}) AS BIGINT)"
+    ),
+    "day_bucket": lambda p: (
+        f"CAST(date_diff('day', DATE '1970-01-01', {_DT_D}) // {p} AS BIGINT)"
+    ),
+    "quarter_key": lambda p: (
+        f"CAST(year({_DT_D}) * 10 + quarter({_DT_D}) AS BIGINT)"
+    ),
+    "last_day_of_month": lambda p: f"last_day({_DT_D})",
+}
+
+
+def _dt_spark(kind: str, p: int):
+    d = F.col("l_shipdate").cast("date")
+    if kind == "dow_sunday":
+        return F.dayofweek(d).cast("bigint")
+    if kind == "dow_iso":
+        return (F.weekday(d) + 1).cast("bigint")
+    if kind == "ship_delay_days":
+        return F.datediff(F.lit(_DT_ANCHOR).cast("date"), d).cast("bigint")
+    if kind == "week_iso":
+        return F.weekofyear(d).cast("bigint")
+    if kind == "month_add_clamp":
+        return F.add_months(d, p)
+    if kind == "trunc_week_monday":
+        return F.trunc(d, "week")
+    if kind == "unix_days":
+        return F.unix_date(d).cast("bigint")
+    if kind == "day_bucket":
+        return F.expr(
+            f"unix_date(CAST(l_shipdate AS DATE)) div {p}"
+        ).cast("bigint")
+    if kind == "quarter_key":
+        return (F.year(d) * 10 + F.quarter(d)).cast("bigint")
+    return F.last_day(d)
+
+
+def dtspec_to_sql(spec: DtSpec) -> str:
+    conds = " AND ".join(_sql_pred(p) for p in spec.preds)
+    parts = [f"{_DT_SQL[k](p)} AS {alias}" for k, p, alias in spec.exprs]
+    return (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(parts)} "
+        f"FROM lineitem WHERE {conds}"
+    )
+
+
+def dtspec_to_spark(spec: DtSpec, df):
+    out = df.where(_spark_cond(spec.preds, "AND"))
+    cols = [F.col("l_orderkey"), F.col("l_linenumber")]
+    cols += [_dt_spark(k, p).alias(alias) for k, p, alias in spec.exprs]
+    return out.select(*cols)
+
+
 # ---- lowering ---------------------------------------------------------------
 
 
@@ -989,8 +1211,34 @@ def norm(df) -> list[str]:
     return sorted(out)
 
 
-def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tuple]:
-    """Returns [(spec_idx, sql, ok, detail)] for every generated spec."""
+def _pick_family(r: float) -> str:
+    if r < 0.12:
+        return "window"
+    if r < 0.23:
+        return "setop"
+    if r < 0.33:
+        return "scalar"
+    if r < 0.45:
+        return "outerjoin"
+    if r < 0.54:
+        return "groupingsets"
+    if r < 0.63:
+        return "correlated"
+    if r < 0.71:
+        return "nullset"
+    if r < 0.80:
+        return "decimal"
+    if r < 0.89:
+        return "datetime"
+    return "agg"
+
+
+def run(
+    n_specs: int, seed: int, sf_dir: str, spark=None, con=None, only=None
+) -> list[tuple]:
+    """Returns [(spec_idx, sql, ok, detail)] for every generated spec.
+    ``only``: optional tuple of family names to restrict generation to
+    (the per-axis seeded pytest runs)."""
     import duckdb
 
     from experiments_datafusion_spark.io import table as load_table
@@ -1011,38 +1259,46 @@ def run(n_specs: int, seed: int, sf_dir: str, spark=None, con=None) -> list[tupl
     results = []
     for i in range(n_specs):
         grouping = None  # set by the agg-spec branch; gates the rollup/cube
-        r = rng.random()
-        if r < 0.15:
+        fam = rng.choice(only) if only else _pick_family(rng.random())
+        if fam == "window":
             wspec = gen_wspec(rng)
             sql = wspec_to_sql(wspec)
             builder = lambda: wspec_to_spark(wspec, dfs["lineitem"])  # noqa: B023,E731
-        elif r < 0.28:
+        elif fam == "setop":
             sspec = gen_setspec(rng)
             sql = setspec_to_sql(sspec)
             builder = lambda: setspec_to_spark(sspec, dfs["lineitem"])  # noqa: B023,E731
-        elif r < 0.4:
+        elif fam == "scalar":
             cspec = gen_sspec(rng)
             sql = sspec_to_sql(cspec)
             builder = lambda: sspec_to_spark(cspec, dfs["lineitem"])  # noqa: B023,E731
-        elif r < 0.55:
+        elif fam == "outerjoin":
             ojspec = gen_ojspec(rng)
             sql = ojspec_to_sql(ojspec)
             builder = lambda: ojspec_to_spark(ojspec, dfs["lineitem"], dfs["orders"])  # noqa: B023,E731
-        elif r < 0.65:
+        elif fam == "groupingsets":
             gspec = gen_gsspec(rng)
             sql = gsspec_to_sql(gspec)
             builder = lambda: gsspec_to_spark(gspec, dfs[gspec.table])  # noqa: B023,E731
             # the () grand-total set hits the same empty-input divergence
             # as ROLLUP/CUBE (see the known-divergence branch below)
             grouping = "sets" if () in gspec.sets else None
-        elif r < 0.75:
+        elif fam == "correlated":
             crspec = gen_corrspec(rng)
             sql = corrspec_to_sql(crspec)
             builder = lambda: corrspec_to_spark(crspec, dfs["lineitem"], dfs["orders"])  # noqa: B023,E731
-        elif r < 0.83:
+        elif fam == "nullset":
             nsspec = gen_nullsetspec(rng)
             sql = nullsetspec_to_sql(nsspec)
             builder = lambda: nullsetspec_to_spark(nsspec, dfs["lineitem"])  # noqa: B023,E731
+        elif fam == "decimal":
+            dspec = gen_decspec(rng)
+            sql = decspec_to_sql(dspec)
+            builder = lambda: decspec_to_spark(dspec, dfs["lineitem"])  # noqa: B023,E731
+        elif fam == "datetime":
+            dtspec = gen_dtspec(rng)
+            sql = dtspec_to_sql(dtspec)
+            builder = lambda: dtspec_to_spark(dtspec, dfs["lineitem"])  # noqa: B023,E731
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
