@@ -78,3 +78,38 @@ class PlanFacts:
 
 def audit(df: DataFrame) -> PlanFacts:
     return PlanFacts(explain_str(df, "formatted"))
+
+
+def file_scan_metrics(df: DataFrame, execute: bool = True) -> list[dict]:
+    """Post-execution FileSourceScan metrics (numFiles / filesSize /
+    numOutputRows) for every parquet scan in the plan — the machine
+    evidence that footer-stats row-group pruning fired (a clustered
+    layout's scan emits only the surviving row groups' rows, while the
+    same predicate over an unclustered layout emits everything).  Walks
+    through AQE query stages to the final physical plan."""
+    if execute:
+        df.collect()
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in name:
+            walk(node.plan())
+            return
+        if "FileSourceScan" in name:
+            m = node.metrics()
+            it = m.iterator()
+            vals = {}
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    return out

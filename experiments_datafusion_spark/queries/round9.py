@@ -99,3 +99,61 @@ def mor_read(base: DataFrame, delete_keys: DataFrame, key: str) -> DataFrame:
     at 100 TB the alternative (shuffling the base for an SMJ anti) is
     exactly what merge-on-read exists to avoid."""
     return base.join(F.broadcast(delete_keys), key, "left_anti")
+
+
+# ---- clustered-layout scan pruning ---------------------------------------------
+#
+# The data-layout half of file skipping: vanilla Spark parquet has no
+# manifest, so FILE-level min/max skipping is a table-format feature
+# (Delta/Iceberg) — what Spark itself gives is (a) directory-partition
+# pruning and (b) ROW-GROUP pruning from parquet footer min/max stats,
+# which only bites when the layout clusters the predicate column.  This
+# key materializes exactly that claim: rewrite orders range-clustered on
+# o_custkey (repartitionByRange -> every file covers a disjoint key range,
+# the Z-order write path of layout_zorder specialized to one dimension),
+# then run a selective custkey-band query over the clustered copy.  The
+# oracle replays the band query on raw orders, so the rewrite+read is
+# what's verified; the PRUNING evidence — the clustered scan's
+# numOutputRows collapsing to the surviving row groups while the same
+# predicate over an unclustered copy emits every row — is pinned via
+# SparkPlan metrics in tests/test_round9.py (plans/audit.file_scan_metrics).
+
+_PRUNE_FILES = 16
+# band non-empty at EVERY scale (sf0.001's custkey domain is only 0-149)
+_PRUNE_LO, _PRUNE_HI = 101, 140
+
+
+@register(
+    "scan_pruning_clustered",
+    tags=("io", "layout", "maintenance"),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)           AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT)    AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                          AS price_units
+FROM orders
+WHERE o_custkey BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+""",
+)
+def scan_pruning_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered rewrite + selective band read (docstring above)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="prune_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    orders.repartitionByRange(_PRUNE_FILES, "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/clustered")
+    band = spark.read.parquet(f"{root}/clustered").where(
+        F.col("o_custkey").between(_PRUNE_LO, _PRUNE_HI)
+    )
+    out = band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("price_units"),
+    )
+    return materialize_then_rmtree(out, root)

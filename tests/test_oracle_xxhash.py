@@ -81,3 +81,28 @@ def test_reference_edge_values():
     got = _duck_hashes([v for v in vals if v.isprintable() or v == "\x01" * 8])
     for v, h in got.items():
         assert h == _ref_xxh64_8(v)
+
+
+def test_fixture_documents_all_ascii():
+    """PRECONDITION PIN (advisor r8): the SQL replay reads CODE POINTS
+    (ascii(substr(...))), which equal UTF-8 bytes only for pure-ASCII
+    text.  Assert the documents fixture is all-ASCII at every scale, so a
+    future non-ASCII fixture trips THIS clear precondition failure
+    instead of a confusing docs_winnowing_fast differential mismatch
+    (oracle_xxhash.py module docstring documents the byte-level
+    extraction a non-ASCII corpus would need)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_bad = con.execute(
+            "SELECT count(*) FROM read_parquet("
+            f"'/root/testdata/{sf}/documents.parquet')"
+            " WHERE text IS NOT NULL AND NOT (text = regexp_replace("
+            "text, '[^\\x00-\\x7F]', '', 'g'))"
+        ).fetchone()[0]
+        assert n_bad == 0, (
+            f"{sf}: {n_bad} non-ASCII documents — the XXH64 SQL replay's "
+            "code-point extraction no longer equals byte extraction; "
+            "switch oracle_xxhash.py to byte-level reads"
+        )
