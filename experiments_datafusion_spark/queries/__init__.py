@@ -86,28 +86,32 @@ _MODULES = (
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # round-7 new keys (no lifetime verdict yet) + geo_knn_grid (its plan
-    # changed this round: exactness-bound fix + conditional fallback) +
-    # docs_winnowing_fast (gained its xxhash64-replay oracle this round)
-    "text_bpe_train", "text_bpe_apply", "table_vacuum", "mm_phash_pairs",
-    "table_delete_compliance", "mm_wav_fingerprint_pairs", "win_distribution",
-    "text_dup_spans_fast", "docs_ngram_novelty_fast", "text_containment_fast",
-    "mm_rle_features", "table_time_travel_multi", "geo_knn_grid",
-    "docs_winnowing_fast",
-    # the least-recently-verified fill (all last seen in the r1 window;
-    # tpch_q2_maxbal/q3/q4/q5 rotated out to make room for the round-7
-    # keys — they lead the next round's LRV queue; tools/lrv_window.py
-    # computes the fill from the CORRECTNESS ledger)
-    "distinct_rows", "dropdup_subset", "filter_predicates", "gather_by_index",
-    "join_anti", "join_asof", "join_cross", "join_full", "join_inner",
-    "join_left", "join_right", "join_semi", "join_theta", "limit_offset",
-    "pivot_status", "proj_expr", "scalar_decimal", "setop_except",
-    "setop_except_all", "setop_intersect", "setop_intersect_all",
-    "setop_union_all", "setop_union_distinct", "sort_multicol",
-    "table_sample", "topk", "tpch_q1", "tpch_q10",
-    "tpch_q11_important_parts", "tpch_q12_shipmode", "tpch_q13_custdist",
-    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty", "tpch_q18",
+    # round-9 NEW keys (sortbench_merge = the multi-batch merge regime;
+    # table_delete_mor = merge-on-read deletion vectors;
+    # scan_pruning_clustered = clustered-layout row-group pruning audit)
+    # + CHANGED keys (text_bpe_* switched to batched merge selection; the
+    # seven snapshot/roundtrip keys now checkpoint + rmtree their temp
+    # trees via materialize_then_rmtree)
+    "sortbench_merge", "table_delete_mor", "scan_pruning_clustered",
+    "text_bpe_train", "text_bpe_apply", "table_vacuum",
+    "table_delete_compliance", "table_time_travel_multi",
+    "source_xml_roundtrip", "source_avro_roundtrip", "table_time_travel",
+    "compact_small_files",
+    # the least-recently-verified fill (tools/lrv_window.py output from
+    # the CORRECTNESS ledger: oldest driver round first, ties
+    # alphabetical — the r1 tail + the r2 dedup/sim/text/udf block)
+    "tpch_q19_disjunctive", "tpch_q20_semi_chain", "tpch_q21_waiting",
+    "tpch_q22_opportunity", "tpch_q2_maxbal", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q7_volume", "tpch_q8_mktshare",
+    "tpch_q9_profit", "unnest_explode", "unpivot_melt", "cte_chain",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_exact_normalized", "dedup_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "sim_label_centroids",
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
+    "subq_correlated_scalar", "subq_exists", "subq_in",
+    "table_sample_hash", "text_fingerprint", "text_langid",
+    "text_quality", "text_stats", "udf_apply_in_pandas",
+    "udf_grouped_agg", "udf_pandas_scalar",
 )
 
 
