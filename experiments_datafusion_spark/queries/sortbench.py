@@ -119,20 +119,25 @@ def sortbench_mixed_dictionary_tuple(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 _MERGE_RUNS = 4
+# the merge key runs at the reference's own sweep endpoint (runall.sh
+# END=100000) rather than the 10k of the single-batch keys: a merge
+# measurement at 10k rows is pure scheduling floor in both engines, and
+# 100k is the scale BASELINE.md compares sorts at
+_MERGE_N = 100_000
 
 
 @register(
     "sortbench_merge",
     tags=("sortbench", "sort", "merge"),
     oracle=f"""
-WITH {_IDS}
+WITH ids AS (SELECT id FROM range({_MERGE_N}) t(id))
 SELECT id,
        CAST({_H.format(x=f"CAST(id AS VARCHAR) || '#{SPLIT_SEED}'")} % {_MERGE_RUNS}
             AS INTEGER) AS run,
-       CAST({_sql_uniform(DATA_SEED, _N)} AS DOUBLE) AS f64,
+       CAST({_sql_uniform(DATA_SEED, _MERGE_N)} AS DOUBLE) AS f64,
        {_sql_utf8_low(DATA_SEED + 1)} AS utf_low1,
        {_sql_utf8_low(DATA_SEED + 2)} AS utf_low2,
-       {_sql_uniform(DATA_SEED + 3, _N)} AS i64
+       {_sql_uniform(DATA_SEED + 3, _MERGE_N)} AS i64
 FROM ids
 """,
 )
@@ -149,12 +154,12 @@ def sortbench_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering invariants — merge output identical, row for row, to the
     direct full sort — live in tests/test_sort.py, same contract as the
     single-batch sortbench keys."""
-    base = spark.range(_N).select(
+    base = spark.range(_MERGE_N).select(
         F.col("id"),
-        generators._f64(DATA_SEED, _N, portable=True).alias("f64"),
+        generators._f64(DATA_SEED, _MERGE_N, portable=True).alias("f64"),
         generators._utf8_low(DATA_SEED + 1, portable=True).alias("utf_low1"),
         generators._utf8_low(DATA_SEED + 2, portable=True).alias("utf_low2"),
-        generators._i64(DATA_SEED + 3, _N, portable=True).alias("i64"),
+        generators._i64(DATA_SEED + 3, _MERGE_N, portable=True).alias("i64"),
     )
     assigned = split_ops.assign_streams_hash(
         base, _MERGE_RUNS, F.col("id").cast("string")
