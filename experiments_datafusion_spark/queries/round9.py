@@ -157,3 +157,175 @@ def scan_pruning_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_units"),
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- manifest-based FILE-level skipping -----------------------------------------
+#
+# Part 2 of the file-skipping story (scan_pruning_clustered is part 1:
+# row-group pruning, the only skipping vanilla Spark does on its own).
+# Table formats skip whole FILES at planning time by consulting a
+# MANIFEST — per-file column min/max collected once at write time.  Both
+# halves are Spark-expressible: the manifest is ONE distributed aggregate
+# over `_metadata.file_path` (never a footer walk on the driver), and
+# planning-time skipping is filtering the O(files) manifest driver-side
+# and scanning only the surviving paths.  At 100 TB the manifest is the
+# catalog's job (Delta/Iceberg keep it in the log); the dataflow — collect
+# stats at write, intersect [lo, hi] with the predicate, read the
+# survivors — is exactly this.  tests/test_round9.py pins numFiles ==
+# survivors < total via SparkPlan metrics.
+
+_MANIFEST_FILES = 16
+
+
+def build_file_manifest(spark: SparkSession, path: str, col: str):
+    """Per-file [min, max, rows] for ``col`` — one distributed aggregate
+    keyed on the file-metadata column; returns driver-side rows (the
+    manifest is O(files) catalog state, not data)."""
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+
+
+def prune_files(manifest, lo, hi) -> list[str]:
+    """Planning-time skip: keep files whose [lo, hi] intersects the
+    predicate interval — the manifest-pruning rule every table format
+    applies before handing Spark the file list."""
+    return [r.file_path for r in manifest if r.hi >= lo and r.lo <= hi]
+
+
+@register(
+    "scan_pruning_manifest",
+    tags=("io", "layout", "maintenance"),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)           AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT)    AS key_sum,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                          AS price_units
+FROM orders
+WHERE o_custkey BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+""",
+)
+def scan_pruning_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned band read over the clustered rewrite (module
+    comment above): write clustered, build the per-file manifest with one
+    distributed aggregate, prune the file list driver-side, scan ONLY the
+    surviving files with the band predicate re-applied (manifest pruning
+    is necessarily conservative — files are kept on interval OVERLAP, so
+    the residual filter stays).  Same oracle as scan_pruning_clustered —
+    the two keys prove the two skipping tiers return identical answers."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="manifest_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    orders.repartitionByRange(_MANIFEST_FILES, "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/clustered")
+    manifest = build_file_manifest(spark, f"{root}/clustered", "o_custkey")
+    survivors = prune_files(manifest, _PRUNE_LO, _PRUNE_HI)
+    band = spark.read.parquet(*survivors).where(
+        F.col("o_custkey").between(_PRUNE_LO, _PRUNE_HI)
+    )
+    out = band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("price_units"),
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- POSITIONAL deletion vectors ------------------------------------------------
+#
+# The second MoR delete shape: table_delete_mor's sidecar holds KEYS
+# (Iceberg equality deletes), which requires the table to have one.
+# Position deletes (Iceberg positional / Delta deletion vectors proper)
+# identify rows by (file_path, row_index) instead — the only shape that
+# works for keyless or duplicate-bearing tables, and the one engines
+# favor because the read side needs no value comparison.  Spark
+# expresses it natively: `_metadata.file_path` + `_metadata.row_index`
+# give every scanned row its stable physical address, the delete writes
+# those addresses as the sidecar, and the MoR read anti-joins the
+# address columns.  The fixture's lineitem carries duplicate
+# (non-unique) content rows by construction at small scales, so the
+# key-based shape genuinely cannot express this delete.
+
+_POS_MOD = 11  # cohort: every 11th physical row of each file
+
+
+@register(
+    "table_delete_mor_positional",
+    tags=("io", "maintenance", "join", "dimensional"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+  FROM orders
+),
+kept AS (SELECT * FROM base WHERE rn % {_POS_MOD} != 0),
+audit AS (
+  SELECT CAST(count(*) AS BIGINT)         AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT)  AS key_sum,
+         CAST(sum(o_custkey) AS BIGINT)   AS cust_sum
+  FROM kept
+)
+SELECT 'mor' AS path, n_rows, key_sum, cust_sum FROM audit
+UNION ALL
+SELECT 'cow', n_rows, key_sum, cust_sum FROM audit
+""",
+)
+def table_delete_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-delete MoR: base written as ONE globally-ordered file
+    (orderBy o_orderkey -> coalesce(1)) so each row's (file, row_index)
+    address is deterministic and the oracle can replay the cohort as
+    `row_number() - 1 over the same order`; the delete sidecar stores
+    ADDRESSES ((file_path, row_index) of every _POS_MOD-th physical
+    row), the MoR read anti-joins the address columns, and compaction
+    reconciles copy-on-write.  Single-file layout is the determinism
+    device for the oracle, not the production shape — at scale the
+    address recipe is identical per file and the sidecar partitions by
+    file_path.  Row-for-row MoR==CoW and the broadcast-anti plan are
+    pinned in tests/test_round9.py."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="morpos_")
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src.orderBy("o_orderkey").coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/base"
+    )
+    addressed = spark.read.parquet(f"{root}/base").select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("ri"),
+        "o_orderkey",
+        "o_custkey",
+    )
+    # the delete: physical addresses only — no content comparison anywhere
+    addressed.where(F.col("ri") % _POS_MOD == 0).select("f", "ri").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/deletes")
+    sidecar = spark.read.parquet(f"{root}/deletes")
+    mor_view = addressed.join(F.broadcast(sidecar), ["f", "ri"], "left_anti")
+
+    mor_view.select("o_orderkey", "o_custkey").write.mode("overwrite").parquet(
+        f"{root}/compacted"
+    )
+    cow = spark.read.parquet(f"{root}/compacted")
+
+    def audit(df: DataFrame, path: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        ).select(F.lit(path).alias("path"), "n_rows", "key_sum", "cust_sum")
+
+    out = audit(mor_view, "mor").unionByName(audit(cow, "cow"))
+    return materialize_then_rmtree(out, root)

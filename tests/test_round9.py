@@ -114,3 +114,86 @@ def test_scan_pruning_key_cleans_temp_tree(spark, sf_dir):
     assert not (after - before)
     row = df.collect()[0]
     assert row.n_rows > 0 and row.key_sum > 0
+
+
+# ---- manifest file skipping + positional deletes -----------------------------
+
+
+def test_manifest_pruning_skips_files(spark, sf_dir, tmp_path):
+    """File-LEVEL skipping via the manifest: the pruned read's scan must
+    list exactly the surviving files (numFiles == survivors < total) and
+    return the same rows as the unpruned band read."""
+    import pyspark.sql.functions as F
+
+    from experiments_datafusion_spark.io import table
+    from experiments_datafusion_spark.plans.audit import file_scan_metrics
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "t")
+    orders.repartitionByRange(8, "o_custkey").write.mode("overwrite").parquet(path)
+    manifest = R9.build_file_manifest(spark, path, "o_custkey")
+    assert len(manifest) == 8
+    lo, hi = 101, 140
+    survivors = R9.prune_files(manifest, lo, hi)
+    assert 0 < len(survivors) < 8, survivors
+    pruned = spark.read.parquet(*survivors).where(
+        F.col("o_custkey").between(lo, hi)
+    )
+    full = spark.read.parquet(path).where(F.col("o_custkey").between(lo, hi))
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(pruned) == key(full)
+    m = file_scan_metrics(pruned.agg(F.count(F.lit(1))))
+    assert sum(x["numFiles"] for x in m) == len(survivors)
+
+
+def test_manifest_pruning_conservative_on_overlap(spark):
+    """prune_files keeps a file iff its [lo, hi] INTERSECTS the predicate
+    interval — boundary-touching files must survive (off-by-one here
+    silently drops matching rows at file boundaries)."""
+    from collections import namedtuple
+
+    Row = namedtuple("Row", "file_path lo hi")
+    man = [Row("a", 0, 100), Row("b", 100, 200), Row("c", 201, 300)]
+    assert R9.prune_files(man, 100, 100) == ["a", "b"]
+    assert R9.prune_files(man, 150, 201) == ["b", "c"]
+    assert R9.prune_files(man, 301, 400) == []
+
+
+def test_positional_mor_equals_cow_row_for_row(spark, sf_dir, tmp_path):
+    """Position deletes must drop EXACTLY the addressed physical rows —
+    including when the table carries duplicate content rows, the case
+    key-based deletes cannot express (deleting 'one of two identical
+    rows' has no key formulation)."""
+    import pyspark.sql.functions as F
+
+    # a table with genuine duplicates: two identical rows per value
+    spark.range(50).select((F.col("id") % 25).alias("v")).coalesce(1).orderBy(
+        "v"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "dup"))
+    addressed = spark.read.parquet(str(tmp_path / "dup")).select(
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("ri"),
+        "v",
+    )
+    # delete exactly ONE of each duplicate pair: the even row_index copy
+    sidecar = addressed.where(F.col("ri") % 2 == 0).select("f", "ri")
+    kept = addressed.join(F.broadcast(sidecar), ["f", "ri"], "left_anti")
+    vals = sorted(r.v for r in kept.collect())
+    assert vals == sorted(range(25)), vals  # one copy of each survives
+
+
+def test_round9_new_keys_clean_temp_trees(spark, sf_dir):
+    import glob
+    import os
+    import tempfile
+
+    for fn, prefix in (
+        (R9.scan_pruning_manifest, "manifest_"),
+        (R9.table_delete_mor_positional, "morpos_"),
+    ):
+        before = set(glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")))
+        df = fn(spark, sf_dir)
+        after = set(glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")))
+        assert not (after - before), prefix
+        rows = df.collect()
+        assert rows and all(r.n_rows > 0 for r in rows)
