@@ -329,3 +329,127 @@ def table_delete_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = audit(mor_view, "mor").unionByName(audit(cow, "cow"))
     return materialize_then_rmtree(out, root)
+
+
+# ---- content-defined chunking (CDC) dedup ----------------------------------------
+#
+# The chunk-granularity member of the dedup family (exact checksums catch
+# whole-document copies; winnowing/dup-spans catch local overlaps by
+# fingerprint SAMPLES; CDC catches SHARED SPANS EXACTLY, at chunk
+# granularity): cut every document at content-defined boundaries —
+# positions whose k-gram hash is 0 mod D, the gear/rabin rule backup
+# dedup and LLM exact-substring pipelines use — so an insertion early in
+# a document shifts at most one chunk instead of re-aligning everything
+# (the fatal flaw of fixed-width chunking).  Boundaries are PURELY LOCAL
+# (no min/max chunk-size state), which is what makes the pass
+# embarrassingly parallel: per-doc chunking is a projection, and the
+# cross-corpus dedup is one groupBy(chunk) + one posting-list join —
+# never all-pairs.  Production at 100 TB hashes chunks to fixed width
+# (xxhash64) before the shuffle; the registry key keeps raw chunk
+# strings so the DuckDB oracle replays identity exactly.
+
+_CDC_K = 8  # boundary k-gram
+_CDC_D = 32  # divisor -> expected chunk length ~D chars
+
+
+@register(
+    "dedup_cdc_chunks",
+    tags=("llm", "dedup", "text"),
+    oracle=f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+bnd AS (
+  SELECT doc_id, p.i AS i
+  FROM docs2, UNNEST(generate_series(2, len(text) - {_CDC_K - 1})) p(i)
+  WHERE (CAST(('0x' || substr(md5(substr(text, p.i, {_CDC_K})), 1, 15)) AS BIGINT)
+         % {_CDC_D}) = 0
+),
+cuts AS (
+  SELECT d.doc_id, d.text,
+         list_sort(list_distinct(
+           [1]
+           || coalesce(list(b.i) FILTER (WHERE b.i IS NOT NULL), [])
+           || [len(d.text) + 1]
+         )) AS c
+  FROM docs2 d LEFT JOIN bnd b USING (doc_id)
+  GROUP BY d.doc_id, d.text
+),
+chunks AS (
+  SELECT doc_id, substr(text, c[j.j], c[j.j + 1] - c[j.j]) AS chunk
+  FROM cuts, UNNEST(generate_series(1, len(c) - 1)) j(j)
+),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT)                                   AS n_chunks,
+       CAST(count(*) FILTER (f.nd >= 2) AS BIGINT)                AS dup_chunks,
+       CAST(coalesce(sum(len(c.chunk)) FILTER (f.nd >= 2), 0) AS BIGINT)
+                                                                  AS dup_chars,
+       CAST(sum(len(c.chunk)) AS BIGINT)                          AS total_chars
+FROM chunks c JOIN freq f USING (chunk)
+GROUP BY c.doc_id
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk-duplication audit under gear-style CDC (module
+    comment): chunk every doc at hash64(k-gram) % D == 0 boundaries,
+    count cross-document duplicate chunks and the characters they cover.
+    Chunk coverage is exact and total (sum of chunk lengths == doc
+    length, pinned in tests/test_round9.py along with shift-resistance:
+    prepending a sentence to a doc leaves its tail chunks identical)."""
+    from experiments_datafusion_spark.operators.text import hash64
+
+    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    n = F.length("text") - (_CDC_K - 1)
+    boundaries = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.pmod(
+                hash64(F.substring("text", i, F.lit(_CDC_K))), F.lit(_CDC_D)
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(1)),
+                boundaries,
+                F.array(F.length("text") + 1),
+            )
+        )
+    )
+    # bind cuts as a COLUMN before the chunk transform references it 3x —
+    # inlining the expression would re-run the whole per-position md5
+    # boundary scan per element_at (measured 20x slowdown); the multi-use
+    # alias keeps CollapseProject from re-inlining it
+    with_cuts = docs.select("doc_id", "text", cuts.alias("cuts"))
+    c = F.col("cuts")
+    chunked = with_cuts.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - 1),
+                lambda j: F.substring(
+                    "text",
+                    F.element_at(c, j),
+                    F.element_at(c, j + 1) - F.element_at(c, j),
+                ),
+            )
+        ).alias("chunk"),
+    )
+    freq = chunked.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.col("nd") >= 2
+    return (
+        chunked.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("dup_chunks"),
+            F.sum(F.when(dup, F.length("chunk")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+            F.sum(F.length("chunk")).cast("bigint").alias("total_chars"),
+        )
+    )

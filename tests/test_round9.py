@@ -197,3 +197,69 @@ def test_round9_new_keys_clean_temp_trees(spark, sf_dir):
         assert not (after - before), prefix
         rows = df.collect()
         assert rows and all(r.n_rows > 0 for r in rows)
+
+
+# ---- content-defined chunking -------------------------------------------------
+
+
+def _cdc_chunks_py(text: str) -> list[str]:
+    """Independent pure-Python reference of the gear-CDC rule."""
+    import hashlib
+
+    k, d = R9._CDC_K, R9._CDC_D
+    cuts = {1, len(text) + 1}
+    for i in range(2, len(text) - k + 2):
+        h = int(hashlib.md5(text[i - 1 : i - 1 + k].encode()).hexdigest()[:15], 16)
+        if h % d == 0:
+            cuts.add(i)
+    cs = sorted(cuts)
+    return [text[cs[j] - 1 : cs[j + 1] - 1] for j in range(len(cs) - 1)]
+
+
+def test_cdc_chunks_cover_exactly_and_shift_resist(spark):
+    """(a) chunks tile each document exactly (concatenation == text);
+    (b) SHIFT RESISTANCE — the reason CDC exists: prepending a sentence
+    re-chunks only the prefix; the suffix chunk multiset is shared, which
+    fixed-width chunking structurally cannot do."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the rain keeps falling "
+        "steadily on the quiet grey street outside the old house"
+    )
+    chunks = _cdc_chunks_py(base)
+    assert "".join(chunks) == base
+    shifted = "breaking news arrived this very morning: " + base
+    sh_chunks = _cdc_chunks_py(shifted)
+    assert "".join(sh_chunks) == shifted
+    # all but the first few chunks survive the shift verbatim
+    common = set(chunks) & set(sh_chunks)
+    assert len(common) >= len(chunks) - 2, (chunks, sh_chunks)
+
+
+def test_cdc_spark_matches_python_reference(spark):
+    """The Spark chunker must produce EXACTLY the reference chunks per
+    doc (same boundaries, same substrings) — the per-doc invariant the
+    aggregate oracle can't see."""
+    import pandas as pd
+    import tempfile, os
+    import pyspark.sql.functions as F
+
+    texts = [
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "the quick brown fox jumps over the lazy dog repeatedly and often",
+        "short",
+        "x" * 7,  # below k: single chunk, no boundary scan
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    tmp = tempfile.mkdtemp(prefix="cdc_test_")
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    out = R9.dedup_cdc_chunks(spark, tmp).orderBy("doc_id").collect()
+    import shutil
+
+    shutil.rmtree(tmp)
+    for r in out:
+        ref = _cdc_chunks_py(texts[r.doc_id])
+        assert r.n_chunks == len(ref), (r.doc_id, r.n_chunks, ref)
+        assert r.total_chars == len(texts[r.doc_id])
