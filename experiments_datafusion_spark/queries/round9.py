@@ -352,18 +352,11 @@ _CDC_K = 8  # boundary k-gram
 _CDC_D = 32  # divisor -> expected chunk length ~D chars
 
 
-@register(
-    "dedup_cdc_chunks",
-    tags=("llm", "dedup", "text"),
-    oracle=f"""
-WITH docs2 AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
-bnd AS (
-  SELECT doc_id, p.i AS i
-  FROM docs2, UNNEST(generate_series(2, len(text) - {_CDC_K - 1})) p(i)
-  WHERE (CAST(('0x' || substr(md5(substr(text, p.i, {_CDC_K})), 1, 15)) AS BIGINT)
-         % {_CDC_D}) = 0
-),
-cuts AS (
+def _cdc_oracle_tail() -> str:
+    """The hash-independent suffix of the CDC oracle: cuts -> chunks ->
+    cross-doc frequency -> per-doc audit.  Both hash flavors feed it from
+    a ``bnd(doc_id, i)`` CTE of boundary positions."""
+    return """cuts AS (
   SELECT d.doc_id, d.text,
          list_sort(list_distinct(
            [1]
@@ -386,17 +379,14 @@ SELECT c.doc_id,
        CAST(sum(len(c.chunk)) AS BIGINT)                          AS total_chars
 FROM chunks c JOIN freq f USING (chunk)
 GROUP BY c.doc_id
-""",
-)
-def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document chunk-duplication audit under gear-style CDC (module
-    comment): chunk every doc at hash64(k-gram) % D == 0 boundaries,
-    count cross-document duplicate chunks and the characters they cover.
-    Chunk coverage is exact and total (sum of chunk lengths == doc
-    length, pinned in tests/test_round9.py along with shift-resistance:
-    prepending a sentence to a doc leaves its tail chunks identical)."""
-    from experiments_datafusion_spark.operators.text import hash64
+"""
 
+
+def _cdc_body(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
+    """The shared CDC dataflow with the boundary hash as the knob
+    (operators/text.hash64 = md5, oracled directly; fast_hash64 =
+    xxhash64, oracled via the XXH64 128-bit SQL replay since the grams
+    are exactly 8 ASCII chars)."""
     docs = table(spark, sf_dir, "documents").where(F.length("text") >= 1)
     n = F.length("text") - (_CDC_K - 1)
     boundaries = F.when(
@@ -404,7 +394,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(
             F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
             lambda i: F.pmod(
-                hash64(F.substring("text", i, F.lit(_CDC_K))), F.lit(_CDC_D)
+                hash_fn(F.substring("text", i, F.lit(_CDC_K))), F.lit(_CDC_D)
             )
             == 0,
         ),
@@ -419,9 +409,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # bind cuts as a COLUMN before the chunk transform references it 3x —
-    # inlining the expression would re-run the whole per-position md5
-    # boundary scan per element_at (measured 20x slowdown); the multi-use
-    # alias keeps CollapseProject from re-inlining it
+    # inlining the expression would re-run the whole per-position hash
+    # boundary scan per element_at (measured 11x slowdown, 21.6s -> 1.95s);
+    # the multi-use alias keeps CollapseProject from re-inlining it
     with_cuts = docs.select("doc_id", "text", cuts.alias("cuts"))
     c = F.col("cuts")
     chunked = with_cuts.select(
@@ -453,3 +443,72 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("chunk")).cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    tags=("llm", "dedup", "text"),
+    oracle=f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+bnd AS (
+  SELECT doc_id, p.i AS i
+  FROM docs2, UNNEST(generate_series(2, len(text) - {_CDC_K - 1})) p(i)
+  WHERE (CAST(('0x' || substr(md5(substr(text, p.i, {_CDC_K})), 1, 15)) AS BIGINT)
+         % {_CDC_D}) = 0
+),
+{_cdc_oracle_tail()}
+""",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document chunk-duplication audit under gear-style CDC (module
+    comment): chunk every doc at hash64(k-gram) % D == 0 boundaries,
+    count cross-document duplicate chunks and the characters they cover.
+    Chunk coverage is exact and total (sum of chunk lengths == doc
+    length, pinned in tests/test_round9.py along with shift-resistance:
+    prepending a sentence to a doc leaves its tail chunks identical)."""
+    from experiments_datafusion_spark.operators.text import hash64
+
+    return _cdc_body(spark, sf_dir, hash64)
+
+
+def _cdc_fast_oracle() -> str:
+    from experiments_datafusion_spark.oracle_xxhash import xxh64_8byte_ctes
+
+    return f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents WHERE len(text) >= 1),
+g AS (
+  SELECT doc_id, p.i AS i, substr(text, p.i, {_CDC_K}) AS gram
+  FROM docs2, UNNEST(generate_series(2, len(text) - {_CDC_K - 1})) p(i)
+),
+{xxh64_8byte_ctes("g", "gram")},
+-- MATERIALIZED barrier: without it DuckDB pushes bnd's filter INTO the
+-- 8-level replay chain and the h-expression inlines multiplicatively
+-- (planner blow-up measured as an OOM at 50 docs); the winnowing twin
+-- is protected by its window function, this one needs the barrier
+xxm AS MATERIALIZED (SELECT doc_id, i, h FROM xxf),
+bnd AS (
+  SELECT doc_id, i FROM xxm WHERE ((h % {_CDC_D}) + {_CDC_D}) % {_CDC_D} = 0
+),
+{_cdc_oracle_tail()}
+"""
+
+
+@register(
+    "dedup_cdc_chunks_fast",
+    tags=("llm", "dedup", "text"),
+    oracle=_cdc_fast_oracle(),
+)
+def dedup_cdc_chunks_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION side of the CDC hash knob: boundaries from
+    xxhash64 (JVM intrinsic, stays in whole-stage codegen) instead of
+    the md5-derived portable hash.  Different hash -> different (equally
+    valid) boundary set, so this is NOT pinned equal to the md5 key;
+    it is fully value-verified on its own because the boundary grams
+    are exactly {_CDC_K} ASCII characters — the case oracle_xxhash.py's
+    128-bit-arithmetic XXH64 replay covers (its second user after
+    docs_winnowing_fast; the all-ASCII fixture precondition is pinned in
+    tests/test_oracle_xxhash.py)."""
+    from experiments_datafusion_spark.operators.text import fast_hash64
+
+    return _cdc_body(spark, sf_dir, fast_hash64)
+
