@@ -494,6 +494,8 @@ def main() -> None:
     from experiments_datafusion_spark.operators import text as text_ops
     from experiments_datafusion_spark.queries import llm_extras
 
+    from experiments_datafusion_spark.queries import round9 as r9_ops
+
     analytics_cases = {
         "dedup_jaccard_capped": lambda docs: dedup_ops.jaccard_pairs(
             docs, 0.5, max_df=5
@@ -501,6 +503,12 @@ def main() -> None:
         "dedup_minhash_lsh": lambda docs: dedup_ops.minhash_lsh_pairs(docs, 0.5),
         "docs_winnowing_fast": lambda docs: llm_extras._winnowing_agg(
             llm_extras.winnowing_fps_df(docs, text_ops.fast_hash64)
+        ),
+        # round 9: CDC chunk dedup on the production hash — per-doc
+        # chunking is a projection, the dedup one groupBy + one join, so
+        # the curve should stay ~linear like the other bucketed passes
+        "dedup_cdc_chunks_fast": lambda docs: r9_ops.cdc_chunk_stats_df(
+            docs, text_ops.fast_hash64
         ),
     }
     analytics_sweep: dict[str, list[dict[str, float]]] = {}

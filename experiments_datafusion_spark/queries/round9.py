@@ -383,11 +383,16 @@ GROUP BY c.doc_id
 
 
 def _cdc_body(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
+    return cdc_chunk_stats_df(table(spark, sf_dir, "documents"), hash_fn)
+
+
+def cdc_chunk_stats_df(docs: DataFrame, hash_fn) -> DataFrame:
     """The shared CDC dataflow with the boundary hash as the knob
     (operators/text.hash64 = md5, oracled directly; fast_hash64 =
     xxhash64, oracled via the XXH64 128-bit SQL replay since the grams
-    are exactly 8 ASCII chars)."""
-    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    are exactly 8 ASCII chars).  Df-level so bench.py's analytics decade
+    sweep can run it over generated corpora."""
+    docs = docs.where(F.length("text") >= 1)
     n = F.length("text") - (_CDC_K - 1)
     boundaries = F.when(
         n >= 2,
