@@ -94,7 +94,7 @@ _PRIORITY = (
     # trees via materialize_then_rmtree)
     "sortbench_merge", "table_delete_mor", "scan_pruning_clustered",
     "scan_pruning_manifest", "table_delete_mor_positional",
-    "dedup_cdc_chunks", "dedup_cdc_chunks_fast",
+    "dedup_cdc_chunks", "dedup_cdc_chunks_fast", "ev_stream_upsert",
     "text_bpe_train", "text_bpe_apply", "table_vacuum",
     "table_delete_compliance", "table_time_travel_multi",
     "source_xml_roundtrip", "source_avro_roundtrip", "table_time_travel",
@@ -112,7 +112,6 @@ _PRIORITY = (
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
     "subq_correlated_scalar", "subq_exists", "subq_in",
     "table_sample_hash", "text_fingerprint", "text_langid",
-    "text_quality",
 )
 
 

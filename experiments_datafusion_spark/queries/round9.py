@@ -517,3 +517,55 @@ def dedup_cdc_chunks_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _cdc_body(spark, sf_dir, fast_hash64)
 
+
+
+# ---- streaming CDC upsert as a registry key --------------------------------------
+
+
+@register(
+    "ev_stream_upsert",
+    tags=("streaming", "events", "maintenance"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS events_seen,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum
+FROM events
+GROUP BY user_id
+""",
+)
+def ev_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style MERGE, driver-verified end to end: the fixture
+    events are replayed as a 3-file stream (availableNow +
+    maxFilesPerTrigger=1 -> 3 micro-batches, so the per-batch
+    aggregate -> full-outer merge -> snapshot-swap path genuinely runs 3
+    incremental merges), and the FINAL SERVING TABLE is read back and
+    compared against the one-shot batch aggregate the oracle computes
+    from raw events.  Accumulation uses exact integer cents
+    (streaming/pipelines.stream_upsert_totals integer_units mode) so the
+    composed state is batching-order-independent — any micro-batch split
+    must produce the identical table, which is the MERGE correctness
+    property this key pins at driver level (tests/test_streaming.py pins
+    the float flavor stream==batch; this key is the oracled twin)."""
+    import tempfile
+
+    from experiments_datafusion_spark.streaming.pipelines import (
+        stream_upsert_totals,
+    )
+
+    root = tempfile.mkdtemp(prefix="evups_")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    schema = spark.read.parquet(f"{root}/src").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/src")
+    )
+    q = stream_upsert_totals(src, f"{root}/state", integer_units=True)
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{root}/state").select(
+        "user_id",
+        F.col("events_seen").cast("bigint").alias("events_seen"),
+        F.col("value_sum").cast("bigint").alias("value_sum"),
+    )
+    return materialize_then_rmtree(out, root)

@@ -167,7 +167,9 @@ def attribute_purchases(
     )
 
 
-def stream_upsert_totals(events: DataFrame, target_path: str) -> "object":
+def stream_upsert_totals(
+    events: DataFrame, target_path: str, integer_units: bool = False
+) -> "object":
     """Streaming CDC-style MERGE: each micro-batch upserts per-user running
     totals into a parquet target via foreachBatch — the standard pattern
     for maintaining a serving table from a stream without a lakehouse
@@ -181,11 +183,21 @@ def stream_upsert_totals(events: DataFrame, target_path: str) -> "object":
     partitions; here (tests) it's a single small parquet dir.  Returns the
     StreamingQuery (caller awaits termination)."""
     spark = events.sparkSession
+    # integer_units: accumulate exact integer cents instead of raw doubles —
+    # the oracle-parity mode (float accumulation is batching-order-dependent;
+    # integer adds are associative, so ANY micro-batch split composes to the
+    # same state the one-shot batch aggregate produces)
+    val = (
+        F.round(F.col("value") * 100, 0).cast("long")
+        if integer_units
+        else F.col("value")
+    )
+    zero = F.lit(0).cast("long") if integer_units else F.lit(0.0)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         agg = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("events_seen"),
-            F.sum("value").alias("value_sum"),
+            F.sum(val).alias("value_sum"),
         )
         try:
             current = spark.read.parquet(target_path)
@@ -203,8 +215,8 @@ def stream_upsert_totals(events: DataFrame, target_path: str) -> "object":
                         + F.coalesce(F.col("s.events_seen"), F.lit(0))
                     ).alias("events_seen"),
                     (
-                        F.coalesce(F.col("t.value_sum"), F.lit(0.0))
-                        + F.coalesce(F.col("s.value_sum"), F.lit(0.0))
+                        F.coalesce(F.col("t.value_sum"), zero)
+                        + F.coalesce(F.col("s.value_sum"), zero)
                     ).alias("value_sum"),
                 )
             )
