@@ -562,7 +562,12 @@ def ev_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{root}/src")
     )
     q = stream_upsert_totals(src, f"{root}/state", integer_units=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ev_stream_upsert: availableNow stream did not drain in 300s — "
+            "the serving table would be a partial state, not a wrong answer"
+        )
     out = spark.read.parquet(f"{root}/state").select(
         "user_id",
         F.col("events_seen").cast("bigint").alias("events_seen"),
