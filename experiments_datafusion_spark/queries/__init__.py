@@ -95,6 +95,7 @@ _PRIORITY = (
     "sortbench_merge", "table_delete_mor", "scan_pruning_clustered",
     "scan_pruning_manifest", "table_delete_mor_positional",
     "dedup_cdc_chunks", "dedup_cdc_chunks_fast", "ev_stream_upsert",
+    "table_diff_reconcile",
     "text_bpe_train", "text_bpe_apply", "table_vacuum",
     "table_delete_compliance", "table_time_travel_multi",
     "source_xml_roundtrip", "source_avro_roundtrip", "table_time_travel",
@@ -111,7 +112,7 @@ _PRIORITY = (
     "dedup_simhash", "dedup_simhash_pairs", "sim_label_centroids",
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
     "subq_correlated_scalar", "subq_exists", "subq_in",
-    "table_sample_hash", "text_fingerprint", "text_langid",
+    "table_sample_hash", "text_fingerprint",
 )
 
 

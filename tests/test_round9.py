@@ -263,3 +263,16 @@ def test_cdc_spark_matches_python_reference(spark):
         ref = _cdc_chunks_py(texts[r.doc_id])
         assert r.n_chunks == len(ref), (r.doc_id, r.n_chunks, ref)
         assert r.total_chars == len(texts[r.doc_id])
+
+
+# ---- snapshot reconciliation ---------------------------------------------------
+
+
+def test_table_diff_covers_all_four_classes(spark, sf_dir):
+    """The drift construction must exercise every diff class at every
+    scale — a reconciler that never sees a 'removed' row in its tests is
+    untested on the class that matters most."""
+    out = {r.change: r.n for r in R9.table_diff_reconcile(spark, sf_dir).collect()}
+    assert set(out) == {"added", "removed", "modified", "unchanged"}, out
+    assert all(n > 0 for n in out.values())
+    assert out["added"] == R9._DIFF_GHOSTS
