@@ -276,3 +276,30 @@ def test_table_diff_covers_all_four_classes(spark, sf_dir):
     assert set(out) == {"added", "removed", "modified", "unchanged"}, out
     assert all(n > 0 for n in out.values())
     assert out["added"] == R9._DIFF_GHOSTS
+
+
+def test_table_diff_scans_only_wire_columns(spark, sf_dir, tmp_path):
+    """The reconciler's scale claim is the slim wire format: the diff
+    join's parquet scans must read ONLY (k, status, price_c) — the key +
+    the hashed payload — i.e. column pruning reaches the snapshot scans."""
+    import pyspark.sql.functions as F
+
+    from experiments_datafusion_spark.plans.audit import audit
+
+    for name in ("a", "b"):
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            F.lit("S").alias("status"),
+            F.col("id").alias("price_c"),
+            F.lit("ballast").alias("unused_wide_col"),
+        ).write.mode("overwrite").parquet(str(tmp_path / name))
+
+    def slim(p):
+        return spark.read.parquet(str(p)).select(
+            "k", F.xxhash64("status", "price_c").alias("h")
+        )
+
+    v0, v1 = slim(tmp_path / "a").alias("v0"), slim(tmp_path / "b").alias("v1")
+    d = v0.join(v1, F.col("v0.k") == F.col("v1.k"), "full_outer")
+    cols = audit(d).read_schema_columns()
+    assert cols and all(set(c) == {"k", "status", "price_c"} for c in cols), cols
