@@ -376,6 +376,16 @@ def time_df(build, iters: int = ITERS, warmup: int = WARMUP) -> float:
 
 
 def main() -> None:
+    # pre-launch host-load sample, taken BEFORE the Spark JVM spins up: the
+    # in-run loadavg fields cannot discriminate self-load from co-tenant
+    # load (r9 verdict #1 — three rounds of prose attribution); this one
+    # can, because at sample time the bench has produced no load of its
+    # own.  A loaded prelaunch_loadavg means the ratios in this file were
+    # taken on a contaminated host — machine-readable this time.
+    try:
+        prelaunch = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        prelaunch = [-1.0, -1.0, -1.0]
     spark = get_spark("edfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -480,6 +490,36 @@ def main() -> None:
                     )
                 entry["runs"][str(k)] = per_k
                 runs.unpersist()
+                # round-10 few-run fix: the same K logical runs materialized
+                # as K x (32/K) sorted SEGMENTS (make_sorted_runs
+                # segments_per_run) — the layout that keeps every
+                # post-materialization stage full-width.  Timed under the
+                # default strategy only (the strategies tie on multi-column
+                # input; the segment layout, not the sort algorithm, is the
+                # variable under test).
+                if k < 32:
+                    spark.conf.set("spark.sql.sort.enableRadixSort", "true")
+                    seg_runs = (
+                        sort_ops.make_sorted_runs(
+                            assigned,
+                            k,
+                            exprs,
+                            run_col="run",
+                            segments_per_run=32 // k,
+                        )
+                        .drop("run")
+                        .persist()
+                    )
+                    seg_runs.count()
+                    entry["runs"][str(k)]["segmented"] = round(
+                        time_df(
+                            lambda: sort_ops.merge_sorted_runs(seg_runs, exprs),
+                            iters=2,
+                            warmup=1,
+                        ),
+                        4,
+                    )
+                    seg_runs.unpersist()
             base.unpersist()
             spark.conf.set("spark.sql.sort.enableRadixSort", "true")
             merge_sweep[f"{case}@{n}"] = entry
@@ -585,6 +625,7 @@ def main() -> None:
                 "merge_sweep": merge_sweep,
                 "analytics_sweep": analytics_sweep,
                 "headline_windows": headline_record,
+                "prelaunch_loadavg": prelaunch,  # [1m, 5m, 15m] before JVM start
                 "sf": sf_val,
                 "iters": ITERS,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def make_sort_exprs(
@@ -61,15 +61,40 @@ def make_sorted_runs(
     num_runs: int,
     exprs: Sequence[Column] | None = None,
     run_col: str = "run",
+    segments_per_run: int = 1,
 ) -> DataFrame:
     """Scatter rows into ``num_runs`` partition-resident runs (one run per
     partition via hash repartition on ``run_col``) and sort each run — the
     setup half of the reference's multi-batch regime (split_batch,
     data.rs:245-261, feeding the merge benchmark README.md:3-5).  The run
-    column must already exist (operators/split.assign_streams*)."""
+    column must already exist (operators/split.assign_streams*).
+
+    ``segments_per_run > 1`` is the few-run scale fix (round 10): each
+    logical run is materialized as that many partition-resident sorted
+    SEGMENTS instead of one monolithic partition, so everything downstream
+    of the runs — the range-partitioner sample scan and the merge
+    exchange's map side — runs num_runs*segments wide instead of
+    num_runs wide.  This is a layout decision at materialization time and
+    the only point where it can be made: once K runs are pinned as K
+    partitions, every consumer's first stage is K-wide no matter what
+    (post-hoc re-splitting pays that K-wide read AND an extra shuffle —
+    measured strictly worse; see resplit_sorted_runs).  Segment membership
+    hashes the data columns (deterministic), so each segment is a sorted
+    subset of its run and the union of a run's segments is exactly the
+    run.  Measured at 10M rows / local[32]: K=2 monolithic merges ~3.9x
+    slower than the direct sort; K=2 x 16 segments lands within ~1.45x."""
     sort_cols = [c for c in df.columns if c != run_col]
-    return df.repartition(num_runs, F.col(run_col)).sortWithinPartitions(
-        *(exprs if exprs is not None else make_sort_exprs(df, sort_cols))
+    sort_exprs = list(exprs) if exprs is not None else make_sort_exprs(df, sort_cols)
+    if segments_per_run <= 1:
+        return df.repartition(num_runs, F.col(run_col)).sortWithinPartitions(
+            *sort_exprs
+        )
+    seg = F.pmod(F.xxhash64(*sort_cols), F.lit(segments_per_run))
+    return (
+        df.withColumn("_segment", seg)
+        .repartition(num_runs * segments_per_run, F.col(run_col), F.col("_segment"))
+        .drop("_segment")
+        .sortWithinPartitions(*sort_exprs)
     )
 
 
@@ -89,6 +114,48 @@ def merge_sorted_runs(runs: DataFrame, exprs: Sequence[Column] | None = None) ->
     reference's single-batch-vs-merge asymmetry; bench.py's merge series
     measures it across N runs at 1M-10M rows."""
     return runs.orderBy(*(exprs if exprs is not None else make_sort_exprs(runs)))
+
+
+def resplit_sorted_runs(
+    runs: DataFrame,
+    factor: int,
+    exprs: Sequence[Column] | None = None,
+    run_col: str = "run",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Order-preservingly re-split K partition-resident sorted runs into
+    K*factor smaller sorted runs: each run is cut into ``factor``
+    CONTIGUOUS bands (ntile over the run's own sort order — a contiguous
+    slice of a sorted run is itself a sorted run), then scattered across
+    ``num_partitions`` (defaults to the session shuffle width).  The window
+    needs no new exchange (the runs are already hash-clustered on
+    ``run_col``); the scatter is one hash exchange.
+
+    **Measured negative result (round 10, kept as the honest A/B arm):**
+    post-hoc re-splitting does NOT fix the few-run merge regime.  The
+    K-wide bottleneck is READING the K pinned partitions, which this
+    operator's own map side pays in full before adding a complete extra
+    shuffle — at 10M rows / local[32], K=2 merge: direct sort 1.65 s,
+    monolithic merge 6.5 s, resplit(16)+merge 9.7 s.  The fix that works
+    is choosing the layout at materialization time
+    (``make_sorted_runs(..., segments_per_run=S)``: 2.39 s, ~1.45x of
+    direct).  Use this operator only when the runs genuinely cannot be
+    re-materialized and a downstream consumer NEEDS many sorted runs
+    (not a total order).
+
+    ``merge_sorted_runs(resplit_sorted_runs(runs, f), exprs)`` is
+    row-for-row equal to ``merge_sorted_runs(runs, exprs)`` —
+    tests/test_sort.py pins it."""
+    sort_cols = [c for c in runs.columns if c != run_col]
+    sort_exprs = list(exprs) if exprs is not None else make_sort_exprs(runs, sort_cols)
+    w = Window.partitionBy(run_col).orderBy(*sort_exprs)
+    banded = runs.withColumn("_subrun", F.ntile(factor).over(w))
+    n = (
+        num_partitions
+        if num_partitions is not None
+        else int(runs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+    return banded.repartition(n, F.col(run_col), F.col("_subrun")).drop("_subrun")
 
 
 def top_k(df: DataFrame, k: int, exprs: Sequence[Column] | None = None) -> DataFrame:

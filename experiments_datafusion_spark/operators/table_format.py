@@ -1,0 +1,298 @@
+"""Minimal copy-on-write table format: versioned immutable parquet snapshots
+plus a JSON manifest log — the kernel that Delta's ``_delta_log`` / Iceberg's
+metadata tree reduce to for a single-table full-rewrite workload, and the
+shared layer under every ``table_*`` maintenance key (time travel, vacuum,
+compliance delete, merge-on-read deletes, compaction, manifest pruning,
+snapshot diff, change-data-feed).
+
+Design rules, each one a scale decision:
+
+* **Snapshots are immutable.**  ``commit`` writes a fresh ``v{N}/`` parquet
+  directory and never edits an earlier one — copy-on-write is what keeps
+  old versions readable (time travel) and what makes vacuum a pure
+  metadata diff.
+* **Reads go through the manifest, not the directory.**  ``read`` hands
+  Spark the version's explicit file list, exactly what a manifest-driven
+  reader does; a file vacuumed away or an uncommitted stray in the same
+  directory can never leak into a read.
+* **The log is O(files) driver-side catalog state.**  Manifest JSON holds
+  (path, size, rows) per file — what a table format's log IS.  Per-file
+  column stats (``stats_manifest``) are collected with ONE distributed
+  aggregate over ``_metadata.file_path``, never a driver-side footer walk.
+* **No data ever moves through the driver** — commits are distributed
+  writes, reads are distributed scans; the driver only touches the file
+  LIST.
+
+The reference repo has no table format (it benches in-memory sorts); this
+layer exists because the maintenance family grew one hand-rolled snapshot
+tree per key — same dataflow, nine spellings.  Semantics follow the public
+Delta/Iceberg specs (snapshot isolation, AS OF reads, add/remove file
+manifests, CDF row shape) re-expressed as plain parquet + JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str  # absolute
+    size: int
+
+
+class SnapshotLog:
+    """Versioned snapshot log rooted at ``root``.
+
+    Layout::
+
+        root/_log/00000.json   {"version": 0, "note": ..., "files": [...]}
+        root/_log/00001.json
+        root/v0/part-*.parquet   (immutable)
+        root/v1/part-*.parquet
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self._log_dir = os.path.join(root, "_log")
+        os.makedirs(self._log_dir, exist_ok=True)
+
+    # ---- write side ---------------------------------------------------------
+
+    def commit(self, df: DataFrame, note: str = "") -> int:
+        """Write ``df`` as the next immutable snapshot; returns its version.
+
+        The manifest entry is recorded only after the parquet write
+        succeeds, so a failed write can never produce a readable version
+        (the atomicity a real format gets from its log append)."""
+        version = self.latest_version() + 1
+        data_dir = os.path.join(self.root, f"v{version}")
+        df.write.mode("error").parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        entry = {
+            "version": version,
+            "note": note,
+            "files": [{"path": p, "size": os.path.getsize(p)} for p in files],
+        }
+        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        return version
+
+    # ---- log side -----------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._log_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else -1
+
+    def entry(self, version: int) -> dict:
+        with open(os.path.join(self._log_dir, f"{version:05d}.json")) as fh:
+            return json.load(fh)
+
+    def manifest(self, version: int) -> list[FileEntry]:
+        return [FileEntry(f["path"], f["size"]) for f in self.entry(version)["files"]]
+
+    def live_files(self, versions=None) -> set[str]:
+        vs = self.versions() if versions is None else versions
+        return {fe.path for v in vs for fe in self.manifest(v)}
+
+    # ---- read side ----------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """AS OF read: scan exactly the version's manifest file list."""
+        v = self.latest_version() if version is None else version
+        files = [fe.path for fe in self.manifest(v)]
+        if not files:  # a committed empty snapshot still has a schema? no files
+            raise ValueError(f"version {v} has no data files")
+        return spark.read.parquet(*files)
+
+    def read_as_of(
+        self,
+        spark: SparkSession,
+        versions,
+        version_col: str = "version",
+    ) -> DataFrame:
+        """Union several AS OF reads through the EVOLVED schema (what a
+        manifest-driven reader does across ADD COLUMN): snapshots written
+        before a column existed surface it as NULL."""
+        out = None
+        for v in versions:
+            r = self.read(spark, v).withColumn(version_col, F.lit(v).cast("long"))
+            out = r if out is None else out.unionByName(r, allowMissingColumns=True)
+        return out
+
+    # ---- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep) -> list[str]:
+        """Remove every data file not referenced by the kept versions'
+        manifests; returns the removed paths.  A pure manifest diff plus
+        O(dead files) unlinks — never a data read."""
+        live = self.live_files(sorted(keep))
+        removed = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            if os.path.basename(dirpath) == "_log":
+                continue
+            for f in files:
+                p = os.path.join(dirpath, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed.append(p)
+        return sorted(removed)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        version: int | None = None,
+    ) -> int:
+        """Small-file compaction as a log commit: rewrite a version into
+        ceil(total_bytes / target) files (round-robin repartition keeps
+        sizes even) and commit the result as a NEW version — the old one
+        stays readable until vacuumed, exactly how a format's OPTIMIZE
+        sequences.  Sizing comes from the manifest (catalog state), not a
+        filesystem walk.  At 100 TB this runs per partition directory so
+        each rewrite is bounded (io.compact_parquet is the path-based
+        twin)."""
+        import math
+
+        v = self.latest_version() if version is None else version
+        total = sum(fe.size for fe in self.manifest(v))
+        n = max(1, math.ceil(total / target_file_bytes))
+        return self.commit(
+            self.read(spark, v).repartition(n), note=f"compact v{v} -> {n} files"
+        )
+
+    def stats_manifest(self, spark: SparkSession, version: int, col: str):
+        """Per-file [lo, hi, n_rows] stats for ``col`` — the add-file stats
+        a table format records at write time (O(files) driver rows)."""
+        return file_stats(self.read(spark, version), col)
+
+    @staticmethod
+    def prune(stats, lo, hi) -> list[str]:
+        """Planning-time file skipping: keep files whose [lo, hi] interval
+        intersects the predicate band (conservative — the residual filter
+        must stay on the scan)."""
+        return [r.file_path for r in stats if r.hi >= lo and r.lo <= hi]
+
+    def read_files(self, spark: SparkSession, files) -> DataFrame:
+        """Scan an explicit (pruned) file list."""
+        return spark.read.parquet(*list(files))
+
+
+# ---- shared dataflows over snapshots ---------------------------------------------
+
+
+def file_stats(df: DataFrame, col: str):
+    """Per-file [lo, hi, n_rows] for ``col`` — ONE distributed aggregate
+    keyed on the file-metadata column, never a driver-side footer walk;
+    returns O(files) driver rows (the manifest is catalog state, not
+    data)."""
+    return (
+        df.groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str = "k") -> DataFrame:
+    """Schema-evolving full-outer UPSERT (the copy-on-write MERGE kernel):
+    source rows win on key collision; columns present on only one side pass
+    through, so a source carrying a NEW column (ADD COLUMN evolution) leaves
+    it NULL on carried-over target rows — ADD COLUMN back-fills nothing."""
+    t_cols, s_cols = set(target.columns), set(source.columns)
+    out = []
+    for c in sorted(t_cols | s_cols):
+        if c == key:
+            out.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        elif c in t_cols and c in s_cols:
+            out.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            side = "t" if c in t_cols else "s"
+            out.append(F.col(f"{side}.{c}").alias(c))
+    return (
+        target.alias("t")
+        .join(source.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+        .select(*out)
+    )
+
+
+def changes_between(
+    v0: DataFrame,
+    v1: DataFrame,
+    key: str,
+    payload: list[str],
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Change data feed between two snapshots — the incremental read every
+    downstream consumer wants instead of a full rescan: one full-outer join
+    on the key, one pass, emitting Delta-CDF-shaped rows:
+
+      * ``insert``            — key only in v1 (the new row)
+      * ``delete``            — key only in v0 (the removed row)
+      * ``update_preimage`` / ``update_postimage`` — key in both with a
+        payload difference (both rows, so a consumer can retract+apply)
+      * unchanged keys emit nothing.
+
+    At 100 TB both sides are co-partitioned on the key for one SMJ; the
+    change rows are produced by a single explode over the joined row (no
+    second scan per class), so the cost is one join + one projection."""
+    a, b = v0.alias("a"), v1.alias("b")
+    joined = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+
+    def side_struct(side: str, change: str):
+        return F.struct(
+            F.col(f"{side}.{key}").alias(key),
+            *[F.col(f"{side}.{c}").alias(c) for c in payload],
+            F.lit(change).alias(change_col),
+        )
+
+    payload_differs = F.lit(False)
+    for c in payload:
+        payload_differs = payload_differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+
+    rows = (
+        F.when(F.col(f"a.{key}").isNull(), F.array(side_struct("b", "insert")))
+        .when(F.col(f"b.{key}").isNull(), F.array(side_struct("a", "delete")))
+        .when(
+            payload_differs,
+            F.array(
+                side_struct("a", "update_preimage"),
+                side_struct("b", "update_postimage"),
+            ),
+        )
+    )  # unchanged -> NULL array; explode_outer would emit a row, explode drops it
+    exploded = joined.select(F.explode(rows).alias("_ch"))
+    return exploded.select(
+        F.col(f"_ch.{key}").alias(key),
+        *[F.col(f"_ch.{c}").alias(c) for c in payload],
+        F.col(f"_ch.{change_col}").alias(change_col),
+    )
+
+
+def mor_read(base: DataFrame, delete_keys: DataFrame, key: str) -> DataFrame:
+    """Merge-on-read: base minus the delete sidecar.  Broadcast by
+    construction — a deletion sidecar is small relative to the base, and
+    shuffling the base for an SMJ anti is exactly what MoR exists to
+    avoid (queries/round9.py pins the BroadcastHashJoin LeftAnti plan)."""
+    return base.join(F.broadcast(delete_keys), key, "left_anti")

@@ -66,6 +66,7 @@ _MODULES = (
     "round6",  # round 6: grid-routed geo kNN, fast-hash twins, RLE8 AVI, time travel v2
     "round7",  # round 7: BPE train/apply, vacuum, RTBF delete, phash/audio dedup
     "round9",  # round 9: merge-on-read deletion vectors
+    "round10",  # round 10: snapshot-log layer + change data feed
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

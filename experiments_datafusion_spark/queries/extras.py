@@ -160,20 +160,24 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and (b) row + key-sum conservation through the rewrite — so the
     round-trip itself, not the source table, is what is verified.  At
     100 TB this op runs per partition directory (io.py docstring), so each
-    rewrite is bounded; here the whole sf-dir table is one bounded unit."""
+    rewrite is bounded; here the whole sf-dir table is one bounded unit.
+    Since round 10 the fragments and the compacted rewrite are snapshot-log
+    commits (operators/table_format.SnapshotLog.compact) and the fragment
+    files are VACUUMED after the swap — the full OPTIMIZE + retention loop;
+    io.compact_parquet remains the path-based twin."""
     import tempfile
-    from pathlib import Path
 
-    from experiments_datafusion_spark import io as eio
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
 
     tmp = tempfile.mkdtemp(prefix="compact_sf_")
-    src, dst = f"{tmp}/frag", f"{tmp}/compact"
+    log = SnapshotLog(tmp)
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    orders.repartition(64).write.mode("overwrite").parquet(src)
-    n_declared = eio.compact_parquet(spark, src, dst, target_file_bytes=1 << 40)
-    n_actual = len(list(Path(dst).glob("*.parquet")))
-    assert n_declared == n_actual == 1, (n_declared, n_actual)
-    out = spark.read.parquet(dst).agg(
+    log.commit(orders.repartition(64), note="fragmented ingest")
+    v1 = log.compact(spark, target_file_bytes=1 << 40)
+    assert len(log.manifest(v1)) == 1, log.manifest(v1)
+    removed = log.vacuum(keep={v1})
+    assert len(removed) == 64, len(removed)
+    out = log.read(spark, v1).agg(
         F.count("*").alias("n_rows"),
         F.sum("o_custkey").alias("custkey_sum"),
     ).select(F.lit(1).cast("long").alias("out_files"), "n_rows", "custkey_sum")

@@ -999,12 +999,20 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable files a version sees; copy-on-write keeps old versions
     valid).  The oracle recomputes each version's state straight from the
     raw orders, so snapshot isolation — v0 unchanged by the v1 merge —
-    is exactly what the differential check verifies."""
+    is exactly what the differential check verifies.  Snapshot plumbing
+    lives in operators/table_format.py (SnapshotLog + merge_upsert) — the
+    shared layer under the whole maintenance family since round 10."""
     import tempfile
 
     from pyspark.sql import Window as W
 
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        merge_upsert,
+    )
+
     tmp = tempfile.mkdtemp(prefix="timetravel_")
+    log = SnapshotLog(tmp)
     orders = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
@@ -1022,33 +1030,14 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # snapshot v0: pre-cutover state, written immutably
-    latest(orders.where(F.col("o_orderdate") < _TT_CUT)).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/v0")
+    log.commit(latest(orders.where(F.col("o_orderdate") < _TT_CUT)), note="v0")
     # changelog: latest post-cutover state per key; merge into v1
     # (copy-on-write: v0's files are never touched)
     changes = latest(orders.where(F.col("o_orderdate") >= _TT_CUT))
-    v0 = spark.read.parquet(f"{tmp}/v0")
-    merged = (
-        v0.alias("t")
-        .join(changes.alias("s"), F.col("t.k") == F.col("s.k"), "full_outer")
-        .select(
-            F.coalesce(F.col("s.k"), F.col("t.k")).alias("k"),
-            F.coalesce(F.col("s.status"), F.col("t.status")).alias("status"),
-            F.coalesce(F.col("s.price_c"), F.col("t.price_c")).alias("price_c"),
-        )
-    )
-    merged.write.mode("overwrite").parquet(f"{tmp}/v1")
-    # AS OF reads: each version resolves to its immutable snapshot dir
-    reads = [
-        spark.read.parquet(f"{tmp}/v{i}").withColumn(
-            "version", F.lit(i).cast("long")
-        )
-        for i in (0, 1)
-    ]
+    log.commit(merge_upsert(log.read(spark, 0), changes, key="k"), note="merge")
+    # AS OF reads: each version resolves to its manifest-pinned file list
     out = (
-        reads[0]
-        .unionByName(reads[1])
+        log.read_as_of(spark, (0, 1))
         .groupBy("version", "status")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -441,12 +441,19 @@ def table_time_travel_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = latest pre-cut1 state per customer; v1 = v0 merged with the
     [cut1, cut2) changelog; v2 = v1 merged with the >= cut2 changelog
     carrying the NEW column (carried-over rows keep NULL — ADD COLUMN
-    back-fills nothing)."""
+    back-fills nothing).  Snapshot plumbing + the schema-evolving merge
+    live in operators/table_format.py since round 10."""
     import tempfile
 
     from pyspark.sql import Window as W
 
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        merge_upsert,
+    )
+
     tmp = tempfile.mkdtemp(prefix="timetravel_multi_")
+    log = SnapshotLog(tmp)
     orders = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
@@ -466,28 +473,10 @@ def table_time_travel_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*cols)
         )
 
-    def merge(target, source):
-        # full-outer upsert; columns present only on one side pass through
-        # (the source's NEW column stays NULL for carried-over target rows)
-        t_cols, s_cols = set(target.columns), set(source.columns)
-        out = []
-        for c in sorted(t_cols | s_cols):
-            if c in t_cols and c in s_cols:
-                out.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
-            else:
-                side = "t" if c in t_cols else "s"
-                out.append(F.col(f"{side}.{c}").alias(c))
-        return (
-            target.alias("t")
-            .join(source.alias("s"), F.col("t.k") == F.col("s.k"), "full_outer")
-            .select(*out)
-        )
-
     # v0: immutable pre-cut1 snapshot
-    latest(orders.where(F.col("o_orderdate") < _TTM_CUT1), False).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/v0")
-    v0 = spark.read.parquet(f"{tmp}/v0")
+    log.commit(
+        latest(orders.where(F.col("o_orderdate") < _TTM_CUT1), False), note="v0"
+    )
     # v1: copy-on-write merge of the [cut1, cut2) changelog — same schema
     ch1 = latest(
         orders.where(
@@ -495,22 +484,16 @@ def table_time_travel_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         False,
     )
-    merge(v0, ch1).write.mode("overwrite").parquet(f"{tmp}/v1")
-    v1 = spark.read.parquet(f"{tmp}/v1")
+    log.commit(merge_upsert(log.read(spark, 0), ch1, key="k"), note="merge ch1")
     # v2: the changelog CARRIES A NEW COLUMN (ADD COLUMN schema evolution);
     # v0/v1 files are never rewritten
     ch2 = latest(orders.where(F.col("o_orderdate") >= _TTM_CUT2), True)
-    merge(v1, ch2).write.mode("overwrite").parquet(f"{tmp}/v2")
+    log.commit(
+        merge_upsert(log.read(spark, 1), ch2, key="k"), note="merge ch2 + ADD COLUMN"
+    )
     # AS OF reads through the EVOLVED schema: old snapshots surface the
     # added column as NULL
-    reads = [
-        spark.read.parquet(f"{tmp}/v{i}").withColumn("version", F.lit(i).cast("long"))
-        for i in (0, 1, 2)
-    ]
-    allv = reads[0]
-    for r in reads[1:]:
-        allv = allv.unionByName(r, allowMissingColumns=True)
-    out = allv.groupBy("version", "status").agg(
+    out = log.read_as_of(spark, (0, 1, 2)).groupBy("version", "status").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("price_c").cast("bigint").alias("price_units"),
         F.count("priority").cast("bigint").alias("n_prio"),

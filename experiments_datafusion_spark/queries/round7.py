@@ -383,11 +383,18 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw orders, proving the vacuum removed ONLY dead files; the pytest
     twin (tests/test_round7.py) additionally pins that v0's files are
     gone, the old version no longer reads, and exactly v1's file set
-    survives."""
-    import os
+    survives.  Snapshot plumbing lives in operators/table_format.py
+    (SnapshotLog.vacuum = the same manifest-diff walk, now driven by the
+    log instead of a hand-built live set) since round 10."""
     import tempfile
 
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        merge_upsert,
+    )
+
     root = tempfile.mkdtemp(prefix="vacuum_")
+    log = SnapshotLog(root)
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
@@ -404,29 +411,12 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    latest(orders.where(F.col("o_orderdate") < _VAC_CUT)).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/v0")
-    v0 = spark.read.parquet(f"{root}/v0")
+    log.commit(latest(orders.where(F.col("o_orderdate") < _VAC_CUT)), note="v0")
     changes = latest(orders.where(F.col("o_orderdate") >= _VAC_CUT))
-    merged = (
-        v0.alias("t")
-        .join(changes.alias("s"), F.col("t.k") == F.col("s.k"), "full_outer")
-        .select(
-            F.coalesce(F.col("s.k"), F.col("t.k")).alias("k"),
-            F.coalesce(F.col("s.status"), F.col("t.status")).alias("status"),
-            F.coalesce(F.col("s.price_c"), F.col("t.price_c")).alias("price_c"),
-        )
-    )
-    merged.write.mode("overwrite").parquet(f"{root}/v1")
-    live = {
-        os.path.join(f"{root}/v1", f)
-        for f in os.listdir(f"{root}/v1")
-        if f.endswith(".parquet")
-    }
-    vacuum_unreferenced(root, live)
+    log.commit(merge_upsert(log.read(spark, 0), changes, key="k"), note="merge")
+    log.vacuum(keep={1})
     out = (
-        spark.read.parquet(f"{root}/v1")
+        log.read(spark, 1)
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -717,8 +707,12 @@ def table_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's raw-table arithmetic genuinely verifies the rewrite
     dropped exactly the cohort and nothing else.  At 100 TB this is the
     standard DELETE pattern: partition-pruned rewrite of affected files
-    plus a manifest swap (table_vacuum reclaims the old ones)."""
+    plus a manifest swap (table_vacuum reclaims the old ones).  Snapshot
+    plumbing lives in operators/table_format.py since round 10 — one
+    SnapshotLog per table, the rewrite is a commit."""
     import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
 
     root = tempfile.mkdtemp(prefix="rtbf_")
     out = []
@@ -726,8 +720,9 @@ def table_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = table(spark, sf_dir, tbl)
         before = df.count()
         kept = df.where(F.col(key) % _RTBF_MOD != 0)
-        kept.write.mode("overwrite").parquet(f"{root}/{tbl}/v1")
-        back = spark.read.parquet(f"{root}/{tbl}/v1")
+        log = SnapshotLog(f"{root}/{tbl}")
+        v = log.commit(kept, note="RTBF copy-on-write rewrite")
+        back = log.read(spark, v)
         audit = back.agg(
             F.count(F.lit(1)).alias("rows_after"),
             F.sum(F.when(F.col(key) % _RTBF_MOD == 0, 1).otherwise(0))

@@ -19,6 +19,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from experiments_datafusion_spark.io import materialize_then_rmtree, table
+from experiments_datafusion_spark.operators.table_format import (
+    SnapshotLog,
+    file_stats,
+    mor_read,
+)
 from experiments_datafusion_spark.queries import register
 
 # deterministic delete cohort — distinct from table_delete_compliance's
@@ -60,27 +65,30 @@ def table_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME audit row from each path, so the differential check proves
     MoR view == compacted CoW result == the logical delete.  The
     row-for-row (not just aggregate) equality and the broadcast-anti
-    plan shape are pinned in tests/test_round9.py."""
+    plan shape are pinned in tests/test_round9.py.  Snapshot plumbing
+    lives in operators/table_format.py since round 10: base, sidecar, and
+    the compacted rewrite are all log commits (v0..v2), which is exactly
+    how Iceberg sequences equality-delete files in its manifest log."""
     import tempfile
 
     root = tempfile.mkdtemp(prefix="mor_")
+    log = SnapshotLog(root)
     base_src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    base_src.write.mode("overwrite").parquet(f"{root}/base")
-    base = spark.read.parquet(f"{root}/base")
+    log.commit(base_src, note="base")
+    base = log.read(spark, 0)
 
     # the delete: keys only — this is the whole write cost of a MoR delete
-    base.where(F.col("o_custkey") % _MOR_MOD == 0).select("o_orderkey").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/deletes")
-    sidecar = spark.read.parquet(f"{root}/deletes")
-
-    mor_view = base.join(F.broadcast(sidecar), "o_orderkey", "left_anti")
+    log.commit(
+        base.where(F.col("o_custkey") % _MOR_MOD == 0).select("o_orderkey"),
+        note="delete-sidecar (equality keys)",
+    )
+    mor_view = mor_read(base, log.read(spark, 1), "o_orderkey")
 
     # compaction: reconcile the sidecar copy-on-write; sidecar retires
-    mor_view.write.mode("overwrite").parquet(f"{root}/compacted")
-    cow = spark.read.parquet(f"{root}/compacted")
+    log.commit(mor_view, note="compacted")
+    cow = log.read(spark, 2)
 
     def audit(df: DataFrame, path: str) -> DataFrame:
         return df.agg(
@@ -93,12 +101,8 @@ def table_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_then_rmtree(out, root)
 
 
-def mor_read(base: DataFrame, delete_keys: DataFrame, key: str) -> DataFrame:
-    """The reusable MoR read: base minus the delete sidecar.  Broadcast by
-    construction — a deletion sidecar is small relative to the base, and
-    at 100 TB the alternative (shuffling the base for an SMJ anti) is
-    exactly what merge-on-read exists to avoid."""
-    return base.join(F.broadcast(delete_keys), key, "left_anti")
+# mor_read moved to operators/table_format.py in round 10 (imported above,
+# re-exported here for compatibility with existing tests/callers).
 
 
 # ---- clustered-layout scan pruning ---------------------------------------------
@@ -178,19 +182,10 @@ _MANIFEST_FILES = 16
 
 
 def build_file_manifest(spark: SparkSession, path: str, col: str):
-    """Per-file [min, max, rows] for ``col`` — one distributed aggregate
-    keyed on the file-metadata column; returns driver-side rows (the
-    manifest is O(files) catalog state, not data)."""
-    df = spark.read.parquet(path)
-    return (
-        df.groupBy(F.col("_metadata.file_path").alias("file_path"))
-        .agg(
-            F.min(col).alias("lo"),
-            F.max(col).alias("hi"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .collect()
-    )
+    """Per-file [min, max, rows] for ``col`` over a plain parquet dir —
+    thin wrapper over operators/table_format.file_stats (the log-backed
+    variant is SnapshotLog.stats_manifest)."""
+    return file_stats(spark.read.parquet(path), col)
 
 
 def prune_files(manifest, lo, hi) -> list[str]:
@@ -219,19 +214,23 @@ def scan_pruning_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving files with the band predicate re-applied (manifest pruning
     is necessarily conservative — files are kept on interval OVERLAP, so
     the residual filter stays).  Same oracle as scan_pruning_clustered —
-    the two keys prove the two skipping tiers return identical answers."""
+    the two keys prove the two skipping tiers return identical answers.
+    Since round 10 the clustered rewrite is a SnapshotLog commit and the
+    stats manifest / pruning go through the layer's log-backed methods —
+    the add-file-stats placement a real format uses."""
     import tempfile
 
     root = tempfile.mkdtemp(prefix="manifest_")
+    log = SnapshotLog(root)
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    orders.repartitionByRange(_MANIFEST_FILES, "o_custkey").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/clustered")
-    manifest = build_file_manifest(spark, f"{root}/clustered", "o_custkey")
-    survivors = prune_files(manifest, _PRUNE_LO, _PRUNE_HI)
-    band = spark.read.parquet(*survivors).where(
+    v = log.commit(
+        orders.repartitionByRange(_MANIFEST_FILES, "o_custkey"), note="clustered"
+    )
+    manifest = log.stats_manifest(spark, v, "o_custkey")
+    survivors = SnapshotLog.prune(manifest, _PRUNE_LO, _PRUNE_HI)
+    band = log.read_files(spark, survivors).where(
         F.col("o_custkey").between(_PRUNE_LO, _PRUNE_HI)
     )
     out = band.agg(
@@ -294,31 +293,31 @@ def table_delete_mor_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     device for the oracle, not the production shape — at scale the
     address recipe is identical per file and the sidecar partitions by
     file_path.  Row-for-row MoR==CoW and the broadcast-anti plan are
-    pinned in tests/test_round9.py."""
+    pinned in tests/test_round9.py.  Snapshot plumbing lives in
+    operators/table_format.py since round 10 (base/sidecar/compacted are
+    log commits v0..v2)."""
     import tempfile
 
     root = tempfile.mkdtemp(prefix="morpos_")
+    log = SnapshotLog(root)
     src = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    src.orderBy("o_orderkey").coalesce(1).write.mode("overwrite").parquet(
-        f"{root}/base"
-    )
-    addressed = spark.read.parquet(f"{root}/base").select(
+    log.commit(src.orderBy("o_orderkey").coalesce(1), note="base (1 ordered file)")
+    addressed = log.read(spark, 0).select(
         F.col("_metadata.file_path").alias("f"),
         F.col("_metadata.row_index").alias("ri"),
         "o_orderkey",
         "o_custkey",
     )
     # the delete: physical addresses only — no content comparison anywhere
-    addressed.where(F.col("ri") % _POS_MOD == 0).select("f", "ri").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/deletes")
-    sidecar = spark.read.parquet(f"{root}/deletes")
+    log.commit(
+        addressed.where(F.col("ri") % _POS_MOD == 0).select("f", "ri"),
+        note="delete-sidecar (positions)",
+    )
+    sidecar = log.read(spark, 1)
     mor_view = addressed.join(F.broadcast(sidecar), ["f", "ri"], "left_anti")
 
-    mor_view.select("o_orderkey", "o_custkey").write.mode("overwrite").parquet(
-        f"{root}/compacted"
-    )
-    cow = spark.read.parquet(f"{root}/compacted")
+    log.commit(mor_view.select("o_orderkey", "o_custkey"), note="compacted")
+    cow = log.read(spark, 2)
 
     def audit(df: DataFrame, path: str) -> DataFrame:
         return df.agg(
@@ -677,16 +676,17 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(ghosts)
     )
-    primary.write.mode("overwrite").parquet(f"{root}/v0")
-    replica.write.mode("overwrite").parquet(f"{root}/v1")
+    log = SnapshotLog(root)
+    log.commit(primary, note="primary")
+    log.commit(replica, note="drifted replica")
 
-    def slim(path):
+    def slim(version):
         # the reconciler's wire format: (key, content hash) only
-        return spark.read.parquet(path).select(
+        return log.read(spark, version).select(
             "k", F.xxhash64("status", "price_c").alias("h")
         )
 
-    v0, v1 = slim(f"{root}/v0").alias("v0"), slim(f"{root}/v1").alias("v1")
+    v0, v1 = slim(0).alias("v0"), slim(1).alias("v1")
     d = v0.join(v1, F.col("v0.k") == F.col("v1.k"), "full_outer").select(
         F.coalesce(F.col("v1.k"), F.col("v0.k")).alias("k"),
         F.when(F.col("v0.k").isNull(), "added")

@@ -153,7 +153,11 @@ def sortbench_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation AND the run assignment are differentially verified; the
     ordering invariants — merge output identical, row for row, to the
     direct full sort — live in tests/test_sort.py, same contract as the
-    single-batch sortbench keys."""
+    single-batch sortbench keys.  Since round 10 the runs are materialized
+    as 4 logical runs x 8 sorted SEGMENTS each (the few-run scale fix:
+    everything downstream of the runs now parallelizes 32-wide instead of
+    4-wide; see operators/sort.make_sorted_runs) — same rows, same oracle,
+    same two-exchange plan shape."""
     base = spark.range(_MERGE_N).select(
         F.col("id"),
         generators._f64(DATA_SEED, _MERGE_N, portable=True).alias("f64"),
@@ -166,7 +170,9 @@ def sortbench_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("stream", "run")
     data_cols = ["f64", "utf_low1", "utf_low2", "i64"]
     exprs = sort_ops.make_sort_exprs(assigned, data_cols)
-    runs = sort_ops.make_sorted_runs(assigned, _MERGE_RUNS, exprs, run_col="run")
+    runs = sort_ops.make_sorted_runs(
+        assigned, _MERGE_RUNS, exprs, run_col="run", segments_per_run=8
+    )
     return sort_ops.merge_sorted_runs(runs, exprs)
 
 

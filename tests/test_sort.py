@@ -105,6 +105,47 @@ def test_merge_sorted_runs_equals_direct_sort(spark):
     assert _multiset_hash(merged.select(*data_cols)) == _multiset_hash(base)
 
 
+def test_segmented_runs_merge_equals_direct_sort(spark):
+    """segments_per_run (the round-10 few-run scale fix): K=2 runs stored
+    as 2*4 sorted segments must merge to EXACTLY the direct full sort, and
+    each logical run's content must be preserved across its segments."""
+    base = generators.generate_batch(spark, "mixed-tuple", N)
+    assigned = split_ops.assign_streams(base, 2).withColumnRenamed("stream", "run")
+    data_cols = base.columns
+    exprs = sort_ops.make_sort_exprs(assigned, data_cols)
+    seg_runs = sort_ops.make_sorted_runs(
+        assigned, 2, exprs, run_col="run", segments_per_run=4
+    )
+    assert seg_runs.rdd.getNumPartitions() == 8
+    # per-run content identical to the monolithic layout
+    mono = sort_ops.make_sorted_runs(assigned, 2, exprs, run_col="run")
+    for r in (0, 1):
+        assert _multiset_hash(
+            seg_runs.where(F.col("run") == r).select(*data_cols)
+        ) == _multiset_hash(mono.where(F.col("run") == r).select(*data_cols))
+    merged = sort_ops.merge_sorted_runs(seg_runs.drop("run"), exprs)
+    merged_keys = [tuple(r[c] for c in data_cols) for r in merged.collect()]
+    direct_keys = [tuple(r) for r in sort_ops.sort_batch(base).collect()]
+    assert merged_keys == direct_keys
+
+
+def test_resplit_sorted_runs_equivalence(spark):
+    """The post-hoc A/B arm: resplit preserves the merge result exactly and
+    every band is a sorted subsequence of its run."""
+    base = generators.generate_batch(spark, "mixed-tuple", N)
+    assigned = split_ops.assign_streams(base, 2).withColumnRenamed("stream", "run")
+    data_cols = base.columns
+    exprs = sort_ops.make_sort_exprs(assigned, data_cols)
+    runs = sort_ops.make_sorted_runs(assigned, 2, exprs, run_col="run")
+    resplit = sort_ops.resplit_sorted_runs(runs, 4, exprs, run_col="run")
+    assert _multiset_hash(resplit.select(*data_cols)) == _multiset_hash(base)
+    merged = sort_ops.merge_sorted_runs(resplit.drop("run"), exprs)
+    baseline = sort_ops.merge_sorted_runs(runs.drop("run"), exprs)
+    got = [tuple(r[c] for c in data_cols) for r in merged.collect()]
+    want = [tuple(r[c] for c in data_cols) for r in baseline.collect()]
+    assert got == want
+
+
 def test_merge_sorted_runs_plan_shape(spark):
     """The merge itself must cost exactly ONE range exchange on top of the
     run scatter — no extra hash shuffles, no single-partition funnel."""
