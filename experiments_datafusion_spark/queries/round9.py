@@ -536,8 +536,11 @@ def ev_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC-style MERGE, driver-verified end to end: the fixture
     events are replayed as a 3-file stream (availableNow +
     maxFilesPerTrigger=1 -> 3 micro-batches, so the per-batch
-    aggregate -> full-outer merge -> snapshot-swap path genuinely runs 3
-    incremental merges), and the FINAL SERVING TABLE is read back and
+    aggregate -> bucket-pruned full-outer merge -> touched-bucket swap
+    path genuinely runs 3 incremental merges; since round 10 the serving
+    table is hash-bucketed and each batch rewrites ONLY touched buckets —
+    tests/test_round10.py pins untouched buckets byte-identical), and the
+    FINAL SERVING TABLE is read back and
     compared against the one-shot batch aggregate the oracle computes
     from raw events.  Accumulation uses exact integer cents
     (streaming/pipelines.stream_upsert_totals integer_units mode) so the

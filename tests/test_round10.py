@@ -110,6 +110,83 @@ def test_changes_between_classes(spark):
     }
 
 
+def _mk_events(spark, users, val):
+    return spark.createDataFrame(
+        [(int(u), float(val)) for u in users], "user_id long, value double"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+
+
+def test_stream_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The round-10 scale fix for the streaming CDC upsert: a micro-batch
+    must rewrite ONLY the hash buckets it touches — untouched buckets'
+    files stay byte-identical (path+size+mtime), touched buckets change,
+    and the final state still equals the batch aggregate."""
+    import glob
+    import re
+    import shutil
+
+    from experiments_datafusion_spark.streaming import pipelines
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tgt = str(tmp_path / "state")
+    schema = "user_id long, value double, ts timestamp"
+
+    def add_file(df, name):
+        stage = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        shutil.copy(part, src / name)
+
+    def run_stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = pipelines.stream_upsert_totals(s, tgt, integer_units=True, num_buckets=8)
+        assert q.awaitTermination(180), "stream did not drain"
+
+    # batch 1: 64 users -> every bucket populated
+    add_file(_mk_events(spark, range(64), 1.0), "a_batch1.parquet")
+    run_stream()
+    snap = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(f"{tgt}/bucket=*/*.parquet")
+    }
+    assert len({re.search(r"bucket=(\d+)", p).group(1) for p in snap}) == 8
+
+    # batch 2 (same checkpoint -> incremental): touches only users 0 and 1
+    add_file(_mk_events(spark, [0, 1], 2.0), "b_batch2.parquet")
+    run_stream()
+
+    touched = {
+        r.b
+        for r in _mk_events(spark, [0, 1], 0.0)
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(8)).cast("int").alias("b"))
+        .collect()
+    }
+    assert 0 < len(touched) < 8
+    changed_untouched, changed_touched = [], set()
+    for p, (size, mtime) in snap.items():
+        b = int(re.search(r"bucket=(\d+)", p).group(1))
+        same = os.path.exists(p) and (os.path.getsize(p), os.path.getmtime(p)) == (size, mtime)
+        if b in touched:
+            if not same:
+                changed_touched.add(b)
+        elif not same:
+            changed_untouched.append(p)
+    assert not changed_untouched  # untouched buckets byte-identical
+    assert changed_touched == touched  # every touched bucket actually rewritten
+
+    final = {
+        r.user_id: (r.events_seen, r.value_sum)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert final[0] == (2, 300) and final[1] == (2, 300)
+    assert final[63] == (1, 100) and len(final) == 64
+
+
 def test_table_changes_all_classes_nonvacuous(spark, sf_dir):
     df = all_queries()["table_changes"].fn(spark, sf_dir)
     counts = {r._change_type: r.n for r in
