@@ -48,6 +48,18 @@ def test_fuzz_decimal_datetime_40_specs(spark, sf_dir, duck):
     assert not fails, fails
 
 
+def test_fuzz_frame_40_specs(spark, sf_dir, duck):
+    """Round-10 axis in isolation: window FRAMES — value-based RANGE frames
+    over event time (epoch-seconds numeric form AND the INTERVAL form) and
+    sliding ROWS frames with mixed aggregates, under a derived NULLABLE
+    partition key (both engines must co-partition NULLs and agree on frame
+    membership at ORDER-BY-peer boundaries).  Also green at sf0.01/sf0.1
+    (run manually: run(40, 20250816, sf, only=('frame',)))."""
+    results = run(40, 20250816, sf_dir, spark=spark, con=duck, only=("frame",))
+    fails = [(i, sql, d) for i, sql, ok, d in results if not ok]
+    assert not fails, fails
+
+
 def test_empty_input_rollup_divergence_pinned(spark, duck):
     """Engine-divergence exhibit (found by the fuzzer, seed 987654): on
     EMPTY input the SQL standard's empty grouping set inside ROLLUP/CUBE

@@ -1053,6 +1053,156 @@ def dtspec_to_spark(spec: DtSpec, df):
     return out.select(*cols)
 
 
+# ---- window-FRAME specs (round 10) -------------------------------------------
+#
+# The composition family behind win_range_time / win_rolling_median that the
+# fuzzer lacked (r9 verdict #7): value-based RANGE frames over event time —
+# both the epoch-seconds numeric form and the INTERVAL form — and sliding
+# ROWS frames with MIXED aggregates, all under a DERIVED NULLABLE partition
+# key.  Both engines must co-partition NULL keys and agree on frame
+# membership at tie boundaries (RANGE includes all ORDER-BY peers; ROWS
+# needs the total-order tiebreak both sides spell identically).
+
+FRAME_AGGS = ("sum_units", "count_star", "min_units", "max_units", "count_pk")
+
+
+@dataclass
+class FrameSpec:
+    null_mod: int  # pk NULL where o_custkey % null_mod = 0 ...
+    part_mod: int  # ... else o_custkey % part_mod
+    form: str  # range_epoch | range_interval | rows_sliding
+    lo: int  # PRECEDING bound (days for range, rows for rows)
+    hi: int  # FOLLOWING bound (0 = CURRENT ROW)
+    aggs: list[tuple[str, str]]  # (kind, alias)
+
+
+def gen_framespec(rng: random.Random) -> FrameSpec:
+    form = rng.choice(("range_epoch", "range_interval", "rows_sliding"))
+    if form.startswith("range"):
+        lo, hi = rng.randint(1, 90), rng.choice((0, rng.randint(1, 45)))
+    else:
+        lo, hi = rng.randint(1, 6), rng.choice((0, rng.randint(1, 4)))
+    kinds = rng.sample(FRAME_AGGS, rng.randint(2, 4))
+    return FrameSpec(
+        rng.choice((7, 13, 29)),
+        rng.choice((5, 11, 23)),
+        form,
+        lo,
+        hi,
+        [(k, f"a{i}") for i, k in enumerate(kinds)],
+    )
+
+
+# shared projection: nullable partition key, UTC epoch seconds, exact units.
+# Spark reads o_orderdate as TIMESTAMP_NTZ; the cast to session-tz timestamp
+# (session tz = UTC) makes unix_timestamp() equal DuckDB's epoch() on the
+# naive value.
+_FRAME_CTE = """
+t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey % {nm} = 0 THEN NULL
+              ELSE o_custkey % {pm} END AS pk,
+         o_orderdate,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS units
+  FROM orders
+)
+"""
+
+_FRAME_AGG_SQL = {
+    "sum_units": "CAST(sum(units) OVER w AS BIGINT)",
+    "count_star": "CAST(count(*) OVER w AS BIGINT)",
+    "min_units": "CAST(min(units) OVER w AS BIGINT)",
+    "max_units": "CAST(max(units) OVER w AS BIGINT)",
+    "count_pk": "CAST(count(pk) OVER w AS BIGINT)",
+}
+
+
+def _frame_clause_sql(spec: FrameSpec) -> str:
+    if spec.form == "range_epoch":
+        upper = "CURRENT ROW" if spec.hi == 0 else f"{spec.hi * 86400} FOLLOWING"
+        return (
+            f"ORDER BY epoch_s RANGE BETWEEN {spec.lo * 86400} PRECEDING AND {upper}"
+        )
+    if spec.form == "range_interval":
+        upper = (
+            "CURRENT ROW" if spec.hi == 0 else f"INTERVAL '{spec.hi}' DAY FOLLOWING"
+        )
+        return (
+            f"ORDER BY o_orderdate RANGE BETWEEN INTERVAL '{spec.lo}' DAY "
+            f"PRECEDING AND {upper}"
+        )
+    upper = "CURRENT ROW" if spec.hi == 0 else f"{spec.hi} FOLLOWING"
+    return (
+        f"ORDER BY o_orderdate, o_orderkey ROWS BETWEEN {spec.lo} "
+        f"PRECEDING AND {upper}"
+    )
+
+
+def framespec_to_sql(spec: FrameSpec) -> str:
+    cte = _FRAME_CTE.format(nm=spec.null_mod, pm=spec.part_mod)
+    parts = [f"{_FRAME_AGG_SQL[k]} AS {alias}" for k, alias in spec.aggs]
+    return (
+        f"WITH {cte} SELECT o_orderkey, pk, {', '.join(parts)} FROM t "
+        f"WINDOW w AS (PARTITION BY pk {_frame_clause_sql(spec)})"
+    )
+
+
+def framespec_to_spark(spec: FrameSpec, orders):
+    from pyspark.sql import Window
+
+    pk = F.when(F.col("o_custkey") % spec.null_mod == 0, F.lit(None)).otherwise(
+        F.col("o_custkey") % spec.part_mod
+    )
+    t = orders.select(
+        "o_orderkey",
+        pk.alias("pk"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        .cast("bigint")
+        .alias("epoch_s"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("units"),
+    )
+    agg_col = {
+        "sum_units": lambda w: F.sum("units").over(w).cast("bigint"),
+        "count_star": lambda w: F.count(F.lit(1)).over(w).cast("bigint"),
+        "min_units": lambda w: F.min("units").over(w).cast("bigint"),
+        "max_units": lambda w: F.max("units").over(w).cast("bigint"),
+        "count_pk": lambda w: F.count("pk").over(w).cast("bigint"),
+    }
+    if spec.form == "range_epoch":
+        w = (
+            Window.partitionBy("pk")
+            .orderBy("epoch_s")
+            .rangeBetween(-spec.lo * 86400, 0 if spec.hi == 0 else spec.hi * 86400)
+        )
+        cols = [agg_col[k](w).alias(alias) for k, alias in spec.aggs]
+    elif spec.form == "range_interval":
+        upper = (
+            "CURRENT ROW" if spec.hi == 0 else f"INTERVAL '{spec.hi}' DAY FOLLOWING"
+        )
+        over = (
+            f"OVER (PARTITION BY pk ORDER BY ots RANGE BETWEEN "
+            f"INTERVAL '{spec.lo}' DAY PRECEDING AND {upper})"
+        )
+        expr_sql = {
+            "sum_units": f"CAST(sum(units) {over} AS BIGINT)",
+            "count_star": f"CAST(count(*) {over} AS BIGINT)",
+            "min_units": f"CAST(min(units) {over} AS BIGINT)",
+            "max_units": f"CAST(max(units) {over} AS BIGINT)",
+            "count_pk": f"CAST(count(pk) {over} AS BIGINT)",
+        }
+        cols = [F.expr(expr_sql[k]).alias(alias) for k, alias in spec.aggs]
+    else:
+        w = (
+            Window.partitionBy("pk")
+            .orderBy("ots", "o_orderkey")
+            .rowsBetween(-spec.lo, spec.hi)
+        )
+        cols = [agg_col[k](w).alias(alias) for k, alias in spec.aggs]
+    return t.select("o_orderkey", "pk", *cols)
+
+
 # ---- lowering ---------------------------------------------------------------
 
 
@@ -1228,8 +1378,10 @@ def _pick_family(r: float) -> str:
         return "nullset"
     if r < 0.80:
         return "decimal"
-    if r < 0.89:
+    if r < 0.86:
         return "datetime"
+    if r < 0.93:
+        return "frame"
     return "agg"
 
 
@@ -1299,6 +1451,10 @@ def run(
             dtspec = gen_dtspec(rng)
             sql = dtspec_to_sql(dtspec)
             builder = lambda: dtspec_to_spark(dtspec, dfs["lineitem"])  # noqa: B023,E731
+        elif fam == "frame":
+            fspec = gen_framespec(rng)
+            sql = framespec_to_sql(fspec)
+            builder = lambda: framespec_to_spark(fspec, dfs["orders"])  # noqa: B023,E731
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
