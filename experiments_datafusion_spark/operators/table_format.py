@@ -64,12 +64,17 @@ class SnapshotLog:
 
     # ---- write side ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, note: str = "") -> int:
+    def commit(self, df: DataFrame, note: str = "", kind: str = "data") -> int:
         """Write ``df`` as the next immutable snapshot; returns its version.
 
         The manifest entry is recorded only after the parquet write
         succeeds, so a failed write can never produce a readable version
-        (the atomicity a real format gets from its log append)."""
+        (the atomicity a real format gets from its log append).
+
+        ``kind`` tags the entry's role for readers that walk the log —
+        the merge-on-read state machine (``mor_current_view``) uses
+        ``base`` / ``delete-sidecar`` / ``compacted``; plain snapshots
+        keep the default ``data``."""
         version = self.latest_version() + 1
         data_dir = os.path.join(self.root, f"v{version}")
         df.write.mode("error").parquet(data_dir)
@@ -81,6 +86,7 @@ class SnapshotLog:
         entry = {
             "version": version,
             "note": note,
+            "kind": kind,
             "files": [{"path": p, "size": os.path.getsize(p)} for p in files],
         }
         tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
@@ -184,6 +190,10 @@ class SnapshotLog:
         a table format records at write time (O(files) driver rows)."""
         return file_stats(self.read(spark, version), col)
 
+    def stats_manifest_nd(self, spark: SparkSession, version: int, cols):
+        """Multi-column add-file stats (see file_stats_nd)."""
+        return file_stats_nd(self.read(spark, version), cols)
+
     @staticmethod
     def prune(stats, lo, hi) -> list[str]:
         """Planning-time file skipping: keep files whose [lo, hi] interval
@@ -213,6 +223,58 @@ def file_stats(df: DataFrame, col: str):
         )
         .collect()
     )
+
+
+def file_stats_nd(df: DataFrame, cols):
+    """Multi-column add-file stats: per-file [``c``_lo, ``c``_hi] for every
+    stats column, still ONE distributed aggregate.  This is what a table
+    format's per-file stats block actually holds (Delta's minValues /
+    maxValues maps) and what makes MULTI-dimensional file skipping work
+    when the layout clusters both dimensions (Z-order)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_lo"), F.max(c).alias(f"{c}_hi")]
+    return (
+        df.groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(*aggs)
+        .collect()
+    )
+
+
+def prune_nd(stats, bands: dict) -> list[str]:
+    """Conjunctive planning-time skip: keep files whose per-column [lo, hi]
+    interval intersects EVERY predicate band (``{col: (lo, hi)}``) — the
+    multi-dimensional manifest-pruning rule.  Conservative as always: the
+    residual filter stays on the scan."""
+    keep = []
+    for r in stats:
+        if all(
+            getattr(r, f"{c}_hi") >= lo and getattr(r, f"{c}_lo") <= hi
+            for c, (lo, hi) in bands.items()
+        ):
+            keep.append(r.file_path)
+    return keep
+
+
+def mor_current_view(log: SnapshotLog, spark: SparkSession, key: str) -> DataFrame:
+    """Merge-on-read reader STATE MACHINE over the snapshot log: resolve
+    the newest ``base``/``compacted`` snapshot, then apply every NEWER
+    ``delete-sidecar`` as a broadcast anti-join.  Immediately after a
+    compaction (no newer sidecars) the view is the PLAIN compacted scan —
+    the anti-join is dropped entirely, which tests/test_round10.py pins at
+    the plan level (a real MoR table walks exactly this state machine;
+    keeping the join after compaction would pay the probe forever)."""
+    base_v = None
+    for v in log.versions():
+        if log.entry(v).get("kind") in ("base", "compacted"):
+            base_v = v
+    if base_v is None:
+        raise ValueError("no base/compacted snapshot in the log")
+    view = log.read(spark, base_v)
+    for v in log.versions():
+        if v > base_v and log.entry(v).get("kind") == "delete-sidecar":
+            view = mor_read(view, log.read(spark, v), key)
+    return view
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, key: str = "k") -> DataFrame:

@@ -126,3 +126,92 @@ def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.read(spark, 0), log.read(spark, 1), key="k", payload=["status", "price_c"]
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- 2-D manifest pruning over the Z-ordered layout ------------------------------
+#
+# The full Delta/Iceberg data-skipping story (r9 verdict stretch #8):
+# scan_pruning_manifest proved 1-D file skipping over a range-clustered
+# layout; this key proves the MULTI-dimensional case — a layout clustered
+# by the Z-VALUE of two scan dimensions (queries/packing.zorder_value, the
+# OPTIMIZE ZORDER BY idiom) gives every file a tight bounding RECTANGLE,
+# so a conjunctive 2-D predicate skips files on BOTH dimensions from one
+# multi-column stats manifest (operators/table_format.file_stats_nd — the
+# minValues/maxValues map a real format stores per file).  A 1-D
+# range-clustered layout can only ever prune on its cluster column; the
+# z-layout's y-band pruning power is pinned against exactly that
+# counterfactual in tests/test_round10.py, along with numFiles ==
+# survivors < total via SparkPlan metrics.
+
+_Z_FILES = 16
+# bands non-empty at EVERY scale: user_id domain starts at 0 (0..14 at
+# sf0.001) and minute-of-day is always 0..1439
+_ZX_LO, _ZX_HI = 2, 5
+_ZY_LO, _ZY_HI = 300, 600
+
+
+def zorder_layout_log(spark: SparkSession, sf_dir: str, root: str) -> SnapshotLog:
+    """Commit the events (x=user_id, y=minute-of-day) rewritten in Z-order
+    as a snapshot: z = bit-interleave(x, y), range-partition on z, write.
+    Each file then covers one z-range = one tight (x, y) rectangle."""
+    from experiments_datafusion_spark.queries.packing import zorder_value
+
+    ev = table(spark, sf_dir, "events")
+    dims = ev.select(
+        F.col("user_id").alias("x"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("y"),
+    )
+    log = SnapshotLog(root)
+    log.commit(
+        dims.withColumn("_z", zorder_value(F.col("x"), F.col("y")))
+        .repartitionByRange(_Z_FILES, "_z")
+        .drop("_z"),
+        note="z-ordered rewrite",
+    )
+    return log
+
+
+@register(
+    "scan_pruning_zorder",
+    tags=("io", "layout", "maintenance"),
+    oracle=f"""
+WITH dims AS (
+  SELECT user_id AS x,
+         CAST(date_part('hour', ts) * 60 + date_part('minute', ts) AS BIGINT) AS y
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(x) AS BIGINT)   AS x_sum,
+       CAST(sum(y) AS BIGINT)   AS y_sum
+FROM dims
+WHERE x BETWEEN {_ZX_LO} AND {_ZX_HI} AND y BETWEEN {_ZY_LO} AND {_ZY_HI}
+""",
+)
+def scan_pruning_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D manifest-pruned band read over the Z-ordered rewrite (module
+    comment above): write z-clustered, collect the TWO-column stats
+    manifest with one distributed aggregate, prune the file list
+    driver-side under the conjunctive (x-band AND y-band) predicate, scan
+    only the survivors with the residual filter re-applied.  The oracle
+    replays the band query on raw events, so rewrite + manifest + pruned
+    read are all value-verified; the skipping evidence lives in
+    tests/test_round10.py."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import prune_nd
+
+    root = tempfile.mkdtemp(prefix="zprune_")
+    log = zorder_layout_log(spark, sf_dir, root)
+    stats = log.stats_manifest_nd(spark, 0, ["x", "y"])
+    survivors = prune_nd(
+        stats, {"x": (_ZX_LO, _ZX_HI), "y": (_ZY_LO, _ZY_HI)}
+    )
+    band = log.read_files(spark, survivors).where(
+        F.col("x").between(_ZX_LO, _ZX_HI) & F.col("y").between(_ZY_LO, _ZY_HI)
+    )
+    out = band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("x").cast("bigint").alias("x_sum"),
+        F.sum("y").cast("bigint").alias("y_sum"),
+    )
+    return materialize_then_rmtree(out, root)

@@ -22,6 +22,7 @@ from experiments_datafusion_spark.io import materialize_then_rmtree, table
 from experiments_datafusion_spark.operators.table_format import (
     SnapshotLog,
     file_stats,
+    mor_current_view,
     mor_read,
 )
 from experiments_datafusion_spark.queries import register
@@ -76,19 +77,23 @@ def table_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_src = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    log.commit(base_src, note="base")
+    log.commit(base_src, note="base", kind="base")
     base = log.read(spark, 0)
 
     # the delete: keys only — this is the whole write cost of a MoR delete
     log.commit(
         base.where(F.col("o_custkey") % _MOR_MOD == 0).select("o_orderkey"),
-        note="delete-sidecar (equality keys)",
+        note="equality keys",
+        kind="delete-sidecar",
     )
-    mor_view = mor_read(base, log.read(spark, 1), "o_orderkey")
+    # reader state machine: base + pending sidecar -> broadcast anti-join
+    mor_view = mor_current_view(log, spark, "o_orderkey")
 
-    # compaction: reconcile the sidecar copy-on-write; sidecar retires
-    log.commit(mor_view, note="compacted")
-    cow = log.read(spark, 2)
+    # compaction: reconcile the sidecar copy-on-write; sidecar retires —
+    # the SAME reader now resolves to the plain compacted scan, no join
+    # (plan-asserted in tests/test_round10.py)
+    log.commit(mor_view, note="compacted", kind="compacted")
+    cow = mor_current_view(log, spark, "o_orderkey")
 
     def audit(df: DataFrame, path: str) -> DataFrame:
         return df.agg(

@@ -110,6 +110,82 @@ def test_changes_between_classes(spark):
     }
 
 
+def test_zorder_2d_manifest_pruning(spark, sf_dir, tmp_path):
+    """2-D file skipping over the Z-ordered layout: the conjunctive band
+    prunes files on BOTH dimensions (survivors strictly < total), the
+    pruned scan's numFiles metric equals the survivor count, and the
+    z-layout skips on the y-band where a 1-D x-range-clustered layout
+    structurally cannot."""
+    import pyspark.sql.functions as SF
+
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        file_stats_nd,
+        prune_nd,
+    )
+    from experiments_datafusion_spark.plans.audit import file_scan_metrics
+    from experiments_datafusion_spark.queries import round10 as R10
+
+    log = R10.zorder_layout_log(spark, sf_dir, str(tmp_path / "z"))
+    stats = log.stats_manifest_nd(spark, 0, ["x", "y"])
+    total = len(stats)
+    bands = {"x": (R10._ZX_LO, R10._ZX_HI), "y": (R10._ZY_LO, R10._ZY_HI)}
+    survivors = prune_nd(stats, bands)
+    assert 0 < len(survivors) < total
+
+    band = log.read_files(spark, survivors).where(
+        SF.col("x").between(R10._ZX_LO, R10._ZX_HI)
+        & SF.col("y").between(R10._ZY_LO, R10._ZY_HI)
+    )
+    scans = file_scan_metrics(band)
+    assert len(scans) == 1
+    assert scans[0]["numFiles"] == len(survivors)
+
+    # counterfactual: a 1-D layout clustered on x has no y locality, so the
+    # y-band alone prunes nothing there — while the z-layout still skips
+    one_d = SnapshotLog(str(tmp_path / "xonly"))
+    one_d.commit(log.read(spark, 0).repartitionByRange(R10._Z_FILES, "x"))
+    y_band = {"y": (R10._ZY_LO, R10._ZY_HI)}
+    z_y_survivors = prune_nd(stats, y_band)
+    x_y_survivors = prune_nd(one_d.stats_manifest_nd(spark, 0, ["x", "y"]), y_band)
+    # 1-D layout has no y locality (an x-range file sees ~uniform y, so
+    # nearly every file straddles the band); the z layout genuinely skips
+    assert len(z_y_survivors) < len(x_y_survivors)
+    assert len(z_y_survivors) < R10._Z_FILES  # z layout: y alone skips files
+
+
+def test_mor_reader_drops_join_after_compaction(spark, tmp_path):
+    """The MoR reader state machine (r9 verdict stretch #9): with a pending
+    delete sidecar the view is a BroadcastHashJoin LeftAnti; after
+    compaction the SAME reader resolves to the plain compacted scan with
+    NO join in the plan — and both views return identical rows."""
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        mor_current_view,
+    )
+
+    log = SnapshotLog(str(tmp_path / "mor"))
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    log.commit(base, kind="base")
+    log.commit(
+        log.read(spark, 0).where(F.col("k") % 10 == 0).select("k"),
+        kind="delete-sidecar",
+    )
+    pending = mor_current_view(log, spark, "k")
+    plan_pending = pending._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_pending and "LeftAnti" in plan_pending
+    want = sorted((r.k, r.v) for r in pending.collect())
+
+    log.commit(pending, kind="compacted")
+    compacted = mor_current_view(log, spark, "k")
+    plan_post = compacted._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_post  # the anti-join is gone
+    assert sorted((r.k, r.v) for r in compacted.collect()) == want
+    assert len(want) == 900
+
+
 def _mk_events(spark, users, val):
     return spark.createDataFrame(
         [(int(u), float(val)) for u in users], "user_id long, value double"
