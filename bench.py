@@ -101,6 +101,11 @@ HEADLINE = [
     "mm_phash_pairs",  # real decode -> dHash -> banded Hamming near-dups
     # round-9 flagship
     "sortbench_merge",  # multi-batch sorted-run merge (reference README.md:3-5)
+    # round-10 flagships: the CDF producer/consumer pair — two snapshot
+    # scans + one full-outer join + one explode (producer), and the signed
+    # retract/apply delta fold (consumer)
+    "table_changes",
+    "table_changes_apply",
 ]
 
 # Keys whose DuckDB oracle is an EMULATION rather than a native-engine

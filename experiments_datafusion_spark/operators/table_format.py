@@ -96,21 +96,69 @@ class SnapshotLog:
         return version
 
     # ---- log side -----------------------------------------------------------
+    #
+    # The log is individual per-version JSON entries plus an optional
+    # CHECKPOINT (checkpoint-{upto}.json) consolidating every entry <= upto
+    # — the Delta checkpoint-parquet idea at JSON scale.  Readers resolve
+    # checkpoint + newer tail entries, so a long-lived table's log stays
+    # O(tail) files instead of O(history).
 
-    def versions(self) -> list[int]:
+    def _checkpoint(self) -> dict | None:
+        cps = sorted(
+            f for f in os.listdir(self._log_dir) if f.startswith("checkpoint-")
+        )
+        if not cps:
+            return None
+        with open(os.path.join(self._log_dir, cps[-1])) as fh:
+            return json.load(fh)
+
+    def _tail_versions(self) -> list[int]:
         return sorted(
             int(f.split(".")[0])
             for f in os.listdir(self._log_dir)
-            if f.endswith(".json") and not f.startswith(".")
+            if f.endswith(".json")
+            and not f.startswith((".", "checkpoint-"))
         )
+
+    def versions(self) -> list[int]:
+        cp = self._checkpoint()
+        base = [int(v) for v in cp["entries"]] if cp else []
+        return sorted(set(base) | set(self._tail_versions()))
 
     def latest_version(self) -> int:
         vs = self.versions()
         return vs[-1] if vs else -1
 
     def entry(self, version: int) -> dict:
-        with open(os.path.join(self._log_dir, f"{version:05d}.json")) as fh:
-            return json.load(fh)
+        p = os.path.join(self._log_dir, f"{version:05d}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        cp = self._checkpoint()
+        if cp and str(version) in cp["entries"]:
+            return cp["entries"][str(version)]
+        raise FileNotFoundError(f"no log entry for version {version}")
+
+    def checkpoint(self) -> int:
+        """Consolidate the current log into one checkpoint file and remove
+        the consumed tail entries (and any older checkpoint); returns the
+        version the checkpoint covers up to.  Pure O(versions) driver-side
+        metadata — data files are untouched, every version stays
+        readable."""
+        ents = {str(v): self.entry(v) for v in self.versions()}
+        upto = max(int(v) for v in ents)
+        tmp = os.path.join(self._log_dir, f".checkpoint-{upto:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"upto": upto, "entries": ents}, fh)
+        final = os.path.join(self._log_dir, f"checkpoint-{upto:05d}.json")
+        os.rename(tmp, final)
+        for f in os.listdir(self._log_dir):
+            p = os.path.join(self._log_dir, f)
+            if p == final or f.startswith("."):
+                continue
+            if f.startswith("checkpoint-") or int(f.split(".")[0]) <= upto:
+                os.remove(p)
+        return upto
 
     def manifest(self, version: int) -> list[FileEntry]:
         return [FileEntry(f["path"], f["size"]) for f in self.entry(version)["files"]]

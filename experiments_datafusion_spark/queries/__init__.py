@@ -87,33 +87,35 @@ _MODULES = (
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # round-9 NEW keys (sortbench_merge = the multi-batch merge regime;
-    # table_delete_mor = merge-on-read deletion vectors;
-    # scan_pruning_clustered = clustered-layout row-group pruning audit)
-    # + CHANGED keys (text_bpe_* switched to batched merge selection; the
-    # seven snapshot/roundtrip keys now checkpoint + rmtree their temp
-    # trees via materialize_then_rmtree)
-    "sortbench_merge", "table_delete_mor", "scan_pruning_clustered",
-    "scan_pruning_manifest", "table_delete_mor_positional",
-    "dedup_cdc_chunks", "dedup_cdc_chunks_fast", "ev_stream_upsert",
-    "table_diff_reconcile",
-    "text_bpe_train", "text_bpe_apply", "table_vacuum",
-    "table_delete_compliance", "table_time_travel_multi",
-    "source_xml_roundtrip", "source_avro_roundtrip", "table_time_travel",
-    "compact_small_files",
+    # round-10 NEW keys (table_changes/_apply = change-data-feed producer +
+    # incremental-view-maintenance consumer; scan_pruning_zorder = 2-D
+    # manifest skipping over the z-ordered layout) + CHANGED keys
+    # (sortbench_merge now reads the committed fixture and materializes
+    # segmented runs; ev_stream_upsert's serving table is hash-bucketed
+    # with touched-bucket-only rewrites; the nine maintenance keys were
+    # refactored onto operators/table_format.SnapshotLog — zero intended
+    # output drift, so the driver re-verifies all of them fresh)
+    "table_changes", "table_changes_apply", "table_changes_stream",
+    "scan_pruning_zorder", "sortbench_merge", "ev_stream_upsert",
+    "table_time_travel", "table_time_travel_multi", "table_vacuum",
+    "table_delete_compliance", "table_delete_mor",
+    "table_delete_mor_positional", "scan_pruning_manifest",
+    "table_diff_reconcile", "compact_small_files",
     # the least-recently-verified fill (tools/lrv_window.py output from
     # the CORRECTNESS ledger: oldest driver round first, ties
-    # alphabetical — the r1 tail + the r2 dedup/sim/text/udf block)
-    "tpch_q19_disjunctive", "tpch_q20_semi_chain", "tpch_q21_waiting",
-    "tpch_q22_opportunity", "tpch_q2_maxbal", "tpch_q3", "tpch_q4",
-    "tpch_q5", "tpch_q6", "tpch_q7_volume", "tpch_q8_mktshare",
-    "tpch_q9_profit", "unnest_explode", "unpivot_melt", "cte_chain",
-    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
-    "dedup_exact_normalized", "dedup_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "sim_label_centroids",
-    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
-    "subq_correlated_scalar", "subq_exists", "subq_in",
-    "table_sample_hash", "text_fingerprint",
+    # alphabetical — the r2 text/udf tail + the r3 events/pipeline/
+    # hygiene/multimodal block)
+    "text_langid", "text_quality", "text_stats", "udf_apply_in_pandas",
+    "udf_grouped_agg", "udf_pandas_scalar", "view_logical",
+    "agg_argmax", "anomaly_zscore", "contamination_ngram",
+    "dedup_clusters", "dedup_fuzzy_levenshtein", "dedup_incremental",
+    "dedup_keep_best", "dedup_near_canonical", "docs_heavy_hitters",
+    "docs_length_histogram", "embedding_kmeans", "embedding_norm_stats",
+    "embedding_quantize", "ev_attribution", "ev_daily_stats", "ev_dedup",
+    "ev_enrich_join", "ev_funnel", "ev_gapfill", "ev_retention",
+    "ev_session", "ev_sliding", "ev_tumbling", "lang_confusion",
+    "mix_temperature", "mix_weighted_sources", "mm_dedup_payload",
+    "mm_features",
 )
 
 

@@ -268,3 +268,88 @@ def stream_upsert_totals(
         .option("checkpointLocation", target_path + "_chk")
         .start()
     )
+
+
+def stream_apply_changes(
+    changes: DataFrame,
+    view_path: str,
+    group_col: str = "status",
+    value_col: str = "price_c",
+) -> "object":
+    """STREAMING incremental view maintenance: consume a change-data-feed
+    stream (rows shaped like operators/table_format.changes_between output)
+    and keep a materialized grouped aggregate (count + value sum per
+    ``group_col``) current via foreachBatch retract/apply — the streaming
+    twin of queries/round10.table_changes_apply and the standard way a
+    100 TB pipeline feeds a serving aggregate from a table's changelog
+    without ever rescanning the table.
+
+    Each batch aggregates its change rows into signed deltas (+1 for
+    insert/update_postimage, -1 for delete/update_preimage), full-outer
+    merges them into the current view, drops zero-count groups, and swaps
+    the view atomically.  Correct under ANY micro-batch split of the feed:
+    integer adds are associative, and dropping a group at n == 0 is safe
+    because retracts carry exact preimages — n == 0 implies the group's
+    applied-row multiset is empty, hence its value sum is 0 too, so
+    absent-state == zero-state and a later re-insert rebuilds from 0
+    (tests/test_round10.py pins stream == one-shot batch apply)."""
+    import shutil
+
+    spark = changes.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            batch_df.select(F.col(group_col), sign.alias("s"), F.col(value_col))
+            .groupBy(group_col)
+            .agg(
+                F.sum("s").alias("dn"),
+                F.sum(F.col("s") * F.col(value_col)).alias("dp"),
+            )
+        )
+        try:
+            current = spark.read.parquet(view_path)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            v, d = current.alias("v"), delta.alias("d")
+            merged = v.join(
+                d, F.col(f"v.{group_col}") == F.col(f"d.{group_col}"), "full_outer"
+            ).select(
+                F.coalesce(F.col(f"v.{group_col}"), F.col(f"d.{group_col}")).alias(
+                    group_col
+                ),
+                (
+                    F.coalesce(F.col("v.n"), F.lit(0))
+                    + F.coalesce(F.col("d.dn"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n"),
+                (
+                    F.coalesce(F.col("v.price_units"), F.lit(0))
+                    + F.coalesce(F.col("d.dp"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("price_units"),
+            )
+        else:
+            merged = delta.select(
+                group_col,
+                F.col("dn").cast("bigint").alias("n"),
+                F.col("dp").cast("bigint").alias("price_units"),
+            )
+        merged = merged.where(F.col("n") != 0)
+        nxt = view_path + "_next"
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(view_path, ignore_errors=True)
+        shutil.move(nxt, view_path)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", view_path + "_chk")
+        .start()
+    )

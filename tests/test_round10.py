@@ -110,6 +110,69 @@ def test_changes_between_classes(spark):
     }
 
 
+def test_log_checkpoint_consolidates(spark, tmp_path):
+    """Log checkpointing: consolidating the JSON tail into one checkpoint
+    keeps every version readable (entries resolve checkpoint-then-tail),
+    repeated checkpoints replace older ones, and vacuum still works off
+    the checkpointed manifests."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    for n in (10, 20, 30):
+        log.commit(spark.range(n))
+    upto = log.checkpoint()
+    assert upto == 2
+    assert log._tail_versions() == []  # tail consumed
+    assert log.versions() == [0, 1, 2]
+    assert log.read(spark, 0).count() == 10 and log.read(spark, 2).count() == 30
+    log.commit(spark.range(40))
+    log.commit(spark.range(50))
+    assert log.versions() == [0, 1, 2, 3, 4]
+    assert log.entry(1)["files"] and log.entry(4)["files"]  # both paths resolve
+    assert log.checkpoint() == 4
+    cps = [f for f in os.listdir(str(tmp_path / "t" / "_log")) if f.startswith("checkpoint-")]
+    assert cps == ["checkpoint-00004.json"]  # older checkpoint replaced
+    assert log.read(spark, 3).count() == 40
+    removed = log.vacuum(keep={4})
+    assert removed and log.read(spark, 4).count() == 50
+
+
+def test_stream_apply_changes_handles_zero_and_reinsert(spark, tmp_path):
+    """The retract/apply zero-state invariant: a group retracted to n=0
+    drops from the view, and a later re-insert rebuilds it from zero —
+    absent-state == zero-state under any batch split."""
+    from experiments_datafusion_spark.streaming import pipelines
+
+    view = str(tmp_path / "view")
+    spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 300)], "status string, n long, price_units long"
+    ).write.parquet(view)
+    src_dir = tmp_path / "chg"
+    src_dir.mkdir()
+
+    def add_file(rows, name):
+        stage = tmp_path / ("s_" + name)
+        spark.createDataFrame(
+            rows, "k long, status string, price_c long, _change_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        import shutil
+
+        shutil.copy(next(stage.glob("part-*.parquet")), src_dir / name)
+
+    # batch 1 retracts group a to zero; batch 2 re-inserts into a
+    add_file([(1, "a", 100, "delete")], "a_b1.parquet")
+    add_file([(9, "a", 77, "insert"), (2, "b", 300, "update_preimage"),
+              (2, "b", 350, "update_postimage")], "b_b2.parquet")
+    schema = "k long, status string, price_c long, _change_type string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    q = pipelines.stream_apply_changes(src, view)
+    assert q.awaitTermination(180)
+    got = {r.status: (r.n, r.price_units) for r in spark.read.parquet(view).collect()}
+    assert got == {"a": (1, 77), "b": (2, 350)}
+
+
 def test_zorder_2d_manifest_pruning(spark, sf_dir, tmp_path):
     """2-D file skipping over the Z-ordered layout: the conjunctive band
     prunes files on BOTH dimensions (survivors strictly < total), the
