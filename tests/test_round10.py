@@ -110,6 +110,32 @@ def test_changes_between_classes(spark):
     }
 
 
+def test_changes_compose_across_versions(spark):
+    """CDF composition — the property incremental consumers rely on when
+    they fall behind: applying changes(v0,v1) then changes(v1,v2) to any
+    state must land where applying changes(v0,v2) does.  Verified on the
+    count/sum algebra table_changes_apply uses."""
+    v0 = _df(spark, [(1, 10), (2, 20), (3, 30)], "k long, p long")
+    v1 = _df(spark, [(2, 25), (3, 30), (4, 40)], "k long, p long")  # upd/del/ins
+    v2 = _df(spark, [(2, 25), (4, 45), (5, 50)], "k long, p long")
+
+    def apply(state: dict, changes) -> dict:
+        n, p = state["n"], state["p"]
+        for r in changes.collect():
+            s = 1 if r._change_type in ("insert", "update_postimage") else -1
+            n += s
+            p += s * r.p
+        return {"n": n, "p": p}
+
+    start = {"n": 3, "p": 60}
+    step = apply(
+        apply(start, changes_between(v0, v1, "k", ["p"])),
+        changes_between(v1, v2, "k", ["p"]),
+    )
+    direct = apply(start, changes_between(v0, v2, "k", ["p"]))
+    assert step == direct == {"n": 3, "p": 120}  # v2 totals
+
+
 def test_log_checkpoint_consolidates(spark, tmp_path):
     """Log checkpointing: consolidating the JSON tail into one checkpoint
     keeps every version readable (entries resolve checkpoint-then-tail),

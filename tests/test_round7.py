@@ -247,6 +247,11 @@ _SNAPSHOT_KEYS = {
     "source_avro_roundtrip": ("round5", "source_avro_roundtrip", "avro_rt_"),
     "table_time_travel": ("round5", "table_time_travel", "timetravel_"),
     "compact_small_files": ("extras", "compact_small_files", "compact_sf_"),
+    # round-10 snapshot-log keys
+    "table_changes": ("round10", "table_changes", "cdf_"),
+    "table_changes_apply": ("round10", "table_changes_apply", "cdfapply_"),
+    "table_changes_stream": ("round10", "table_changes_stream", "cdfstream_"),
+    "scan_pruning_zorder": ("round10", "scan_pruning_zorder", "zprune_"),
 }
 
 
