@@ -95,6 +95,42 @@ class SnapshotLog:
         os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
         return version
 
+    def commit_append(self, df: DataFrame, note: str = "", kind: str = "data") -> int:
+        """APPEND commit: write only the NEW rows' files; the manifest entry
+        lists the parent version's files PLUS the new ones — the add-file
+        incremental commit every streaming ingest uses (a full-rewrite
+        commit would copy the whole table per micro-batch; this one's write
+        cost is O(batch) and its log cost O(live files)).  Reads need no
+        special casing: the entry IS the live file list, so AS OF any
+        version, vacuum, stats manifests, and the MoR reader all work
+        unchanged."""
+        parent = self.latest_version()
+        parent_files = (
+            [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
+            if parent >= 0
+            else []
+        )
+        version = parent + 1
+        data_dir = os.path.join(self.root, f"v{version}")
+        df.write.mode("error").parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        entry = {
+            "version": version,
+            "note": note,
+            "kind": kind,
+            "files": parent_files
+            + [{"path": p, "size": os.path.getsize(p)} for p in new_files],
+        }
+        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        return version
+
     # ---- log side -----------------------------------------------------------
     #
     # The log is individual per-version JSON entries plus an optional
@@ -302,6 +338,18 @@ def prune_nd(stats, bands: dict) -> list[str]:
         ):
             keep.append(r.file_path)
     return keep
+
+
+def append_once(log: SnapshotLog, df: DataFrame, txn_id: str) -> int:
+    """Idempotent append: if a commit tagged ``txn_id`` is already in the
+    log, return it instead of appending again — the Delta
+    txnAppId/txnVersion dedup that turns foreachBatch's at-least-once
+    retries into exactly-once AT THE TABLE: a replayed micro-batch finds
+    its transaction already committed and becomes a no-op."""
+    for v in log.versions():
+        if log.entry(v).get("note") == txn_id:
+            return v
+    return log.commit_append(df, note=txn_id)
 
 
 def mor_current_view(log: SnapshotLog, spark: SparkSession, key: str) -> DataFrame:

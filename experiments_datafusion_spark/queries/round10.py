@@ -267,6 +267,93 @@ def table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_then_rmtree(out, root)
 
 
+# ---- streaming ingest into the snapshot log ---------------------------------------
+#
+# The write-side counterpart of table_changes_stream: a stream lands in a
+# VERSIONED table one append commit per micro-batch (the Delta streaming
+# sink shape).  commit_append makes each commit O(batch) — the manifest
+# lists parent files + the batch's new files, never a rewrite — and
+# append_once's transaction-id dedup turns foreachBatch's at-least-once
+# retries into exactly-once at the table.  Every micro-batch boundary is
+# then a time-travel point: AS OF v_k reads exactly the first k batches.
+
+
+def stream_ingest_log(events: DataFrame, log_root: str) -> "object":
+    """Streaming ingest: one idempotent append commit per micro-batch."""
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        append_once,
+    )
+
+    log = SnapshotLog(log_root)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        append_once(log, batch_df, txn_id=f"micro-batch {batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", log_root + "_chk")
+        .start()
+    )
+
+
+@register(
+    "table_stream_ingest",
+    tags=("streaming", "io", "maintenance"),
+    oracle="""
+SELECT CAST(3 AS BIGINT)                 AS n_versions,
+       CAST(count(*) AS BIGINT)          AS n_rows,
+       CAST(sum(event_id) AS BIGINT)     AS id_sum,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                                         AS value_units
+FROM events
+""",
+)
+def table_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the versioned table (module comment above):
+    the fixture events arrive as a 3-file availableNow stream
+    (maxFilesPerTrigger=1 -> 3 micro-batches -> 3 append commits), and the
+    FINAL version is read back through the manifest and audited — count,
+    content-sensitive id checksum, exact integer value units — against the
+    oracle's scan of raw events, so the per-batch append path provably
+    loses and duplicates nothing.  n_versions pins that the ingest really
+    was incremental (3 commits, not one).  Monotone AS OF prefixes and the
+    exactly-once retry no-op are pinned in tests/test_round10.py."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tsingest_")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    schema = spark.read.parquet(f"{root}/src").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/src")
+    )
+    q = stream_ingest_log(src, f"{root}/table")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "table_stream_ingest: availableNow stream did not drain in 300s"
+        )
+    log = SnapshotLog(f"{root}/table")
+    n_versions = len(log.versions())
+    out = log.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("value_units"),
+    ).select(
+        F.lit(n_versions).cast("bigint").alias("n_versions"),
+        "n_rows",
+        "id_sum",
+        "value_units",
+    )
+    return materialize_then_rmtree(out, root)
+
+
 # ---- 2-D manifest pruning over the Z-ordered layout ------------------------------
 #
 # The full Delta/Iceberg data-skipping story (r9 verdict stretch #8):

@@ -110,6 +110,54 @@ def test_changes_between_classes(spark):
     }
 
 
+def test_append_commits_and_exactly_once(spark, tmp_path):
+    """Append commits: each manifest extends its parent's file list (O(batch)
+    write, no rewrite), AS OF reads give monotone prefixes, and replaying a
+    transaction id is a no-op (exactly-once at the table)."""
+    from experiments_datafusion_spark.operators.table_format import append_once
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    v0 = append_once(log, spark.range(10), "txn-0")
+    v1 = append_once(log, spark.range(10, 30), "txn-1")
+    assert (v0, v1) == (0, 1)
+    f0 = {fe.path for fe in log.manifest(0)}
+    f1 = {fe.path for fe in log.manifest(1)}
+    assert f0 < f1  # parent files carried forward, new files added
+    assert log.read(spark, 0).count() == 10
+    assert log.read(spark, 1).count() == 30
+    # the retry: same txn id -> same version, no new commit, no new rows
+    assert append_once(log, spark.range(10, 30), "txn-1") == 1
+    assert log.versions() == [0, 1]
+    assert log.read(spark).count() == 30
+    # vacuum keeping the tip removes nothing (appends share all files)
+    assert log.vacuum(keep={1}) == []
+
+
+def test_stream_ingest_versions_are_batch_prefixes(spark, sf_dir, tmp_path):
+    """Each streaming micro-batch is one append commit; AS OF v_k reads
+    exactly the first k+1 batches (strictly monotone row counts summing
+    to the full table)."""
+    from experiments_datafusion_spark.io import table as load_table
+    from experiments_datafusion_spark.queries.round10 import stream_ingest_log
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    src_dir = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_ingest_log(src, str(tmp_path / "table"))
+    assert q.awaitTermination(180)
+    log = SnapshotLog(str(tmp_path / "table"))
+    counts = [log.read(spark, v).count() for v in log.versions()]
+    assert len(counts) == 3
+    assert counts == sorted(counts) and counts[0] > 0
+    assert counts[-1] == ev.count()
+
+
 def test_changes_compose_across_versions(spark):
     """CDF composition — the property incremental consumers rely on when
     they fall behind: applying changes(v0,v1) then changes(v1,v2) to any
