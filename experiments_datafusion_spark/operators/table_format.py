@@ -131,6 +131,50 @@ class SnapshotLog:
         os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
         return version
 
+    def commit_rewrite(
+        self,
+        df_new: DataFrame,
+        keep_files,
+        note: str = "",
+        kind: str = "data",
+    ) -> int:
+        """PARTIAL-rewrite commit — the real copy-on-write DELETE/UPDATE
+        shape: the new manifest carries ``keep_files`` forward UNTOUCHED
+        (they are referenced, never copied) and adds the rewritten files
+        from ``df_new``; only the affected slice of the table is ever
+        written.  Cost is O(affected files) data + O(live files) log,
+        independent of table size — the difference between this and a
+        whole-table rewrite is the entire point of clustering + manifest
+        stats (prune the affected set first, then rewrite just it)."""
+        version = self.latest_version() + 1
+        data_dir = os.path.join(self.root, f"v{version}")
+        df_new.write.mode("error").parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        entry = {
+            "version": version,
+            "note": note,
+            "kind": kind,
+            # keep_files may arrive as file: URIs (the _metadata.file_path
+            # form stats manifests carry); normalize to plain paths
+            "files": [
+                {"path": p, "size": os.path.getsize(p)}
+                for p in sorted(
+                    k[len("file:"):] if k.startswith("file:") else k
+                    for k in keep_files
+                )
+            ]
+            + [{"path": p, "size": os.path.getsize(p)} for p in new_files],
+        }
+        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        return version
+
     # ---- log side -----------------------------------------------------------
     #
     # The log is individual per-version JSON entries plus an optional

@@ -96,7 +96,7 @@ _PRIORITY = (
     # refactored onto operators/table_format.SnapshotLog — zero intended
     # output drift, so the driver re-verifies all of them fresh)
     "table_changes", "table_changes_apply", "table_changes_stream",
-    "table_stream_ingest",
+    "table_stream_ingest", "table_delete_pruned",
     "scan_pruning_zorder", "sortbench_merge", "ev_stream_upsert",
     "table_time_travel", "table_time_travel_multi", "table_vacuum",
     "table_delete_compliance", "table_delete_mor",
@@ -115,7 +115,7 @@ _PRIORITY = (
     "embedding_quantize", "ev_attribution", "ev_daily_stats", "ev_dedup",
     "ev_enrich_join", "ev_funnel", "ev_gapfill", "ev_retention",
     "ev_session", "ev_sliding", "ev_tumbling", "lang_confusion",
-    "mix_temperature", "mix_weighted_sources", "mm_dedup_payload",
+    "mix_temperature", "mix_weighted_sources",
 )
 
 

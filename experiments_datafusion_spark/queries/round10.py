@@ -267,6 +267,70 @@ def table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_then_rmtree(out, root)
 
 
+# ---- partition-pruned copy-on-write DELETE ----------------------------------------
+#
+# table_delete_compliance rewrites the WHOLE table (correct, but its
+# docstring's "partition-pruned rewrite of affected files" was a claim,
+# not a demonstration).  This key demonstrates it: on a custkey-clustered
+# table, a band DELETE consults the stats manifest to find the AFFECTED
+# files, rewrites only those (minus the cohort), and the new version's
+# manifest carries every untouched file forward by reference
+# (SnapshotLog.commit_rewrite) — O(affected) data written, the rest of
+# the table never read or copied.  tests/test_round10.py pins that the
+# carried-forward files are the SAME paths (byte-identical by
+# construction) and that affected < total.
+
+_DEL_FILES = 16
+_DEL_LO, _DEL_HI = 2, 40  # cohort band — non-empty at sf0.001 (custkey 0-149)
+
+
+@register(
+    "table_delete_pruned",
+    tags=("io", "maintenance", "layout"),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT)  AS cust_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_custkey NOT BETWEEN {_DEL_LO} AND {_DEL_HI}
+""",
+)
+def table_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned copy-on-write DELETE (module comment above): commit
+    the clustered base, prune the stats manifest to the files whose
+    [min, max] intersects the delete band, rewrite ONLY those with the
+    cohort filtered out, and commit_rewrite carries every untouched file
+    forward by reference.  The audit reads v1 back through its manifest;
+    the oracle recomputes the surviving rows from raw orders — so losing
+    an untouched file, leaking a cohort row, or dropping a non-cohort row
+    from an affected file all hash-mismatch."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="delprune_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    log.commit(
+        orders.repartitionByRange(_DEL_FILES, "o_custkey"), note="clustered base"
+    )
+    stats = log.stats_manifest(spark, 0, "o_custkey")
+    affected = set(SnapshotLog.prune(stats, _DEL_LO, _DEL_HI))
+    keep = [r.file_path for r in stats if r.file_path not in affected]
+    # rewrite just the affected slice, minus the cohort (the residual NOT
+    # BETWEEN stays because manifest pruning is conservative)
+    rewritten = log.read_files(spark, sorted(affected)).where(
+        ~F.col("o_custkey").between(_DEL_LO, _DEL_HI)
+    )
+    v1 = log.commit_rewrite(rewritten, keep, note="band delete")
+    out = log.read(spark, v1).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+    return materialize_then_rmtree(out, root)
+
+
 # ---- streaming ingest into the snapshot log ---------------------------------------
 #
 # The write-side counterpart of table_changes_stream: a stream lands in a

@@ -158,6 +158,39 @@ def test_stream_ingest_versions_are_batch_prefixes(spark, sf_dir, tmp_path):
     assert counts[-1] == ev.count()
 
 
+def test_delete_pruned_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """The partition-pruned CoW delete: untouched files are carried into
+    the new manifest BY PATH (never copied), only the affected slice is
+    rewritten, and the surviving rows are exactly the non-cohort rows."""
+    import pyspark.sql.functions as SF
+
+    from experiments_datafusion_spark.io import table as load_table
+    from experiments_datafusion_spark.queries import round10 as R10
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    log.commit(orders.repartitionByRange(R10._DEL_FILES, "o_custkey"))
+    stats = log.stats_manifest(spark, 0, "o_custkey")
+    affected = set(SnapshotLog.prune(stats, R10._DEL_LO, R10._DEL_HI))
+    keep = [r.file_path for r in stats if r.file_path not in affected]
+    assert 0 < len(affected) < len(stats)  # the prune genuinely bites
+    rewritten = log.read_files(spark, sorted(affected)).where(
+        ~SF.col("o_custkey").between(R10._DEL_LO, R10._DEL_HI)
+    )
+    v1 = log.commit_rewrite(rewritten, keep)
+    norm = {p[len("file:"):] if p.startswith("file:") else p for p in keep}
+    v1_paths = {fe.path for fe in log.manifest(v1)}
+    assert norm < v1_paths  # every untouched file carried forward by path
+    got = log.read(spark, v1)
+    assert got.where(SF.col("o_custkey").between(R10._DEL_LO, R10._DEL_HI)).count() == 0
+    want = orders.where(~SF.col("o_custkey").between(R10._DEL_LO, R10._DEL_HI))
+    assert got.count() == want.count()
+    assert (
+        got.agg(SF.sum("o_orderkey")).first()[0]
+        == want.agg(SF.sum("o_orderkey")).first()[0]
+    )
+
+
 def test_changes_compose_across_versions(spark):
     """CDF composition — the property incremental consumers rely on when
     they fall behind: applying changes(v0,v1) then changes(v1,v2) to any
