@@ -87,6 +87,9 @@ class SnapshotLog:
             "version": version,
             "note": note,
             "kind": kind,
+            "schema": [
+                [f.name, f.dataType.simpleString(), f.nullable] for f in df.schema
+            ],
             "files": [{"path": p, "size": os.path.getsize(p)} for p in files],
         }
         tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
@@ -103,8 +106,22 @@ class SnapshotLog:
         cost is O(batch) and its log cost O(live files)).  Reads need no
         special casing: the entry IS the live file list, so AS OF any
         version, vacuum, stats manifests, and the MoR reader all work
-        unchanged."""
+        unchanged.
+
+        SCHEMA ENFORCEMENT (what a table format's append does that a bare
+        directory write doesn't): the batch's schema must equal the
+        table's committed schema — a drifted producer fails HERE, loudly,
+        instead of poisoning the table with files a later scan can't
+        union.  Schema EVOLUTION stays an explicit full commit (see
+        table_time_travel_multi's ADD COLUMN dataflow)."""
         parent = self.latest_version()
+        schema = [[f.name, f.dataType.simpleString(), f.nullable] for f in df.schema]
+        if parent >= 0:
+            want = self.entry(parent).get("schema")
+            if want is not None and want != schema:
+                raise ValueError(
+                    f"append schema mismatch: table has {want}, batch has {schema}"
+                )
         parent_files = (
             [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
             if parent >= 0
@@ -122,6 +139,7 @@ class SnapshotLog:
             "version": version,
             "note": note,
             "kind": kind,
+            "schema": schema,
             "files": parent_files
             + [{"path": p, "size": os.path.getsize(p)} for p in new_files],
         }
@@ -158,6 +176,10 @@ class SnapshotLog:
             "version": version,
             "note": note,
             "kind": kind,
+            "schema": [
+                [f.name, f.dataType.simpleString(), f.nullable]
+                for f in df_new.schema
+            ],
             # keep_files may arrive as file: URIs (the _metadata.file_path
             # form stats manifests carry); normalize to plain paths
             "files": [

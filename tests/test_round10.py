@@ -131,6 +131,12 @@ def test_append_commits_and_exactly_once(spark, tmp_path):
     assert log.read(spark).count() == 30
     # vacuum keeping the tip removes nothing (appends share all files)
     assert log.vacuum(keep={1}) == []
+    # schema enforcement: a drifted producer fails at the commit, loudly
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.commit_append(
+            spark.range(3).select(F.col("id").cast("int").alias("other"))
+        )
+    assert log.versions() == [0, 1]  # nothing half-committed to the log
 
 
 def test_stream_ingest_versions_are_batch_prefixes(spark, sf_dir, tmp_path):
