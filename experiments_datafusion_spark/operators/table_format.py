@@ -64,7 +64,13 @@ class SnapshotLog:
 
     # ---- write side ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, note: str = "", kind: str = "data") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        note: str = "",
+        kind: str = "data",
+        stats_cols=None,
+    ) -> int:
         """Write ``df`` as the next immutable snapshot; returns its version.
 
         The manifest entry is recorded only after the parquet write
@@ -74,7 +80,13 @@ class SnapshotLog:
         ``kind`` tags the entry's role for readers that walk the log —
         the merge-on-read state machine (``mor_current_view``) uses
         ``base`` / ``delete-sidecar`` / ``compacted``; plain snapshots
-        keep the default ``data``."""
+        keep the default ``data``.
+
+        ``stats_cols`` records per-file [lo, hi] + row counts for those
+        columns IN the manifest entry at WRITE time (one distributed
+        aggregate over the files just written) — the add-file stats block
+        of a real format, paid once per commit so later scans can prune
+        (and stats-only aggregates can answer) without touching data."""
         version = self.latest_version() + 1
         data_dir = os.path.join(self.root, f"v{version}")
         df.write.mode("error").parquet(data_dir)
@@ -92,6 +104,22 @@ class SnapshotLog:
             ],
             "files": [{"path": p, "size": os.path.getsize(p)} for p in files],
         }
+        if stats_cols:
+            spark = df.sparkSession
+            stats = file_stats_nd(spark.read.parquet(*files), stats_cols)
+            by_path = {
+                r.file_path[len("file:"):]
+                if r.file_path.startswith("file:")
+                else r.file_path: r
+                for r in stats
+            }
+            for f in entry["files"]:
+                r = by_path[f["path"]]
+                f["n_rows"] = r.n_rows
+                f["stats"] = {
+                    c: [getattr(r, f"{c}_lo"), getattr(r, f"{c}_hi")]
+                    for c in stats_cols
+                }
         tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -355,6 +383,133 @@ class SnapshotLog:
         """Scan an explicit (pruned) file list."""
         return spark.read.parquet(*list(files))
 
+    def stats_only_agg(self, version: int, col: str) -> tuple:
+        """Answer ``count(*) / min(col) / max(col)`` PURELY from the
+        manifest's write-time stats (``commit(stats_cols=...)``) — zero
+        data files opened at query time, O(files) driver arithmetic.
+        This is metadata-only aggregate pushdown (Iceberg answers these
+        from its manifests the same way); sound because count/min/max
+        are exactly what the add-file stats block stores, and min/max
+        stats here are exact (computed from the rows, not truncated).
+        NULL caveat as in every format: per-file [lo, hi] ignores NULLs,
+        so ``col`` must be non-nullable for min/max to equal the scan
+        answer — the caller picks the column, the stats block stays
+        honest either way for count(*)."""
+        files = self.entry(version)["files"]
+        if any("stats" not in f or col not in f["stats"] for f in files):
+            raise ValueError(f"version {version} has no write-time stats for {col!r}")
+        return (
+            sum(f["n_rows"] for f in files),
+            min(f["stats"][col][0] for f in files),
+            max(f["stats"][col][1] for f in files),
+        )
+
+
+class EvolvingLog(SnapshotLog):
+    """Schema evolution over the snapshot log via COLUMN IDS — the Iceberg
+    model (public spec: every column carries a stable numeric id; files
+    record the names current when they were written; readers resolve file
+    columns to the live schema THROUGH the id).  What that buys at 100 TB:
+    RENAME, type-WIDEN, and DROP are pure metadata commits — zero data
+    files rewritten, old files stay readable forever — instead of the
+    O(table) rewrite a name-keyed reader would force.
+
+    Entries gain ``"columns": [[id, name, type], ...]`` (the live schema)
+    and each manifest file gains ``"schema_v"``: the version whose column
+    list the file was WRITTEN under.  ``read_evolved`` groups the manifest
+    by schema_v, maps each group's physical names to the live schema by
+    id (casting where the type widened, NULL where the column didn't
+    exist yet), and unions — so one scan spans files written under any
+    number of historical schemas."""
+
+    def _stamp(self, version: int, columns, schema_v_of: dict | None = None) -> None:
+        """Rewrite version's entry with columns + per-file schema_v."""
+        entry = self.entry(version)
+        entry["columns"] = [[int(i), n, t] for i, n, t in columns]
+        for f in entry["files"]:
+            f["schema_v"] = (schema_v_of or {}).get(f["path"], version)
+        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+
+    def commit_columns(self, df: DataFrame, columns, note: str = "") -> int:
+        """Full commit under an id-carrying schema.  ``columns`` is
+        ``[(id, name, type), ...]`` and must name ``df``'s columns in
+        order — ids are the caller's stable identity for each column."""
+        if [n for _i, n, _t in columns] != list(df.columns):
+            raise ValueError(f"columns {columns} do not match df {df.columns}")
+        v = self.commit(df, note=note)
+        self._stamp(v, columns)
+        return v
+
+    def append_columns(self, df: DataFrame, note: str = "") -> int:
+        """Append commit: new files are written under the CURRENT live
+        schema; carried-forward parent files keep their original
+        schema_v (they are referenced, never rewritten)."""
+        parent = self.latest_version()
+        columns = self.entry(parent)["columns"]
+        if [c[1] for c in columns] != list(df.columns):
+            raise ValueError(
+                f"append schema mismatch: live columns {columns}, df {df.columns}"
+            )
+        parent_sv = {
+            f["path"]: f["schema_v"] for f in self.entry(parent)["files"]
+        }
+        v = self.commit_append(df, note=note)
+        self._stamp(v, [tuple(c) for c in columns], schema_v_of=parent_sv)
+        return v
+
+    def evolve(self, new_columns, note: str = "") -> int:
+        """METADATA-ONLY schema evolution: the new version references the
+        parent's files untouched (same paths, same schema_v) and changes
+        only the live column list.  Same id + new name = RENAME; same id
+        + wider type = WIDEN; id absent = DROP; fresh id = ADD (surfaces
+        NULL for files that predate it).  Cost: one O(live files) log
+        entry — never a data write."""
+        parent = self.latest_version()
+        pe = self.entry(parent)
+        version = parent + 1
+        entry = {
+            "version": version,
+            "note": note,
+            "kind": "schema-evolution",
+            "columns": [[int(i), n, t] for i, n, t in new_columns],
+            "files": [dict(f) for f in pe["files"]],
+        }
+        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        return version
+
+    def read_evolved(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Scan a version through the id mapping (class docstring): one
+        sub-scan per historical schema the live files were written under,
+        each projected to the live schema, unioned.  The number of
+        sub-scans is the number of SCHEMAS in play (a handful), not the
+        number of files."""
+        v = self.latest_version() if version is None else version
+        entry = self.entry(v)
+        live = [(int(i), n, t) for i, n, t in entry["columns"]]
+        by_schema: dict[int, list[str]] = {}
+        for f in entry["files"]:
+            by_schema.setdefault(int(f["schema_v"]), []).append(f["path"])
+        out = None
+        for sv, paths in sorted(by_schema.items()):
+            written = {int(i): (n, t) for i, n, t in self.entry(sv)["columns"]}
+            proj = [
+                F.col(written[i][0]).cast(t).alias(n)
+                if i in written
+                else F.lit(None).cast(t).alias(n)
+                for i, n, t in live
+            ]
+            part = spark.read.parquet(*sorted(paths)).select(*proj)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise ValueError(f"version {v} has no data files")
+        return out
+
 
 # ---- shared dataflows over snapshots ---------------------------------------------
 
@@ -512,6 +667,94 @@ def changes_between(
         *[F.col(f"_ch.{c}").alias(c) for c in payload],
         F.col(f"_ch.{change_col}").alias(change_col),
     )
+
+
+def file_bloom(df: DataFrame, col: str, m: int = 8192, k: int = 3):
+    """Per-file BLOOM FILTER over a high-cardinality key — the third
+    file-skipping tier (after min/max and Z-order): on a layout where the
+    key is spread across every file, each file's [min, max] spans nearly
+    the whole domain and interval pruning keeps everything; a per-file
+    bloom still answers "this file cannot contain key K".  Built with ONE
+    distributed aggregate (k xxhash64 probes per row -> distinct bit
+    positions per file), O(files * m) driver rows — the per-file bloom
+    block a real format stores next to its min/max stats.  Membership is
+    exact-negative / approximate-positive, so pruning is conservative by
+    construction and the residual filter stays on the scan."""
+    pos = F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), F.col(col).cast("long")), F.lit(m)) for i in range(k)]
+    )
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.explode(pos).alias("p"),
+        )
+        .groupBy("file_path")
+        .agg(F.collect_set("p").alias("positions"))
+        .collect()
+    )
+
+
+def bloom_probe_positions(spark: SparkSession, keys, m: int = 8192, k: int = 3) -> dict:
+    """Bit positions for each probe key — computed by the SAME Spark
+    expression as file_bloom so the hash function can never drift between
+    build and probe (O(probes) driver rows)."""
+    df = spark.createDataFrame([(int(x),) for x in keys], "key bigint")
+    pos = F.array(
+        *[F.pmod(F.xxhash64(F.lit(i), F.col("key").cast("long")), F.lit(m)) for i in range(k)]
+    )
+    return {r.key: frozenset(r.ps) for r in df.select("key", pos.alias("ps")).collect()}
+
+
+def bloom_prune(file_blooms, probe_positions: dict) -> list[str]:
+    """Keep files whose bloom admits AT LEAST ONE probe key (all k of the
+    key's positions present).  False positives keep a file (harmless —
+    residual filter drops the rows); false negatives are impossible."""
+    keep = []
+    for r in file_blooms:
+        s = set(r.positions)
+        if any(ps <= s for ps in probe_positions.values()):
+            keep.append(r.file_path)
+    return sorted(keep)
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    payload: list[str],
+    matched_delete=None,
+    matched_update=None,
+    not_matched_insert=None,
+) -> DataFrame:
+    """Full conditional MERGE INTO (the lakehouse DML surface; public
+    Delta/Iceberg MERGE semantics) as ONE full-outer join + one projection:
+
+      WHEN MATCHED AND matched_delete(t, s)      THEN DELETE
+      WHEN MATCHED AND matched_update(t, s)      THEN UPDATE SET * (source wins)
+      WHEN MATCHED (neither condition)           -> target row unchanged
+      WHEN NOT MATCHED AND not_matched_insert(s) THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE                 -> target row unchanged
+
+    Conditions are callables ``(t, s) -> Column`` over the aliased sides
+    (None = unconditional for update/insert, never-fires for delete).  At
+    100 TB both sides co-partition on the key for one SMJ; there is no
+    second pass per clause — every WHEN branch is decided row-local inside
+    the single projection, which is why MERGE scales like a join and not
+    like clause-count scans."""
+    t, s = target.alias("t"), source.alias("s")
+    tk, sk = F.col(f"t.{key}"), F.col(f"s.{key}")
+    joined = t.join(s, tk == sk, "full_outer")
+    matched = tk.isNotNull() & sk.isNotNull()
+    del_c = matched_delete(t, s) if matched_delete else F.lit(False)
+    upd_c = matched_update(t, s) if matched_update else F.lit(True)
+    ins_c = not_matched_insert(s) if not_matched_insert else F.lit(True)
+    keep = F.when(matched, ~del_c).when(tk.isNotNull(), F.lit(True)).otherwise(ins_c)
+    use_source = (matched & ~del_c & upd_c) | (tk.isNull() & ins_c)
+    cols = [
+        F.when(use_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in [key, *payload]
+    ]
+    return joined.where(keep).select(*cols)
 
 
 def mor_read(base: DataFrame, delete_keys: DataFrame, key: str) -> DataFrame:

@@ -89,7 +89,9 @@ _MODULES = (
 _PRIORITY = (
     # round-10 NEW keys (table_changes/_apply = change-data-feed producer +
     # incremental-view-maintenance consumer; scan_pruning_zorder = 2-D
-    # manifest skipping over the z-ordered layout) + CHANGED keys
+    # manifest skipping over the z-ordered layout; batch 2 = schema/
+    # partition evolution, bloom skipping, stats-only aggregates,
+    # conditional MERGE INTO) + CHANGED keys
     # (sortbench_merge now reads the committed fixture and materializes
     # segmented runs; ev_stream_upsert's serving table is hash-bucketed
     # with touched-bucket-only rewrites; the nine maintenance keys were
@@ -97,6 +99,8 @@ _PRIORITY = (
     # output drift, so the driver re-verifies all of them fresh)
     "table_changes", "table_changes_apply", "table_changes_stream",
     "table_stream_ingest", "table_delete_pruned",
+    "table_schema_evolution", "table_partition_evolution",
+    "scan_pruning_bloom", "table_stats_only", "table_merge_into",
     "scan_pruning_zorder", "sortbench_merge", "ev_stream_upsert",
     "table_time_travel", "table_time_travel_multi", "table_vacuum",
     "table_delete_compliance", "table_delete_mor",
@@ -114,8 +118,11 @@ _PRIORITY = (
     "docs_length_histogram", "embedding_kmeans", "embedding_norm_stats",
     "embedding_quantize", "ev_attribution", "ev_daily_stats", "ev_dedup",
     "ev_enrich_join", "ev_funnel", "ev_gapfill", "ev_retention",
-    "ev_session", "ev_sliding", "ev_tumbling", "lang_confusion",
-    "mix_temperature", "mix_weighted_sources",
+    "ev_session",
+    # (the LRV tail beyond 50 — ev_sliding, ev_tumbling, lang_confusion,
+    # mix_temperature, mix_weighted_sources — was trimmed when batch 2
+    # added five new keys to the front; those five rotate in next round
+    # per the freshness policy)
 )
 
 

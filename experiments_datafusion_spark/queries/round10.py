@@ -16,8 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from experiments_datafusion_spark.io import materialize_then_rmtree, table
 from experiments_datafusion_spark.operators.table_format import (
+    EvolvingLog,
     SnapshotLog,
+    bloom_probe_positions,
+    bloom_prune,
     changes_between,
+    file_bloom,
+    merge_into,
     merge_upsert,
 )
 from experiments_datafusion_spark.queries import register
@@ -505,3 +510,362 @@ def scan_pruning_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("y_sum"),
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- schema evolution via column ids ----------------------------------------------
+#
+# table_time_travel_multi covers ADD COLUMN (the one evolution a name-keyed
+# reader can survive).  This key covers the other three — RENAME, type-WIDEN,
+# DROP — which REQUIRE the column-id mapping (operators/table_format.
+# EvolvingLog, the public Iceberg model): they are METADATA-ONLY commits
+# (zero data files rewritten; tests/test_round10.py pins the evolve entry's
+# file list is byte-identical to its parent's), and the reader resolves every
+# file's physical columns to the live schema through stable ids — so one scan
+# spans files written under the old schema (price_c int, status present) and
+# the new one (amount_c bigint, status gone).
+
+_EVO_CUT = "1997-07-01"
+
+
+@register(
+    "table_schema_evolution",
+    tags=("io", "maintenance", "aggregation"),
+    oracle="""
+SELECT o_orderkey % 9 AS bucket,
+       CAST(count(*) AS BIGINT)       AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                      AS amount_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+GROUP BY o_orderkey % 9
+""",
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME + WIDEN + DROP schema evolution (module comment above): v0
+    commits the pre-cut orders under (k bigint, status string, price_c
+    int); v1 is a metadata-only ``evolve`` to (k bigint, amount_c bigint)
+    — rename price_c->amount_c by id, widen int->bigint, drop status; v2
+    appends the post-cut orders WRITTEN under the new schema.  The final
+    read resolves both file generations through the id mapping (old files
+    project price_c AS amount_c with the widening cast; status is never
+    read), so the output covers every order — and the oracle recomputes
+    the same aggregate from raw orders, proving no row was lost, no value
+    skewed by the cast, and the rename landed.  At 100 TB the point is
+    the evolution commits cost one log entry each, never an O(table)
+    rewrite."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="schevo_")
+    log = EvolvingLog(root)
+    orders = table(spark, sf_dir, "orders")
+
+    def slice_of(pred):
+        return orders.where(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("int").alias("price_c"),
+        )
+
+    log.commit_columns(
+        slice_of(F.col("o_orderdate") < _EVO_CUT),
+        [(1, "k", "bigint"), (2, "status", "string"), (3, "price_c", "int")],
+        note="v0: original schema",
+    )
+    log.evolve(
+        [(1, "k", "bigint"), (3, "amount_c", "bigint")],
+        note="rename price_c->amount_c, widen int->bigint, drop status",
+    )
+    log.append_columns(
+        orders.where(F.col("o_orderdate") >= _EVO_CUT).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("amount_c"),
+        ),
+        note="v2: post-cut rows under the evolved schema",
+    )
+    out = (
+        log.read_evolved(spark)
+        .groupBy((F.col("k") % 9).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_c").cast("bigint").alias("amount_sum"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- partition-spec evolution ------------------------------------------------------
+#
+# The OTHER evolution axis a long-lived table walks: the LAYOUT changes
+# mid-history (Iceberg partition-spec evolution).  Spec-A files were
+# clustered by order date; from the cut on, new files are clustered by
+# customer key.  Old files are never rewritten — the manifest simply holds
+# both generations, and conjunctive stats pruning stays sound across the
+# mixed layout: each generation is pruned by the dimension ITS layout made
+# tight (A's date bounds are tight / custkey loose; B vice versa), which
+# tests/test_round10.py pins by asserting files are skipped from BOTH
+# generations under the two-band predicate.
+
+_PE_CUT = "1999-01-01"
+_PE_FILES = 8
+_PE_D_LO, _PE_D_HI = "1997-06-01", "1999-06-30"  # straddles the spec cut
+_PE_C_LO, _PE_C_HI = 50, 90  # non-empty at sf0.001 (custkey 0..149)
+
+
+def partition_evolution_log(spark: SparkSession, sf_dir: str, root: str) -> SnapshotLog:
+    """Commit spec-A (date-clustered pre-cut rows), then APPEND spec-B
+    (custkey-clustered post-cut rows) — two layout generations, one
+    manifest, zero rewrites."""
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    log.commit(
+        orders.where(F.col("o_orderdate") < _PE_CUT).repartitionByRange(
+            _PE_FILES, "o_orderdate"
+        ),
+        note="spec A: clustered by o_orderdate",
+    )
+    log.commit_append(
+        orders.where(F.col("o_orderdate") >= _PE_CUT).repartitionByRange(
+            _PE_FILES, "o_custkey"
+        ),
+        note="spec B: clustered by o_custkey",
+    )
+    return log
+
+
+@register(
+    "table_partition_evolution",
+    tags=("io", "maintenance", "layout"),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+       CAST(sum(o_custkey) AS BIGINT)  AS cust_sum,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '{_PE_D_LO}' AND TIMESTAMP '{_PE_D_HI}'
+  AND o_custkey BETWEEN {_PE_C_LO} AND {_PE_C_HI}
+""",
+)
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution read (module comment above): the manifest
+    holds date-clustered spec-A files AND custkey-clustered spec-B files;
+    a (date-band AND custkey-band) query collects ONE multi-column stats
+    manifest over the mixed layout, prunes conjunctively (each generation
+    shrinks on its own tight dimension), and scans the survivors with the
+    residual filter re-applied.  The oracle replays the band query on raw
+    orders, so both layout generations, the append commit, and the pruned
+    read are value-verified together."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import prune_nd
+
+    root = tempfile.mkdtemp(prefix="pevo_")
+    log = partition_evolution_log(spark, sf_dir, root)
+    from datetime import datetime
+
+    stats = log.stats_manifest_nd(spark, 1, ["o_orderdate", "o_custkey"])
+    survivors = prune_nd(
+        stats,
+        {
+            "o_orderdate": (
+                datetime.fromisoformat(_PE_D_LO),
+                datetime.fromisoformat(_PE_D_HI),
+            ),
+            "o_custkey": (_PE_C_LO, _PE_C_HI),
+        },
+    )
+    band = log.read_files(spark, survivors).where(
+        F.col("o_orderdate").between(_PE_D_LO, _PE_D_HI)
+        & F.col("o_custkey").between(_PE_C_LO, _PE_C_HI)
+    )
+    out = band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- bloom-filter file skipping ----------------------------------------------------
+#
+# The third file-skipping tier.  Min/max pruning (scan_pruning_manifest)
+# needs a CLUSTERED layout; on the common unclustered one — a
+# high-cardinality key round-robined across files — every file's [min, max]
+# spans the whole domain and interval pruning keeps everything.  Per-file
+# BLOOM filters (operators/table_format.file_bloom) still answer "this file
+# cannot contain key K", which is exactly the point-lookup path a real
+# format's bloom/dictionary stats serve.  tests/test_round10.py pins the
+# counterfactual: min/max keeps ALL files on this layout, the bloom keeps
+# at most a handful (and never loses a probed row — that's the oracle).
+
+_BLOOM_FILES = 16
+_BLOOM_PROBES = (9, 421, 1287)  # orderkeys dense from 0 -> present at every sf
+
+
+@register(
+    "scan_pruning_bloom",
+    tags=("io", "layout", "maintenance"),
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+FROM orders
+WHERE o_orderkey IN {_BLOOM_PROBES}
+""",
+)
+def scan_pruning_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point lookup (module comment above): commit the orders
+    slice round-robined across 16 files (the worst case for min/max),
+    build per-file blooms with one distributed aggregate, compute the
+    probe keys' bit positions with the SAME Spark expression (hash can
+    never drift), prune driver-side, and scan only the admitted files
+    with the residual IN filter.  False positives cost a file read;
+    false negatives are impossible — the oracle checks every probed row
+    comes back exactly once."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bloom_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
+    )
+    log.commit(orders.repartition(_BLOOM_FILES), note="unclustered base")
+    blooms = file_bloom(log.read(spark, 0), "o_orderkey")
+    probes = bloom_probe_positions(spark, _BLOOM_PROBES)
+    survivors = bloom_prune(blooms, probes)
+    out = (
+        log.read_files(spark, survivors)
+        .where(F.col("o_orderkey").isin(*_BLOOM_PROBES))
+        .select("o_orderkey", "o_custkey", "price_c")
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- stats-only aggregate (metadata-only query) -----------------------------------
+
+
+@register(
+    "table_stats_only",
+    tags=("io", "maintenance", "aggregation"),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)       AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS lo,
+       CAST(max(o_custkey) AS BIGINT) AS hi
+FROM orders
+""",
+)
+def table_stats_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY aggregate: ``count(*) / min / max`` answered purely
+    from the manifest's write-time add-file stats
+    (SnapshotLog.commit(stats_cols=...) records per-file n_rows + [lo,
+    hi] with one distributed aggregate at COMMIT time; stats_only_agg
+    then folds the O(files) catalog entries driver-side).  Query-time
+    cost is independent of table size — no data file is opened, which
+    tests/test_round10.py pins by DELETING every data file and asserting
+    the answer still computes.  This is aggregate pushdown to metadata,
+    the Iceberg manifests-answer-count path; the oracle recomputes the
+    same aggregate by scanning raw orders, proving the write-time stats
+    are exact, not estimates."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="statsonly_")
+    log = SnapshotLog(root)
+    log.commit(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        note="base with write-time stats",
+        stats_cols=["o_custkey"],
+    )
+    n, lo, hi = log.stats_only_agg(0, "o_custkey")
+    out = spark.createDataFrame(
+        [(int(n), int(lo), int(hi))], "n_rows bigint, lo bigint, hi bigint"
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- full conditional MERGE INTO ---------------------------------------------------
+
+_MRG_CUT = "1995-10-01"
+_MRG_INS_MOD = 3
+
+
+@register(
+    "table_merge_into",
+    tags=("io", "maintenance", "join", "aggregation"),
+    oracle=f"""
+WITH t AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_MRG_CUT}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+s AS (
+  SELECT o_custkey AS k, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_MRG_CUT}'
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+),
+merged AS (
+  SELECT CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN s.status
+              WHEN t.k IS NOT NULL THEN t.status
+              ELSE s.status END AS status,
+         CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN s.price_c
+              WHEN t.k IS NOT NULL THEN t.price_c
+              ELSE s.price_c END AS price_c
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+  WHERE CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN s.status != 'F'
+             WHEN t.k IS NOT NULL THEN TRUE
+             ELSE s.price_c % {_MRG_INS_MOD} != 0 END
+)
+SELECT status,
+       CAST(count(*) AS BIGINT)     AS n,
+       CAST(sum(price_c) AS BIGINT) AS price_units
+FROM merged GROUP BY status
+""",
+)
+def table_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full conditional MERGE INTO — the lakehouse DML surface beyond the
+    unconditional upsert (merge_upsert): WHEN MATCHED AND source.status =
+    'F' THEN DELETE; WHEN MATCHED THEN UPDATE SET * (source wins); WHEN
+    NOT MATCHED AND source.price_c % 3 != 0 THEN INSERT; unmatched
+    target rows pass through.  operators/table_format.merge_into resolves
+    every clause row-local inside ONE full-outer join + one projection —
+    no per-clause pass — which is why MERGE costs a join, not
+    clause-count scans, at 100 TB (both sides co-partition on the key for
+    one SMJ).  Target is the latest pre-cut state per customer, source
+    the post-cut changelog; the oracle replays all three WHEN branches in
+    SQL and the per-status totals are compared exactly."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                F.col("o_custkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+            )
+        )
+
+    target = latest(orders.where(F.col("o_orderdate") < _MRG_CUT))
+    source = latest(orders.where(F.col("o_orderdate") >= _MRG_CUT))
+    merged = merge_into(
+        target,
+        source,
+        key="k",
+        payload=["status", "price_c"],
+        matched_delete=lambda t, s: F.col("s.status") == "F",
+        matched_update=None,  # unconditional UPDATE SET *
+        not_matched_insert=lambda s: F.col("s.price_c") % _MRG_INS_MOD != 0,
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_c").cast("bigint").alias("price_units"),
+    )

@@ -447,3 +447,198 @@ def test_table_changes_all_classes_nonvacuous(spark, sf_dir):
     assert all(v > 0 for v in counts.values())
     # pre/post come in pairs — one retraction per application
     assert counts["update_preimage"] == counts["update_postimage"]
+
+
+# ---- schema evolution (column ids: rename / widen / drop / add) -------------------
+
+
+def test_evolve_is_metadata_only_and_reads_through_ids(spark, tmp_path):
+    """RENAME/WIDEN/DROP rewrite ZERO data files (the evolve entry carries
+    the parent's exact file list), and read_evolved resolves old files'
+    physical names through the id mapping with the widening cast."""
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(str(tmp_path / "t"))
+    df0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, status string, price_c int"
+    )
+    log.commit_columns(
+        df0, [(1, "k", "bigint"), (2, "status", "string"), (3, "price_c", "int")]
+    )
+    files_v0 = [
+        (f["path"], f["size"], os.path.getmtime(f["path"]))
+        for f in log.entry(0)["files"]
+    ]
+    v1 = log.evolve([(1, "k", "bigint"), (3, "amount_c", "bigint")])
+    assert [
+        (f["path"], f["size"], os.path.getmtime(f["path"]))
+        for f in log.entry(v1)["files"]
+    ] == files_v0  # metadata-only: same paths, sizes, mtimes
+    out = log.read_evolved(spark, v1)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema] == [
+        ("k", "bigint"),
+        ("amount_c", "bigint"),
+    ]  # renamed + widened; status gone
+    assert sorted((r.k, r.amount_c) for r in out.collect()) == [(1, 10), (2, 20)]
+
+
+def test_evolved_append_unions_both_file_generations(spark, tmp_path):
+    """Files written under the OLD schema and files written under the NEW
+    one are read through one id-mapped scan; an ADDED column (fresh id)
+    surfaces NULL for pre-evolution files."""
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(str(tmp_path / "t"))
+    log.commit_columns(
+        spark.createDataFrame([(1, 10)], "k bigint, price_c int"),
+        [(1, "k", "bigint"), (3, "price_c", "int")],
+    )
+    log.evolve(
+        [(1, "k", "bigint"), (3, "amount_c", "bigint"), (4, "tag", "string")]
+    )
+    log.append_columns(
+        spark.createDataFrame([(2, 20, "new")], "k bigint, amount_c bigint, tag string")
+    )
+    got = sorted(
+        (r.k, r.amount_c, r.tag) for r in log.read_evolved(spark).collect()
+    )
+    assert got == [(1, 10, None), (2, 20, "new")]
+
+
+# ---- partition-spec evolution ------------------------------------------------------
+
+
+def test_partition_evolution_prunes_both_layout_generations(spark, sf_dir, tmp_path):
+    """Under the two-band predicate, files are skipped from BOTH specs —
+    spec-A (date-clustered) shrinks on the date band, spec-B
+    (custkey-clustered) shrinks on the custkey band — and the pruned scan
+    equals the full-scan answer (conjunctive pruning is sound across a
+    mixed layout)."""
+    from datetime import datetime
+
+    from experiments_datafusion_spark.operators.table_format import prune_nd
+    from experiments_datafusion_spark.queries import round10 as R10
+
+    log = R10.partition_evolution_log(spark, sf_dir, str(tmp_path / "pe"))
+    spec_a = {f["path"] for f in log.entry(0)["files"]}
+    spec_b = {f["path"] for f in log.entry(1)["files"]} - spec_a
+    stats = log.stats_manifest_nd(spark, 1, ["o_orderdate", "o_custkey"])
+    bands = {
+        "o_orderdate": (
+            datetime.fromisoformat(R10._PE_D_LO),
+            datetime.fromisoformat(R10._PE_D_HI),
+        ),
+        "o_custkey": (R10._PE_C_LO, R10._PE_C_HI),
+    }
+    survivors = {
+        p[len("file:"):] if p.startswith("file:") else p
+        for p in prune_nd(stats, bands)
+    }
+    kept_a = {p for p in survivors if p in spec_a}
+    kept_b = {p for p in survivors if p in spec_b}
+    assert len(kept_a) < len(spec_a), "date band must skip spec-A files"
+    assert len(kept_b) < len(spec_b), "custkey band must skip spec-B files"
+    # soundness: pruned scan == full scan under the residual predicate
+    pred = F.col("o_orderdate").between(R10._PE_D_LO, R10._PE_D_HI) & F.col(
+        "o_custkey"
+    ).between(R10._PE_C_LO, R10._PE_C_HI)
+    full = log.read(spark, 1).where(pred).count()
+    pruned = log.read_files(spark, sorted(survivors)).where(pred).count()
+    assert pruned == full > 0
+
+
+# ---- bloom file skipping -----------------------------------------------------------
+
+
+def test_bloom_prunes_where_minmax_cannot(spark, sf_dir, tmp_path):
+    """The counterfactual that justifies the bloom tier: on a round-robin
+    layout every file's [min, max] spans the domain so interval pruning
+    keeps ALL files, while the per-file bloom admits only a handful —
+    and never loses a probed key (exact-negative property)."""
+    from experiments_datafusion_spark.io import table as load_table
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        bloom_probe_positions,
+        bloom_prune,
+        file_bloom,
+    )
+    from experiments_datafusion_spark.queries import round10 as R10
+
+    log = SnapshotLog(str(tmp_path / "b"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    log.commit(orders.repartition(R10._BLOOM_FILES))
+    probes = R10._BLOOM_PROBES
+    # min/max tier: a MID-domain probe sits inside every file's [min, max]
+    # (a probe near the domain edge can luck into some pruning even here);
+    # the scan's keep-set for the IN predicate is the UNION over probes
+    stats = log.stats_manifest(spark, 0, "o_orderkey")
+    for k in probes[1:]:  # 421, 1287 — mid-domain at every sf
+        assert len(SnapshotLog.prune(stats, k, k)) == R10._BLOOM_FILES
+    minmax_keep = {p for k in probes for p in SnapshotLog.prune(stats, k, k)}
+    # bloom tier: strictly fewer files, none containing a probe is lost
+    blooms = file_bloom(log.read(spark, 0), "o_orderkey")
+    survivors = bloom_prune(blooms, bloom_probe_positions(spark, probes))
+    assert 0 < len(survivors) < len(minmax_keep) == R10._BLOOM_FILES
+    got = (
+        log.read_files(spark, survivors)
+        .where(F.col("o_orderkey").isin(*probes))
+        .count()
+    )
+    assert got == len(probes)
+
+
+# ---- stats-only aggregate ----------------------------------------------------------
+
+
+def test_stats_only_answers_after_data_files_deleted(spark, tmp_path):
+    """The zero-data-read proof: delete every data file; the manifest's
+    write-time stats still answer count/min/max, and they equal the
+    pre-delete scan answer."""
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
+
+    log = SnapshotLog(str(tmp_path / "s"))
+    df = spark.range(1000).select((F.col("id") * 3 + 7).alias("x"))
+    log.commit(df.repartition(4), stats_cols=["x"])
+    want = log.read(spark, 0).agg(
+        F.count(F.lit(1)), F.min("x"), F.max("x")
+    ).collect()[0]
+    for fe in log.manifest(0):
+        os.remove(fe.path)
+    assert log.stats_only_agg(0, "x") == (want[0], want[1], want[2]) == (1000, 7, 3004)
+
+
+# ---- conditional MERGE INTO --------------------------------------------------------
+
+
+def test_merge_into_all_when_branches(spark):
+    """Every WHEN branch on one tiny frame: matched+delete-cond drops,
+    matched updates from source, unmatched target passes through,
+    insert-cond filters source-only rows."""
+    from experiments_datafusion_spark.operators.table_format import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "keep", 10), (2, "upd", 20), (3, "del", 30)],
+        "k bigint, status string, price_c bigint",
+    )
+    source = spark.createDataFrame(
+        [(2, "O", 99), (3, "F", 77), (4, "O", 40), (5, "O", 41)],
+        "k bigint, status string, price_c bigint",
+    )
+    got = sorted(
+        (r.k, r.status, r.price_c)
+        for r in merge_into(
+            target,
+            source,
+            key="k",
+            payload=["status", "price_c"],
+            matched_delete=lambda t, s: F.col("s.status") == "F",
+            not_matched_insert=lambda s: F.col("s.price_c") % 2 == 0,
+        ).collect()
+    )
+    assert got == [
+        (1, "keep", 10),  # not matched by source: unchanged
+        (2, "O", 99),  # matched: updated from source
+        # (3, ...) matched + source status 'F': deleted
+        (4, "O", 40),  # not matched + insert-cond true: inserted
+        # (5, ...) insert-cond false: not inserted
+    ]
