@@ -46,6 +46,18 @@ class FileEntry:
     size: int
 
 
+class CommitConflict(Exception):
+    """Another writer published this version first.  The log's commit
+    protocol is optimistic concurrency control at the version number —
+    exactly Delta's: prepare everything, then PUT-IF-ABSENT the log entry;
+    the loser detects the collision atomically and must rebase (re-read
+    the new latest version, re-derive its manifest) and retry.  POSIX
+    ``rename`` silently REPLACES an existing target, so publishing with
+    rename would make the race a lost update instead of an error — the
+    publish below links the tmp file into place (``os.link`` fails with
+    EEXIST if the version was taken), which is the put-if-absent."""
+
+
 class SnapshotLog:
     """Versioned snapshot log rooted at ``root``.
 
@@ -61,6 +73,39 @@ class SnapshotLog:
         self.root = root
         self._log_dir = os.path.join(root, "_log")
         os.makedirs(self._log_dir, exist_ok=True)
+
+    def _publish(self, version: int, entry: dict) -> None:
+        """PUT-IF-ABSENT publish of a log entry (see CommitConflict): the
+        entry is fully written to a tmp file, then hard-linked to its
+        final name — ``os.link`` is atomic and fails with EEXIST if a
+        concurrent writer already took this version, so a race surfaces
+        as CommitConflict, never as a silently replaced entry."""
+        tmp = os.path.join(
+            self._log_dir, f".{version:05d}.{os.getpid()}.json.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        final = os.path.join(self._log_dir, f"{version:05d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was committed by another writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+    def _republish(self, version: int, entry: dict) -> None:
+        """Replace an entry THIS writer already owns (post-publish stamp
+        of extra metadata on the version it just committed) — the only
+        place replacement is legal, because ownership was established by
+        winning the _publish link."""
+        tmp = os.path.join(
+            self._log_dir, f".{version:05d}.{os.getpid()}.json.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
 
     # ---- write side ---------------------------------------------------------
 
@@ -120,10 +165,7 @@ class SnapshotLog:
                     c: [getattr(r, f"{c}_lo"), getattr(r, f"{c}_hi")]
                     for c in stats_cols
                 }
-        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        self._publish(version, entry)
         return version
 
     def commit_append(self, df: DataFrame, note: str = "", kind: str = "data") -> int:
@@ -171,11 +213,69 @@ class SnapshotLog:
             "files": parent_files
             + [{"path": p, "size": os.path.getsize(p)} for p in new_files],
         }
-        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        self._publish(version, entry)
         return version
+
+    def commit_append_rebased(
+        self,
+        df: DataFrame,
+        note: str = "",
+        kind: str = "data",
+        attempts: int = 10,
+    ) -> int:
+        """CONCURRENT-SAFE append: the multi-writer version of
+        ``commit_append``.  The batch's data files are written ONCE to a
+        batch-unique directory (readers never list directories — the
+        manifest IS the file list — so data-dir naming is free), then the
+        log entry is published put-if-absent; on CommitConflict the append
+        REBASES — re-reads the new latest version, re-derives its live
+        file list, re-checks the schema, and re-publishes the SAME data
+        files under the next version.  This is exactly Delta's optimistic
+        rebase for blind appends: appends commute with any concurrent
+        commit (the entry is always new-latest's files + this batch's), so
+        the retry never rewrites data, only the O(live files) entry.  At
+        100 TB this is what lets N streaming writers share one table."""
+        import uuid
+
+        data_dir = os.path.join(self.root, f"b-{uuid.uuid4().hex[:12]}")
+        df.write.mode("error").parquet(data_dir)
+        new_files = [
+            {"path": p, "size": os.path.getsize(p)}
+            for p in sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+        ]
+        schema = [[f.name, f.dataType.simpleString(), f.nullable] for f in df.schema]
+        for _ in range(attempts):
+            parent = self.latest_version()
+            if parent >= 0:
+                want = self.entry(parent).get("schema")
+                if want is not None and want != schema:
+                    raise ValueError(
+                        f"append schema mismatch: table has {want}, batch has {schema}"
+                    )
+            parent_files = (
+                [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
+                if parent >= 0
+                else []
+            )
+            entry = {
+                "version": parent + 1,
+                "note": note,
+                "kind": kind,
+                "schema": schema,
+                "files": parent_files + new_files,
+            }
+            try:
+                self._publish(parent + 1, entry)
+                return parent + 1
+            except CommitConflict:
+                continue  # rebase: somebody else won this version
+        raise CommitConflict(
+            f"append did not land after {attempts} rebase attempts"
+        )
 
     def commit_rewrite(
         self,
@@ -219,10 +319,7 @@ class SnapshotLog:
             ]
             + [{"path": p, "size": os.path.getsize(p)} for p in new_files],
         }
-        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        self._publish(version, entry)
         return version
 
     # ---- log side -----------------------------------------------------------
@@ -423,15 +520,14 @@ class EvolvingLog(SnapshotLog):
     number of historical schemas."""
 
     def _stamp(self, version: int, columns, schema_v_of: dict | None = None) -> None:
-        """Rewrite version's entry with columns + per-file schema_v."""
+        """Re-stamp the entry THIS writer just published with columns +
+        per-file schema_v (ownership established by the _publish link, so
+        replacement is legal here — see _republish)."""
         entry = self.entry(version)
         entry["columns"] = [[int(i), n, t] for i, n, t in columns]
         for f in entry["files"]:
             f["schema_v"] = (schema_v_of or {}).get(f["path"], version)
-        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        self._republish(version, entry)
 
     def commit_columns(self, df: DataFrame, columns, note: str = "") -> int:
         """Full commit under an id-carrying schema.  ``columns`` is
@@ -477,10 +573,7 @@ class EvolvingLog(SnapshotLog):
             "columns": [[int(i), n, t] for i, n, t in new_columns],
             "files": [dict(f) for f in pe["files"]],
         }
-        tmp = os.path.join(self._log_dir, f".{version:05d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(entry, fh)
-        os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
+        self._publish(version, entry)
         return version
 
     def read_evolved(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -667,6 +760,98 @@ def changes_between(
         *[F.col(f"_ch.{c}").alias(c) for c in payload],
         F.col(f"_ch.{change_col}").alias(change_col),
     )
+
+
+class ConstraintViolation(Exception):
+    """A batch failed the table's CHECK constraints at commit time."""
+
+
+def enforce_checks(df: DataFrame, checks) -> None:
+    """CHECK-constraint enforcement at the write (the Delta ``ALTER TABLE
+    ADD CONSTRAINT`` semantics): ``checks`` is ``[(name, Column)]``; a row
+    violates a check when the expression is FALSE — NULL/unknown passes,
+    per SQL CHECK semantics.  ALL checks are counted in ONE distributed
+    aggregate pass over the batch (never one scan per constraint), and a
+    violation raises with per-check counts so the producer sees exactly
+    what drifted — the table is never poisoned with rows a consumer's
+    assumptions can't survive."""
+    aggs = [
+        F.sum(F.when(c == F.lit(False), 1).otherwise(0)).alias(name)
+        for name, c in checks
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: v for n, v in row.asDict().items() if v}
+    if bad:
+        raise ConstraintViolation(f"check constraint violations: {bad}")
+
+
+def commit_staged(log: SnapshotLog, df: DataFrame, note: str = "") -> int:
+    """WRITE step of write-audit-publish: the batch lands as a STAGED
+    snapshot (kind='staged') — durable, auditable, but invisible to
+    consumers, because the published head resolves past staged entries
+    (``head_published``).  The Iceberg WAP / Delta-branch idea: data is
+    written exactly once, at full parallelism, BEFORE anyone can read
+    it."""
+    return log.commit(df, note=note, kind="staged")
+
+
+def publish_staged(log: SnapshotLog, staged_version: int, note: str = "") -> int:
+    """PUBLISH step: a METADATA-ONLY append-commit merging the staged
+    batch into the published head — the new entry's file list is
+    head_published's files PLUS the staged snapshot's files, kind='data',
+    so the audit-passed batch becomes visible atomically (one
+    put-if-absent log append), zero data moved.  An audit failure simply
+    never calls this: the staged entry stays invisible to consumers and
+    its files are vacuumable."""
+    e = log.entry(staged_version)
+    if e.get("kind") != "staged":
+        raise ValueError(f"version {staged_version} is not a staged snapshot")
+    head_files = [dict(f) for f in log.entry(head_published(log))["files"]]
+    version = log.latest_version() + 1
+    entry = {
+        "version": version,
+        "note": note or f"publish staged v{staged_version}",
+        "kind": "data",
+        "schema": e.get("schema"),
+        "files": head_files + [dict(f) for f in e["files"]],
+    }
+    log._publish(version, entry)
+    return version
+
+
+def head_published(log: SnapshotLog) -> int:
+    """The newest version consumers may read: staged entries are skipped."""
+    head = None
+    for v in log.versions():
+        if log.entry(v).get("kind") != "staged":
+            head = v
+    if head is None:
+        raise ValueError("no published version in the log")
+    return head
+
+
+def clone_shallow(src: SnapshotLog, dst_root: str, note: str = "") -> SnapshotLog:
+    """SHALLOW CLONE (the Delta ``CREATE TABLE ... SHALLOW CLONE`` shape):
+    the clone is a NEW log whose v0 entry references the source's latest
+    files BY PATH — zero data copied, O(live files) metadata.  Writes to
+    the clone diverge freely (its commits reference/add its own files and
+    never touch the source); the standard caveat applies and is the
+    test's business to pin: vacuuming the SOURCE can remove files the
+    clone still references, exactly as documented for real shallow
+    clones."""
+    dst = SnapshotLog(dst_root)
+    if dst.latest_version() >= 0:
+        raise ValueError("clone target already has a log")
+    e = src.entry(src.latest_version())
+    entry = {
+        "version": 0,
+        "note": note or f"shallow clone of {src.root} v{e['version']}",
+        "kind": "data",
+        "schema": e.get("schema"),
+        "files": [dict(f) for f in e["files"]],
+    }
+    dst._publish(0, entry)
+    return dst
 
 
 def file_bloom(df: DataFrame, col: str, m: int = 8192, k: int = 3):

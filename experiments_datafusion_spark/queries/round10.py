@@ -869,3 +869,259 @@ def table_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("price_c").cast("bigint").alias("price_units"),
     )
+
+
+# ---- write-audit-publish -----------------------------------------------------------
+#
+# The WAP pattern every production 100 TB ingest runs (Iceberg WAP /
+# Delta branches): a batch lands as a STAGED snapshot — durable, written
+# once at full parallelism, but INVISIBLE to consumers because the
+# published head resolves past kind='staged' entries — then an AUDIT
+# query gates it; only a passing batch is PUBLISHED, as a metadata-only
+# append-commit merging the staged files into the head.  A failing batch
+# is simply never published: the head is untouched and the staged files
+# are vacuumable.  Both a failing and a passing batch are exercised, and
+# the oracle replays the audit decision in SQL (NOT EXISTS over the same
+# violation rule), so the gate itself is differentially verified.
+
+_WAP_CUT = "1998-03-01"
+_WAP_A_MOD, _WAP_B_MOD = 0, 1  # custkey % 5 cohorts for the two batches
+
+
+@register(
+    "table_wap_publish",
+    tags=("io", "maintenance", "aggregation"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderstatus AS status, o_orderkey AS k
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_WAP_CUT}'
+),
+a AS (
+  SELECT o_orderstatus AS status, o_orderkey AS k
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_WAP_CUT}' AND o_custkey % 5 = {_WAP_A_MOD}
+),
+b AS (
+  SELECT o_orderstatus AS status, o_orderkey AS k
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_WAP_CUT}' AND o_custkey % 5 = {_WAP_B_MOD}
+    AND o_orderstatus != 'P'
+),
+pub AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM a WHERE NOT EXISTS (SELECT 1 FROM a WHERE status = 'P')
+  UNION ALL
+  SELECT * FROM b
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT)   AS key_sum
+FROM pub GROUP BY status
+""",
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (module comment above): base published, batch A
+    (the custkey%5==0 post-cut cohort — carries 'P'-status rows wherever
+    they exist) staged and AUDITED against the rule "no status 'P'"; a
+    violation abandons the staged snapshot (head unchanged), a pass
+    publishes it.  Batch B (custkey%5==1, 'P' rows pre-filtered) stages
+    clean and publishes.  The consumer read goes through head_published —
+    never sees staged data — and the oracle replays the audit decision
+    with NOT EXISTS over the identical rule, so staging, the gate, and
+    the publish merge are all value-verified."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import (
+        ConstraintViolation,
+        commit_staged,
+        enforce_checks,
+        head_published,
+        publish_staged,
+    )
+
+    root = tempfile.mkdtemp(prefix="wap_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders")
+
+    def proj(pred):
+        return orders.where(pred).select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderkey").alias("k"),
+        )
+
+    post = F.col("o_orderdate") >= _WAP_CUT
+    log.commit(proj(F.col("o_orderdate") < _WAP_CUT), note="published base")
+    for mod, clean in ((_WAP_A_MOD, False), (_WAP_B_MOD, True)):
+        batch = proj(post & (F.col("o_custkey") % 5 == mod))
+        if clean:
+            batch = batch.where(F.col("status") != "P")
+        sv = commit_staged(log, batch, note=f"staged cohort {mod}")
+        try:
+            enforce_checks(
+                log.read(spark, sv), [("no_p_status", F.col("status") != "P")]
+            )
+            publish_staged(log, sv)
+        except ConstraintViolation:
+            pass  # audit failed: staged snapshot abandoned, head untouched
+    out = (
+        log.read(spark, head_published(log))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- CHECK constraints at commit ---------------------------------------------------
+
+_CHK_CUT = "1996-09-01"
+_CHK_MOD = 7  # the injected-violation cohort
+
+
+@register(
+    "table_constraints",
+    tags=("io", "maintenance", "aggregation"),
+    oracle=f"""
+WITH final AS (
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CHK_CUT}'
+  UNION ALL
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_CHK_CUT}' AND o_custkey % {_CHK_MOD} != 0
+)
+SELECT status,
+       CAST(count(*) AS BIGINT)     AS n,
+       CAST(sum(price_c) AS BIGINT) AS price_units
+FROM final GROUP BY status
+""",
+)
+def table_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints enforced at the commit (Delta's ADD CONSTRAINT
+    semantics via operators/table_format.enforce_checks): the table
+    declares price_c > 0 AND k IS NOT NULL; a producer batch with
+    injected corruption (the custkey%7 cohort's prices negated) is
+    REJECTED in one aggregate pass — the log is untouched, which the test
+    pins — and the repaired batch (violators dropped) commits.  All
+    checks are counted in ONE distributed pass, never one scan per
+    constraint; NULL check results pass, per SQL CHECK semantics.  The
+    oracle recomputes the final state from raw orders with the repair
+    predicate, so enforcement can neither over-reject (losing clean rows)
+    nor under-reject (admitting the cohort)."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import (
+        ConstraintViolation,
+        enforce_checks,
+    )
+
+    root = tempfile.mkdtemp(prefix="chk_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders")
+
+    def proj(pred):
+        return orders.where(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        )
+
+    checks = [
+        ("price_positive", F.col("price_c") > 0),
+        ("key_not_null", F.col("k").isNotNull()),
+    ]
+    base = proj(F.col("o_orderdate") < _CHK_CUT)
+    enforce_checks(base, checks)
+    log.commit(base, note="constrained base")
+    # the drifted producer: the custkey%7 cohort arrives with negated prices
+    batch = orders.where(F.col("o_orderdate") >= _CHK_CUT).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            F.when(F.col("o_custkey") % _CHK_MOD == 0, -1).otherwise(1)
+            * F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("price_c"),
+    )
+    try:
+        enforce_checks(batch, checks)
+        raise AssertionError("corrupted batch must violate price_positive")
+    except ConstraintViolation:
+        pass  # rejected: nothing committed
+    repaired = batch.where(F.col("price_c") > 0)
+    enforce_checks(repaired, checks)
+    log.commit_append(repaired, note="repaired batch")
+    out = log.read(spark).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_c").cast("bigint").alias("price_units"),
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- shallow clone -----------------------------------------------------------------
+
+_CLONE_CUT = "1997-02-01"
+_CLONE_MOD = 3
+
+
+@register(
+    "table_clone_shallow",
+    tags=("io", "maintenance", "aggregation"),
+    oracle=f"""
+SELECT 'source' AS side,
+       CAST(count(*) AS BIGINT)          AS n,
+       CAST(sum(o_orderkey) AS BIGINT)   AS key_sum
+FROM orders WHERE o_orderdate < TIMESTAMP '{_CLONE_CUT}'
+UNION ALL
+SELECT 'clone' AS side,
+       CAST(count(*) AS BIGINT)          AS n,
+       CAST(sum(o_orderkey) AS BIGINT)   AS key_sum
+FROM orders
+WHERE o_orderdate < TIMESTAMP '{_CLONE_CUT}'
+   OR (o_orderdate >= TIMESTAMP '{_CLONE_CUT}' AND o_custkey % {_CLONE_MOD} = 2)
+""",
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + divergence (operators/table_format.clone_shallow —
+    the Delta CREATE TABLE SHALLOW CLONE shape): the clone's v0 entry
+    references the source's live files BY PATH — zero data copied,
+    O(live files) metadata — then an append to the CLONE diverges it
+    while the source stays untouched (pinned by path+size+mtime in
+    tests/test_round10.py).  The output reads BOTH tables after the
+    divergent write — source must still equal its pre-clone state, clone
+    must equal source + the appended cohort — so isolation is
+    value-verified, not just asserted on metadata."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import clone_shallow
+
+    root = tempfile.mkdtemp(prefix="clone_")
+    src = SnapshotLog(f"{root}/src")
+    orders = table(spark, sf_dir, "orders")
+
+    def proj(pred):
+        return orders.where(pred).select("o_orderkey", "o_custkey")
+
+    src.commit(proj(F.col("o_orderdate") < _CLONE_CUT), note="source")
+    dst = clone_shallow(src, f"{root}/dst")
+    dst.commit_append(
+        proj(
+            (F.col("o_orderdate") >= _CLONE_CUT)
+            & (F.col("o_custkey") % _CLONE_MOD == 2)
+        ),
+        note="divergent append to the clone",
+    )
+
+    def side_agg(log, side):
+        return log.read(spark).agg(
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+
+    out = side_agg(src, "source").unionByName(side_agg(dst, "clone"))
+    return materialize_then_rmtree(out, root)

@@ -642,3 +642,194 @@ def test_merge_into_all_when_branches(spark):
         (4, "O", 40),  # not matched + insert-cond true: inserted
         # (5, ...) insert-cond false: not inserted
     ]
+
+
+# ---- optimistic concurrency: put-if-absent publish + append rebase ----------------
+
+
+def test_publish_is_put_if_absent(spark, tmp_path):
+    """A racing writer that already took the version number surfaces as
+    CommitConflict — never as a silently replaced log entry (POSIX rename
+    would lose the winner's commit; os.link cannot)."""
+    from experiments_datafusion_spark.operators.table_format import (
+        CommitConflict,
+        SnapshotLog,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(5))
+    # another handle on the same table wins version 1 first
+    other = SnapshotLog(str(tmp_path / "t"))
+    other.commit_append(spark.range(5, 10), note="winner")
+    # loser prepared against the stale latest: craft its entry directly
+    stale_entry = dict(log.entry(1))
+    stale_entry["note"] = "loser"
+    with pytest.raises(CommitConflict):
+        log._publish(1, stale_entry)
+    assert log.entry(1)["note"] == "winner"  # winner's entry intact
+
+
+def test_append_rebases_on_conflict(spark, tmp_path):
+    """Two writers append concurrently: the loser detects the conflict at
+    its publish, rebases onto the winner's version, and lands WITHOUT
+    rewriting its data files — final table = base + winner + loser."""
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(10))
+    other = SnapshotLog(str(tmp_path / "t"))
+
+    real_publish = log._publish
+    raced = {"done": False}
+
+    def racy_publish(version, entry):
+        if not raced["done"]:
+            raced["done"] = True
+            # winner lands between the loser's latest_version() read and
+            # its publish — the classic optimistic-concurrency window
+            other.commit_append(spark.range(10, 20), note="winner")
+        return real_publish(version, entry)
+
+    log._publish = racy_publish
+    v = log.commit_append_rebased(spark.range(20, 30), note="loser-rebased")
+    assert v == 2  # rebased past the winner's version 1
+    assert log.entry(2)["note"] == "loser-rebased"
+    assert sorted(r.id for r in log.read(spark, 2).collect()) == list(range(30))
+    # the loser's data files were written exactly once (one batch dir)
+    batch_dirs = [d for d in os.listdir(str(tmp_path / "t")) if d.startswith("b-")]
+    assert len(batch_dirs) == 1
+
+
+def test_rebased_append_schema_check_uses_new_latest(spark, tmp_path):
+    """The rebase re-validates the batch schema against the NEW latest —
+    a schema-drifting batch fails loudly even after a conflict."""
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(3).select(F.col("id"), F.lit(1).alias("x")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.commit_append_rebased(spark.range(3))  # missing column x
+
+
+# ---- write-audit-publish -----------------------------------------------------------
+
+
+def test_staged_snapshots_are_invisible_until_published(spark, tmp_path):
+    """kind='staged' entries never surface through head_published; a
+    published batch merges into the head; an abandoned staged batch's
+    files are vacuumable while the published state survives."""
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        commit_staged,
+        head_published,
+        publish_staged,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(10))
+    assert head_published(log) == 0
+    sv = commit_staged(log, spark.range(10, 20))
+    assert head_published(log) == 0  # staged: durable but invisible
+    assert log.read(spark, head_published(log)).count() == 10
+    pv = publish_staged(log, sv)
+    assert head_published(log) == pv
+    assert log.read(spark, pv).count() == 20  # merged into the head
+    # an audit-failed batch: staged, never published, vacuumed away
+    bad = commit_staged(log, spark.range(99, 120))
+    bad_files = {fe.path for fe in log.manifest(bad)}
+    assert head_published(log) == pv
+    removed = set(log.vacuum(keep={pv}))
+    assert bad_files <= removed
+    assert log.read(spark, pv).count() == 20  # published state intact
+
+
+def test_publish_requires_staged_kind(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        publish_staged,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(3))
+    with pytest.raises(ValueError, match="not a staged snapshot"):
+        publish_staged(log, 0)
+
+
+# ---- CHECK constraints -------------------------------------------------------------
+
+
+def test_enforce_checks_null_passes_and_counts_per_check(spark):
+    """SQL CHECK semantics: FALSE violates, NULL passes; the violation
+    report carries per-check counts."""
+    from experiments_datafusion_spark.operators.table_format import (
+        ConstraintViolation,
+        enforce_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, None), (4, -1)], "k bigint, x bigint"
+    )
+    # x > 0: rows -5 and -1 violate; NULL passes (unknown)
+    with pytest.raises(ConstraintViolation, match="x_positive.*2"):
+        enforce_checks(df, [("x_positive", F.col("x") > 0)])
+    # all-pass set raises nothing
+    enforce_checks(df.where(F.coalesce(F.col("x"), F.lit(1)) > 0),
+                   [("x_positive", F.col("x") > 0)])
+
+
+def test_rejected_batch_leaves_log_untouched(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import (
+        ConstraintViolation,
+        SnapshotLog,
+        enforce_checks,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(1, 10).select(F.col("id").alias("x")))
+    bad = spark.createDataFrame([(0,), (5,)], "x bigint")
+    with pytest.raises(ConstraintViolation):
+        enforce_checks(bad, [("x_positive", F.col("x") > 0)])
+        log.commit_append(bad)
+    assert log.versions() == [0]
+    assert log.read(spark).count() == 9
+
+
+# ---- shallow clone -----------------------------------------------------------------
+
+
+def test_clone_shares_files_and_diverges_in_isolation(spark, tmp_path):
+    """The clone's v0 references the source's exact file paths (zero data
+    copied — no parquet exists under the clone root until it writes);
+    appending to the clone never touches the source's files; and the
+    documented caveat holds: vacuuming the SOURCE breaks the clone's
+    shared references."""
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        clone_shallow,
+    )
+
+    src = SnapshotLog(str(tmp_path / "src"))
+    src.commit(spark.range(100))
+    src_files = [(fe.path, fe.size, os.path.getmtime(fe.path)) for fe in src.manifest(0)]
+    dst = clone_shallow(src, str(tmp_path / "dst"))
+    assert {fe.path for fe in dst.manifest(0)} == {p for p, _, _ in src_files}
+    assert not [
+        f
+        for _dir, _s, fs in os.walk(str(tmp_path / "dst"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]  # zero-copy: the clone root holds metadata only
+    dst.commit_append(spark.range(100, 150))
+    assert [
+        (fe.path, fe.size, os.path.getmtime(fe.path)) for fe in src.manifest(0)
+    ] == src_files  # source untouched by the clone's write
+    assert src.read(spark).count() == 100
+    assert dst.read(spark).count() == 150
+    # re-cloning onto an existing table is refused
+    with pytest.raises(ValueError, match="already has a log"):
+        clone_shallow(src, str(tmp_path / "dst"))
+    # the shallow-clone caveat: source vacuum removes shared files
+    src.commit(spark.range(5))  # source moves on
+    src.vacuum(keep={1})
+    with pytest.raises(Exception):
+        dst.read(spark).count()
