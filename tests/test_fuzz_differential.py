@@ -80,3 +80,17 @@ def test_empty_input_rollup_divergence_pinned(spark, duck):
         "SELECT g, count(*) AS n FROM (SELECT 1 k, 'a' g) WHERE k > 99 GROUP BY ROLLUP(g)"
     ).fetchall()
     assert want == [(None, 0)]
+
+
+def test_fuzz_hof_40_specs(spark, sf_dir, duck):
+    """Round-10 axis 2 in isolation: HIGHER-ORDER array functions —
+    transform-with-NULL-injection -> filter -> {aggregate fold, size,
+    array_max, exists} chains, deliberately spelled differently per
+    engine (Spark exists()/aggregate() vs DuckDB len(list_filter())>0 /
+    coalesce(list_sum(),0)) so agreement checks the semantics (empty-array
+    folds, NULL-element propagation, lambda arithmetic), not a shared
+    spelling.  Also green at sf0.01/sf0.1 (run manually:
+    run(60, 20260816, sf, only=('hof',)))."""
+    results = run(40, 20260817, sf_dir, spark=spark, con=duck, only=("hof",))
+    fails = [(i, sql, d) for i, sql, ok, d in results if not ok]
+    assert not fails, fails

@@ -1203,6 +1203,122 @@ def framespec_to_spark(spec: FrameSpec, orders):
     return t.select("o_orderkey", "pk", *cols)
 
 
+
+
+# ---- round-10 axis: higher-order ARRAY functions -----------------------------------
+#
+# The composition family behind scalar_array and the CDC chunker's
+# sequence/filter/transform dataflow: lambda-expression chains over arrays
+# (transform with NULL injection -> filter -> reductions).  The two engines
+# deliberately spell the semantics DIFFERENTLY — Spark uses exists() and
+# aggregate() (fold with a typed zero), DuckDB replays with
+# len(list_filter(...)) > 0 and coalesce(list_sum(...), 0) — so agreement
+# checks the SEMANTICS (empty-array folds, NULL-element propagation,
+# lambda arithmetic), not a shared spelling.  NULL elements are filtered
+# before reductions on BOTH sides because the engines' reduction NULL
+# rules genuinely differ (list_sum skips NULLs, a + fold propagates) —
+# that known divergence is the reason the filter stage exists.
+
+HOF_OUTS = ("arr_sum", "arr_len", "arr_max", "has_over")
+
+
+@dataclass
+class HofSpec:
+    span: int  # base array length = 1 + o_orderkey % span
+    a: int  # transform x -> a*x + b
+    b: int
+    null_mod: int  # inject NULL where x % null_mod = 0 (0 = no injection)
+    filt_mod: int  # keep x % filt_mod != filt_r
+    filt_r: int
+    thresh: int  # exists threshold
+    outs: list[tuple[str, str]]  # (kind, alias)
+
+
+def gen_hofspec(rng: random.Random) -> HofSpec:
+    kinds = rng.sample(HOF_OUTS, rng.randint(2, 4))
+    return HofSpec(
+        span=rng.choice((3, 5, 8, 13)),
+        a=rng.randint(1, 9),
+        b=rng.randint(-5, 9),
+        null_mod=rng.choice((0, 2, 3, 4)),
+        filt_mod=rng.choice((2, 3, 5, 7)),
+        filt_r=rng.randint(0, 1),
+        thresh=rng.randint(0, 40),
+        outs=[(k, f"h{i}") for i, k in enumerate(kinds)],
+    )
+
+
+def _hof_duck_outs(spec: HofSpec) -> dict:
+    return {
+        "arr_sum": "CAST(coalesce(list_sum(l2), 0) AS BIGINT)",
+        "arr_len": "CAST(len(l2) AS BIGINT)",
+        "arr_max": "CAST(list_max(l2) AS BIGINT)",
+        "has_over": f"CAST(len(list_filter(l2, x -> x > {spec.thresh})) > 0 AS INT)",
+    }
+
+
+def hofspec_to_sql(spec: HofSpec) -> str:
+    inner = f"{spec.a} * x + {spec.b}"
+    if spec.null_mod:
+        body = f"CASE WHEN x % {spec.null_mod} = 0 THEN NULL ELSE {inner} END"
+    else:
+        body = inner
+    duck = _hof_duck_outs(spec)
+    parts = [f"{duck[k]} AS {alias}" for k, alias in spec.outs]
+    # duck range() is end-EXCLUSIVE; Spark sequence() is inclusive
+    return f"""
+WITH t AS (
+  SELECT o_orderkey,
+         list_transform(range(1, 2 + o_orderkey % {spec.span}),
+                        x -> {body}) AS l1
+  FROM orders
+),
+f AS (
+  SELECT o_orderkey,
+         list_filter(l1, x -> x IS NOT NULL
+                          AND x % {spec.filt_mod} != {spec.filt_r}) AS l2
+  FROM t
+)
+SELECT o_orderkey, {", ".join(parts)} FROM f
+"""
+
+
+def hofspec_to_spark(spec: HofSpec, orders):
+    def xf(x):
+        val = (x * spec.a + F.lit(spec.b)).cast("long")
+        if spec.null_mod:
+            return F.when(x % spec.null_mod == 0, F.lit(None).cast("long")).otherwise(
+                val
+            )
+        return val
+
+    t = orders.select(
+        "o_orderkey",
+        F.transform(
+            F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % spec.span).cast("int")),
+            xf,
+        ).alias("l1"),
+    )
+    f = t.select(
+        "o_orderkey",
+        F.filter(
+            F.col("l1"),
+            lambda x: x.isNotNull() & (x % spec.filt_mod != spec.filt_r),
+        ).alias("l2"),
+    )
+    out_col = {
+        "arr_sum": F.aggregate(
+            F.col("l2"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("bigint"),
+        "arr_len": F.size("l2").cast("bigint"),
+        "arr_max": F.array_max("l2").cast("bigint"),
+        "has_over": F.exists(F.col("l2"), lambda x: x > spec.thresh).cast("int"),
+    }
+    return f.select(
+        "o_orderkey", *[out_col[k].alias(alias) for k, alias in spec.outs]
+    )
+
+
 # ---- lowering ---------------------------------------------------------------
 
 
@@ -1380,8 +1496,10 @@ def _pick_family(r: float) -> str:
         return "decimal"
     if r < 0.86:
         return "datetime"
-    if r < 0.93:
+    if r < 0.91:
         return "frame"
+    if r < 0.96:
+        return "hof"
     return "agg"
 
 
@@ -1455,6 +1573,10 @@ def run(
             fspec = gen_framespec(rng)
             sql = framespec_to_sql(fspec)
             builder = lambda: framespec_to_spark(fspec, dfs["orders"])  # noqa: B023,E731
+        elif fam == "hof":
+            hspec = gen_hofspec(rng)
+            sql = hofspec_to_sql(hspec)
+            builder = lambda: hofspec_to_spark(hspec, dfs["orders"])  # noqa: B023,E731
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
