@@ -151,7 +151,10 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def minhash_bands_ctes() -> str:
+    """hashed/sig/bands CTE text (requires the ``sh`` CTE in scope) — the
+    portable minhash-band replay shared by _minhash_oracle and the
+    round-10 streaming dedup key."""
     P, A, B = D.MINHASH_P, D.MINHASH_A, D.MINHASH_B
     mh_exprs = ",\n    ".join(
         f"min(({A[i]} * h + {B[i]}) % {P}) AS mh{i}" for i in range(D.NUM_HASHES)
@@ -165,7 +168,6 @@ def _minhash_oracle() -> str:
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
-WITH {_SQL_SHINGLE_CTE},
 hashed AS (SELECT doc_id, s % {P} AS h FROM sh),
 sig AS (
   SELECT doc_id,
@@ -174,7 +176,13 @@ sig AS (
 ),
 bands AS (
   {bands_sql}
-),
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+{minhash_bands_ctes()},
 cand AS (
   SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
   FROM bands a

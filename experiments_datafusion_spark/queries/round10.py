@@ -1125,3 +1125,132 @@ def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = side_agg(src, "source").unionByName(side_agg(dst, "clone"))
     return materialize_then_rmtree(out, root)
+
+
+# ---- streaming near-dup dedup (LSM-shaped LSH state) -------------------------------
+#
+# The streaming half of the dedup family: documents ARRIVE as a stream and
+# the dedup state accumulates incrementally.  The state is the LSH band
+# table itself, kept LSM-shaped: each micro-batch computes its documents'
+# (doc_id, band, band_hash) rows — an embarrassingly parallel projection —
+# and APPENDS them to the snapshot log (commit_append: O(batch) write,
+# exactly-once via transaction-id dedup); the min-merge that resolves
+# duplicates is deferred to read time (or a compaction), exactly how an
+# LSM tree defers merging.  Because the survivor rule is a pure MIN over
+# bucket occupants — "a document survives iff no SMALLER doc_id shares any
+# of its 8 band buckets" (aggressive banded dedup, the Gopher/RefinedWeb
+# recipe: no exact-Jaccard verification pass; dedup_minhash_lsh is the
+# verified twin) — the state merge is associative and commutative, so ANY
+# micro-batch split yields the identical final state (pinned in tests).
+
+_STREAM_MH_BATCHES = 3
+
+
+def _doc_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band rows — one pass, no self-join."""
+    import pyspark.sql.functions as SF
+
+    from experiments_datafusion_spark.operators.dedup import (
+        BANDS,
+        _band_hash,
+        doc_shingles,
+        minhash_signatures_from_postings,
+    )
+
+    sig = minhash_signatures_from_postings(doc_shingles(df))
+    return sig.select(
+        "doc_id",
+        SF.posexplode(SF.array(*[_band_hash(j) for j in range(BANDS)])).alias(
+            "band", "bh"
+        ),
+    )
+
+
+def _stream_minhash_oracle() -> str:
+    from experiments_datafusion_spark.queries.llm_dedup import (
+        _SQL_SHINGLE_CTE,
+        minhash_bands_ctes,
+    )
+
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+{minhash_bands_ctes()},
+bmin AS (SELECT band, bh, min(doc_id) AS m FROM bands GROUP BY band, bh),
+verdict AS (
+  SELECT b.doc_id,
+         CASE WHEN min(bm.m) = b.doc_id THEN 1 ELSE 0 END AS keep
+  FROM bands b JOIN bmin bm ON b.band = bm.band AND b.bh = bm.bh
+  GROUP BY b.doc_id
+)
+SELECT CAST(count(*) AS BIGINT)    AS n_docs_banded,
+       CAST(sum(keep) AS BIGINT)   AS n_survivors,
+       CAST(sum(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT)
+                                   AS survivor_id_sum
+FROM verdict
+"""
+
+
+@register(
+    "dedup_stream_minhash",
+    tags=("streaming", "llm", "dedup", "io"),
+    oracle=_stream_minhash_oracle(),
+)
+def dedup_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH dedup (module comment above): the documents
+    table replayed as a 3-file availableNow stream, each micro-batch
+    appending its band rows to the versioned state log exactly once; the
+    final survivor audit — doc survives iff it is the minimum doc_id in
+    every band bucket it occupies — is ONE aggregate over the accumulated
+    band table, and the oracle replays shingle → minhash → bands →
+    bucket-min → verdict from raw documents with the identical portable
+    constants.  n_versions is pinned at 3 in tests (the ingest really was
+    incremental) along with batch-split invariance (2-way vs 3-way split
+    → byte-identical verdicts: min-merge is associative).  At 100 TB:
+    band appends are O(batch) projections, the bucket-min state is
+    O(corpus × 8) narrow rows amenable to periodic compaction into
+    per-bucket minima, and the audit shuffles on (band, bh) — high
+    cardinality, no skew."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="smh_")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(_STREAM_MH_BATCHES).write.parquet(f"{root}/src")
+    schema = spark.read.parquet(f"{root}/src").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/src")
+    )
+    log = SnapshotLog(f"{root}/state")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from experiments_datafusion_spark.operators.table_format import append_once
+
+        append_once(log, _doc_bands(batch_df), txn_id=f"bands batch {batch_id}")
+
+    q = (
+        src.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/chk")
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "dedup_stream_minhash: availableNow stream did not drain in 300s"
+        )
+    bands = log.read(spark)
+    bmin = bands.groupBy("band", "bh").agg(F.min("doc_id").alias("m"))
+    verdict = (
+        bands.join(bmin, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg((F.min("m") == F.col("doc_id")).cast("int").alias("keep"))
+    )
+    out = verdict.agg(
+        F.count(F.lit(1)).alias("n_docs_banded"),
+        F.sum("keep").cast("bigint").alias("n_survivors"),
+        F.sum(F.when(F.col("keep") == 1, F.col("doc_id"))).cast("bigint").alias(
+            "survivor_id_sum"
+        ),
+    )
+    return materialize_then_rmtree(out, root)

@@ -833,3 +833,40 @@ def test_clone_shares_files_and_diverges_in_isolation(spark, tmp_path):
     src.vacuum(keep={1})
     with pytest.raises(Exception):
         dst.read(spark).count()
+
+
+# ---- streaming minhash dedup: LSM band state --------------------------------------
+
+
+def test_stream_minhash_split_invariance_and_incrementality(spark, sf_dir, tmp_path):
+    """The LSM-shaped dedup state is split-invariant: appending band rows
+    in 1 batch vs 3 batches yields the identical bucket-min state and the
+    identical survivor verdicts (min-merge is associative+commutative),
+    and the 3-batch ingest really is incremental (3 append commits whose
+    manifests grow monotonically)."""
+    from experiments_datafusion_spark.io import table as load_table
+    from experiments_datafusion_spark.queries.round10 import _doc_bands
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+
+    def verdicts(band_df):
+        bmin = band_df.groupBy("band", "bh").agg(F.min("doc_id").alias("m"))
+        return sorted(
+            (r.doc_id, r.keep)
+            for r in band_df.join(bmin, ["band", "bh"])
+            .groupBy("doc_id")
+            .agg((F.min("m") == F.col("doc_id")).cast("int").alias("keep"))
+            .collect()
+        )
+
+    one = SnapshotLog(str(tmp_path / "one"))
+    one.commit_append(_doc_bands(docs))
+    three = SnapshotLog(str(tmp_path / "three"))
+    for i in range(3):
+        three.commit_append(_doc_bands(docs.where(F.col("doc_id") % 3 == i)))
+    assert len(three.versions()) == 3
+    sizes = [len(three.manifest(v)) for v in three.versions()]
+    assert sizes == sorted(sizes)  # append-only growth
+    v1, v3 = verdicts(one.read(spark)), verdicts(three.read(spark))
+    assert v1 == v3
+    assert any(k == 0 for _d, k in v3), "corpus must contain near-dups to dedup"
