@@ -1254,3 +1254,75 @@ def dedup_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- RESTORE (rollback as a forward commit) ----------------------------------------
+
+_RST_CUT = "1995-12-01"
+_RST_BAD_MOD = 4
+
+
+def restore_version(log: SnapshotLog, version: int, note: str = "") -> int:
+    """Delta RESTORE semantics: roll the table back to ``version`` by
+    committing a NEW entry that references the old version's files —
+    metadata-only, history preserved (the bad commits stay readable for
+    forensics until vacuumed), and the rollback is itself a forward
+    commit, so time travel and CDF over the restore behave like any other
+    version transition."""
+    e = log.entry(version)
+    new_v = log.latest_version() + 1
+    entry = {
+        "version": new_v,
+        "note": note or f"restore v{version}",
+        "kind": "data",
+        "schema": e.get("schema"),
+        "files": [dict(f) for f in e["files"]],
+    }
+    log._publish(new_v, entry)
+    return new_v
+
+
+@register(
+    "table_restore",
+    tags=("io", "maintenance", "aggregation"),
+    oracle=f"""
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT)        AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderdate < TIMESTAMP '{_RST_CUT}'
+GROUP BY o_orderstatus
+""",
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE after a bad write (module comment above): v0 commits the
+    pre-cut orders state, v1 is an erroneous commit that dropped the
+    custkey%{m} cohort, and restore_version rolls back by committing v2
+    with v0's exact file list — zero data rewritten, v1 still readable.
+    The consumer read of LATEST must equal the v0 recompute from raw
+    orders, so a restore that referenced the wrong files, leaked v1's
+    deletion, or re-wrote data with drift all hash-mismatch.  Tests pin
+    the forensics property (v1 readable post-restore, missing exactly the
+    cohort) and file-identity (v2's manifest == v0's paths).""".replace(
+        "{m}", str(_RST_BAD_MOD)
+    )
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="rst_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders")
+    state = orders.where(F.col("o_orderdate") < _RST_CUT).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    log.commit(state, note="v0 good state")
+    log.commit(
+        log.read(spark, 0).where(F.col("ck") % _RST_BAD_MOD != 0),
+        note="v1 BAD: erroneous cohort delete",
+    )
+    v2 = restore_version(log, 0, note="restore v0")
+    out = log.read(spark, v2).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )
+    return materialize_then_rmtree(out, root)

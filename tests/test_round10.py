@@ -870,3 +870,28 @@ def test_stream_minhash_split_invariance_and_incrementality(spark, sf_dir, tmp_p
     v1, v3 = verdicts(one.read(spark)), verdicts(three.read(spark))
     assert v1 == v3
     assert any(k == 0 for _d, k in v3), "corpus must contain near-dups to dedup"
+
+
+# ---- RESTORE -----------------------------------------------------------------------
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    """RESTORE commits the old version's exact file list forward (no data
+    rewritten); the bad intermediate version stays readable for forensics
+    until vacuumed; vacuum keeping the restored tip removes only the bad
+    version's own files."""
+    from experiments_datafusion_spark.queries.round10 import restore_version
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(100))
+    log.commit(spark.range(100).where(F.col("id") % 4 != 0))  # bad write
+    v2 = restore_version(log, 0)
+    assert [(f.path, f.size) for f in log.manifest(v2)] == [
+        (f.path, f.size) for f in log.manifest(0)
+    ]
+    assert log.read(spark, v2).count() == 100  # rolled back
+    assert log.read(spark, 1).count() == 75  # forensics: bad version readable
+    bad_files = {f.path for f in log.manifest(1)} - {f.path for f in log.manifest(0)}
+    removed = set(log.vacuum(keep={v2}))
+    assert removed == bad_files
+    assert log.read(spark, v2).count() == 100
