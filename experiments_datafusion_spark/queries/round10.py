@@ -732,8 +732,15 @@ def scan_pruning_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
     )
     log.commit(orders.repartition(_BLOOM_FILES), note="unclustered base")
-    blooms = file_bloom(log.read(spark, 0), "o_orderkey")
-    probes = bloom_probe_positions(spark, _BLOOM_PROBES)
+    # size the bloom from the table, ~12 bits per expected key per file —
+    # a FIXED m saturates once files carry more keys than bits (measured:
+    # at 10M rows / 32 files the 8192-bit default keeps all 32 files —
+    # still conservative/correct, but zero skipping; see
+    # tools/probe_table_format.py).  Real formats size per-file blooms
+    # from write-time stats for exactly this reason.
+    m = max(8192, 12 * (orders.count() // _BLOOM_FILES))
+    blooms = file_bloom(log.read(spark, 0), "o_orderkey", m=m)
+    probes = bloom_probe_positions(spark, _BLOOM_PROBES, m=m)
     survivors = bloom_prune(blooms, probes)
     out = (
         log.read_files(spark, survivors)

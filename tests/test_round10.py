@@ -576,8 +576,9 @@ def test_bloom_prunes_where_minmax_cannot(spark, sf_dir, tmp_path):
         assert len(SnapshotLog.prune(stats, k, k)) == R10._BLOOM_FILES
     minmax_keep = {p for k in probes for p in SnapshotLog.prune(stats, k, k)}
     # bloom tier: strictly fewer files, none containing a probe is lost
-    blooms = file_bloom(log.read(spark, 0), "o_orderkey")
-    survivors = bloom_prune(blooms, bloom_probe_positions(spark, probes))
+    m = max(8192, 12 * (orders.count() // R10._BLOOM_FILES))
+    blooms = file_bloom(log.read(spark, 0), "o_orderkey", m=m)
+    survivors = bloom_prune(blooms, bloom_probe_positions(spark, probes, m=m))
     assert 0 < len(survivors) < len(minmax_keep) == R10._BLOOM_FILES
     got = (
         log.read_files(spark, survivors)

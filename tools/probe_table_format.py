@@ -1,0 +1,163 @@
+"""One-off scale probes for the round-10 table-format layer at 10M rows.
+
+Answers the four "does this hold a decade up?" questions the registry keys
+demonstrate at sf scale, with wall-clock evidence on a quiet host:
+
+  1. APPEND vs FULL-REWRITE commit: an O(batch) append of 100k rows into a
+     10M-row table vs re-committing the whole table (the reason streaming
+     ingest uses add-file commits).
+  2. IVM consumer: folding 100k CDF change rows into a 1k-group
+     materialized view (apply) vs re-aggregating the 10M-row table
+     (recompute) — the O(changes)-vs-O(table) claim of
+     table_changes_apply.
+  3. BLOOM file skipping: per-file bloom build cost over 32 files of 10M
+     rows, then a 3-key point lookup scanning only the admitted files vs
+     scanning all 32 (the scan_pruning_bloom claim off-sf).
+  4. STATS-ONLY aggregate: write-time stats overhead on the commit, then
+     count/min/max answered from the manifest in ~0 s (the
+     table_stats_only claim off-sf).
+
+Prints ONE JSON line.  Usage: python tools/probe_table_format.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    batch = rows // 100
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        changes_between,
+    )
+    from experiments_datafusion_spark.session import get_spark
+
+    spark = get_spark("probe-table-format")
+    out: dict = {"rows": rows, "batch": batch, "prelaunch_loadavg": list(os.getloadavg())}
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return time.perf_counter() - t0, r
+
+    base = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).alias("g"),
+        (F.col("id") * 37 % 100_000).alias("v"),
+    )
+    newrows = spark.range(rows, rows + batch).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).alias("g"),
+        (F.col("id") * 37 % 100_000).alias("v"),
+    )
+
+    # 1. append vs full rewrite
+    root = tempfile.mkdtemp(prefix="probe_tf_")
+    log = SnapshotLog(f"{root}/t")
+    out["commit_base_s"], _ = timed(lambda: log.commit(base.repartition(32)))
+    out["append_batch_s"], _ = timed(lambda: log.commit_append(newrows))
+    out["full_rewrite_s"], _ = timed(
+        lambda: log.commit(log.read(spark, 1).repartition(32))
+    )
+
+    # 2. IVM apply vs recompute (consumer cost only: CDF rows pre-materialized)
+    v1 = log.read(spark, 1)
+    view0 = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    view0.write.parquet(f"{root}/view0")
+    changes_between(
+        log.read(spark, 0), v1, key="k", payload=["g", "v"]
+    ).write.parquet(f"{root}/cdf")
+    cdf = spark.read.parquet(f"{root}/cdf")
+    mv = spark.read.parquet(f"{root}/view0")
+
+    def apply_deltas():
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            cdf.select("g", sign.alias("s"), "v")
+            .groupBy("g")
+            .agg(F.sum("s").alias("dn"), F.sum(F.col("s") * F.col("v")).alias("dv"))
+        )
+        return (
+            mv.alias("v")
+            .join(delta.alias("d"), "g", "full_outer")
+            .select(
+                F.coalesce(F.col("v.n"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0))
+            )
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+
+    out["ivm_apply_s"], _ = timed(apply_deltas)
+    out["ivm_recompute_s"], _ = timed(
+        lambda: v1.groupBy("g")
+        .agg(F.count(F.lit(1)), F.sum("v"))
+        .agg(F.count(F.lit(1)))
+        .collect()
+    )
+
+    # 3. bloom build + pruned point lookup vs full scan
+    from experiments_datafusion_spark.operators.table_format import (
+        bloom_probe_positions,
+        bloom_prune,
+        file_bloom,
+    )
+
+    probes = [7, rows // 2 + 1, rows - 3]
+    # (a) the sf-scale default m: at rows/32 keys per file an 8192-bit bloom
+    # SATURATES — every position set, prune keeps all files.  Conservative
+    # (never wrong), but the skipping power is gone: bloom sizing must
+    # track per-file key count (~10-12 bits/key), like real formats do.
+    t0 = time.perf_counter()
+    blooms_fixed = file_bloom(log.read(spark, 0), "k")
+    out["bloom_fixed_build_s"] = time.perf_counter() - t0
+    out["bloom_fixed_files_kept"] = len(
+        bloom_prune(blooms_fixed, bloom_probe_positions(spark, probes))
+    )
+    # (b) sized bloom: m = 12 bits/key
+    m_sized = max(8192, (rows // 32) * 12)
+    t0 = time.perf_counter()
+    blooms = file_bloom(log.read(spark, 0), "k", m=m_sized)
+    out["bloom_sized_m"] = m_sized
+    out["bloom_sized_build_s"] = time.perf_counter() - t0
+    survivors = bloom_prune(blooms, bloom_probe_positions(spark, probes, m=m_sized))
+    out["bloom_files_kept"] = len(survivors)
+    out["bloom_files_total"] = len(blooms)
+    out["bloom_scan_pruned_s"], _ = timed(
+        lambda: log.read_files(spark, survivors)
+        .where(F.col("k").isin(probes))
+        .collect()
+    )
+    out["bloom_scan_all_s"], _ = timed(
+        lambda: log.read(spark, 0).where(F.col("k").isin(probes)).collect()
+    )
+
+    # 4. write-time stats overhead + stats-only answer
+    log2 = SnapshotLog(f"{root}/t2")
+    out["commit_with_stats_s"], _ = timed(
+        lambda: log2.commit(base.repartition(32), stats_cols=["k"])
+    )
+    out["stats_only_s"], ans = timed(lambda: log2.stats_only_agg(0, "k"))
+    assert ans == (rows, 0, rows - 1), ans
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
