@@ -879,6 +879,58 @@ def file_bloom(df: DataFrame, col: str, m: int = 8192, k: int = 3):
     )
 
 
+def file_bloom_packed(df: DataFrame, col: str, m: int = 8192, k: int = 3):
+    """file_bloom with the bitmap PACKED into 64-bit words — the
+    representation a real format actually stores.  Per row the k
+    positions become (word = pos div 64, bit = pos mod 64) pairs; ONE
+    distributed aggregate bit_or's the words per (file, word).  Driver
+    state is the set of NON-ZERO words only — O(min(m/64, keys*k)) per
+    file vs file_bloom's O(distinct positions) python ints (measured at
+    10M rows/32 files: the positions-set collect is the build-cost
+    lever; see tools/probe_table_format.py).  Returns
+    {file_path: {word: bits}}."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), F.col(col).cast("long")), F.lit(m))
+                for i in range(k)
+            ]
+        )
+    ).alias("p")
+    words = (
+        df.select(F.col("_metadata.file_path").alias("file_path"), pos)
+        .select(
+            "file_path",
+            (F.col("p") / 64).cast("long").alias("w"),
+            # pyspark's F.shiftleft only takes a literal bit count; the SQL
+            # form shifts by a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("file_path", "w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    out: dict = {}
+    for r in words:
+        out.setdefault(r.file_path, {})[r.w] = r.bits
+    return out
+
+
+def bloom_prune_packed(file_blooms: dict, probe_positions: dict) -> list[str]:
+    """bloom_prune over the packed representation: a probe key is admitted
+    by a file iff every one of its k positions' bits is set."""
+
+    def has(bm: dict, p: int) -> bool:
+        w = bm.get(p // 64)
+        return w is not None and (w >> (p % 64)) & 1 == 1
+
+    keep = []
+    for path, bm in file_blooms.items():
+        if any(all(has(bm, p) for p in ps) for ps in probe_positions.values()):
+            keep.append(path)
+    return sorted(keep)
+
+
 def bloom_probe_positions(spark: SparkSession, keys, m: int = 8192, k: int = 3) -> dict:
     """Bit positions for each probe key — computed by the SAME Spark
     expression as file_bloom so the hash function can never drift between

@@ -739,9 +739,17 @@ def scan_pruning_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tools/probe_table_format.py).  Real formats size per-file blooms
     # from write-time stats for exactly this reason.
     m = max(8192, 12 * (orders.count() // _BLOOM_FILES))
-    blooms = file_bloom(log.read(spark, 0), "o_orderkey", m=m)
+    # packed-bitmap representation (64-bit words, one bit_or aggregate) —
+    # the storage shape a real format uses; the positions-set variant
+    # (file_bloom/bloom_prune) is pinned equivalent in tests
+    from experiments_datafusion_spark.operators.table_format import (
+        bloom_prune_packed,
+        file_bloom_packed,
+    )
+
+    blooms = file_bloom_packed(log.read(spark, 0), "o_orderkey", m=m)
     probes = bloom_probe_positions(spark, _BLOOM_PROBES, m=m)
-    survivors = bloom_prune(blooms, probes)
+    survivors = bloom_prune_packed(blooms, probes)
     out = (
         log.read_files(spark, survivors)
         .where(F.col("o_orderkey").isin(*_BLOOM_PROBES))

@@ -896,3 +896,25 @@ def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
     removed = set(log.vacuum(keep={v2}))
     assert removed == bad_files
     assert log.read(spark, v2).count() == 100
+
+
+def test_packed_bloom_equals_positions_bloom(spark, tmp_path):
+    """The packed 64-bit-word bloom admits exactly the same files as the
+    positions-set bloom for the same (m, k, data) — representation
+    change, not a semantics change."""
+    from experiments_datafusion_spark.operators.table_format import (
+        SnapshotLog,
+        bloom_probe_positions,
+        bloom_prune,
+        bloom_prune_packed,
+        file_bloom,
+        file_bloom_packed,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(5000).select((F.col("id") * 7 + 3).alias("k")).repartition(8))
+    df = log.read(spark, 0)
+    probes = bloom_probe_positions(spark, [10, 3503, 34996, 999_999])
+    a = bloom_prune(file_bloom(df, "k"), probes)
+    b = bloom_prune_packed(file_bloom_packed(df, "k"), probes)
+    assert a == b and 0 < len(a) < 8

@@ -133,7 +133,26 @@ def main() -> None:
     blooms = file_bloom(log.read(spark, 0), "k", m=m_sized)
     out["bloom_sized_m"] = m_sized
     out["bloom_sized_build_s"] = time.perf_counter() - t0
+    # (c) packed 64-bit-word representation at the same sized m — the
+    # production storage shape; A/B of build cost + driver state vs the
+    # positions-set collect
+    from experiments_datafusion_spark.operators.table_format import (
+        bloom_prune_packed,
+        file_bloom_packed,
+    )
+
+    t0 = time.perf_counter()
+    packed = file_bloom_packed(log.read(spark, 0), "k", m=m_sized)
+    out["bloom_packed_build_s"] = time.perf_counter() - t0
+    out["bloom_packed_words"] = sum(len(bm) for bm in packed.values())
+    out["bloom_positions_total"] = sum(len(r.positions) for r in blooms)
+    packed_kept = bloom_prune_packed(
+        packed, bloom_probe_positions(spark, probes, m=m_sized)
+    )
     survivors = bloom_prune(blooms, bloom_probe_positions(spark, probes, m=m_sized))
+    assert sorted(packed_kept) == sorted(
+        p[len("file:"):] if p.startswith("file:") else p for p in survivors
+    ) or packed_kept == survivors, (packed_kept, survivors)
     out["bloom_files_kept"] = len(survivors)
     out["bloom_files_total"] = len(blooms)
     out["bloom_scan_pruned_s"], _ = timed(
