@@ -1341,3 +1341,71 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("key_sum"),
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- native parquet bloom filters (the vanilla-Spark twin) -------------------------
+#
+# scan_pruning_bloom builds blooms as CATALOG state (the table-format
+# shape); this key is its vanilla-Spark-NATIVE twin, the same pairing as
+# scan_pruning_manifest / scan_pruning_clustered: parquet itself stores a
+# bloom filter per row group (`parquet.bloom.filter.enabled#col` at write
+# time), and a pushed IN predicate lets the reader drop row groups whose
+# bloom rejects every probe — no external metadata at all.  Measured on
+# this Spark (tests pin it by scan numOutputRows): the bloom-enabled scan
+# emits ~an-order-of-magnitude fewer rows than the identical scan of a
+# bloom-less copy, on a layout where min/max can never prune (hash-spread
+# keys).  At 100 TB this is the zero-infrastructure tier: skipping rides
+# inside the files, at row-group granularity, with the manifest/catalog
+# tiers layered above it for file- and partition-level cuts.
+
+_NBLOOM_PROBES = (11, 423, 1289)  # distinct from scan_pruning_bloom's probes
+_NBLOOM_BLOCK = 1 << 20  # ~1 MiB row groups -> many groups per file to prune
+
+
+def _native_bloom_write(spark: SparkSession, sf_dir: str, root: str, bloom: bool):
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_c"),
+    )
+    w = (
+        orders.repartition(4)
+        .write.option("parquet.block.size", _NBLOOM_BLOCK)
+    )
+    if bloom:
+        w = w.option("parquet.bloom.filter.enabled#o_orderkey", "true").option(
+            "parquet.bloom.filter.expected.ndv#o_orderkey", "1000000"
+        )
+    w.parquet(root)
+
+
+@register(
+    "scan_pruning_bloom_native",
+    tags=("io", "layout", "maintenance"),
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+FROM orders
+WHERE o_orderkey IN {_NBLOOM_PROBES}
+""",
+)
+def scan_pruning_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group skipping via parquet's NATIVE bloom filters (module
+    comment above): the table is written once with per-row-group blooms
+    on the key, the point lookup pushes its IN predicate to the reader,
+    and the bloom drops non-matching row groups inside each file.  The
+    oracle re-selects the probed rows from raw orders, so the
+    bloom-filtered read provably loses nothing (exact-negative property);
+    the skipping evidence — bloom scan emits far fewer rows than the
+    bloom-less twin of the same data under the same predicate — is pinned
+    by SparkPlan metrics in tests/test_round10.py."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="nbloom_")
+    _native_bloom_write(spark, sf_dir, f"{root}/t", bloom=True)
+    out = (
+        spark.read.parquet(f"{root}/t")
+        .where(F.col("o_orderkey").isin(*_NBLOOM_PROBES))
+        .select("o_orderkey", "o_custkey", "price_c")
+    )
+    return materialize_then_rmtree(out, root)

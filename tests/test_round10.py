@@ -918,3 +918,34 @@ def test_packed_bloom_equals_positions_bloom(spark, tmp_path):
     a = bloom_prune(file_bloom(df, "k"), probes)
     b = bloom_prune_packed(file_bloom_packed(df, "k"), probes)
     assert a == b and 0 < len(a) < 8
+
+
+def test_native_parquet_bloom_prunes_row_groups(spark, sf_dir, tmp_path):
+    """The bloom-enabled scan emits strictly fewer rows than the
+    bloom-less twin of the SAME data under the SAME pushed IN predicate
+    (scan numOutputRows via SparkPlan metrics), and both return the
+    identical probed rows."""
+    from experiments_datafusion_spark.plans.audit import file_scan_metrics
+    from experiments_datafusion_spark.queries import round10 as R10
+
+    R10._native_bloom_write(spark, sf_dir, str(tmp_path / "with"), bloom=True)
+    R10._native_bloom_write(spark, sf_dir, str(tmp_path / "without"), bloom=False)
+
+    def probe(path):
+        return spark.read.parquet(path).where(
+            F.col("o_orderkey").isin(*R10._NBLOOM_PROBES)
+        )
+
+    rows_with = sorted(r.o_orderkey for r in probe(str(tmp_path / "with")).collect())
+    rows_without = sorted(
+        r.o_orderkey for r in probe(str(tmp_path / "without")).collect()
+    )
+    assert rows_with == rows_without == sorted(R10._NBLOOM_PROBES)
+    emitted_with = sum(
+        m["numOutputRows"] for m in file_scan_metrics(probe(str(tmp_path / "with")))
+    )
+    emitted_without = sum(
+        m["numOutputRows"]
+        for m in file_scan_metrics(probe(str(tmp_path / "without")))
+    )
+    assert emitted_with < emitted_without
