@@ -103,6 +103,7 @@ _PRIORITY = (
     "scan_pruning_bloom", "table_stats_only", "table_merge_into",
     "table_wap_publish", "table_constraints", "table_clone_shallow",
     "dedup_stream_minhash", "table_restore", "scan_pruning_bloom_native",
+    "table_log_stream_source",
     "scan_pruning_zorder", "sortbench_merge", "ev_stream_upsert",
     "table_time_travel", "table_time_travel_multi", "table_vacuum",
     "table_delete_compliance", "table_delete_mor",
@@ -118,11 +119,11 @@ _PRIORITY = (
     "dedup_clusters", "dedup_fuzzy_levenshtein", "dedup_incremental",
     "dedup_keep_best", "dedup_near_canonical", "docs_heavy_hitters",
     "docs_length_histogram", "embedding_kmeans", "embedding_norm_stats",
-    "embedding_quantize", "ev_attribution", "ev_daily_stats",
-    # (the LRV tail beyond 50 — ev_dedup, ev_enrich_join, ev_funnel, ev_gapfill, ev_retention, ev_session,
+    "embedding_quantize", "ev_attribution",
+    # (the LRV tail beyond 50 — ev_daily_stats, ev_dedup, ev_enrich_join, ev_funnel, ev_gapfill, ev_retention, ev_session,
     # ev_sliding, ev_tumbling, lang_confusion, mix_temperature,
     # mix_weighted_sources — was trimmed as round-10 batches 2 and 3
-    # added eleven new keys to the front; those rotate in next round per
+    # added twelve new keys to the front; those rotate in next round per
     # the freshness policy)
 )
 

@@ -1409,3 +1409,81 @@ def scan_pruning_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "price_c")
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- the snapshot log as a streaming SOURCE ----------------------------------------
+#
+# Completes the log's producer/consumer matrix: batch AS OF reads, CDF
+# batch + stream consumers, streaming APPEND writer (table_stream_ingest)
+# — and now the table itself as a first-class streaming source
+# (sources/snaplog_source.py, the Delta readStream shape via the public
+# Spark 4 Python DataSource streaming API): offsets are log versions,
+# micro-batch partitions are the files each version ADDED (carried files
+# never re-emitted -> each appended row exactly once), parquet reads run
+# on executors, and every row is stamped with its _commit_version.
+
+_SRC_STREAM_MOD = 2  # cohort filter: distinct from table_stream_ingest (all rows)
+
+
+@register(
+    "table_log_stream_source",
+    tags=("streaming", "io", "maintenance"),
+    oracle=f"""
+SELECT CAST(3 AS BIGINT)             AS n_versions,
+       CAST(count(*) AS BIGINT)      AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                                     AS value_units
+FROM events WHERE user_id % {_SRC_STREAM_MOD} = 0
+""",
+)
+def table_log_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming READ of the versioned table (module comment above): three
+    append commits land the cohort in the log, then
+    ``spark.readStream.format("snaplog")`` drains it with availableNow —
+    the audit checks count, content-sensitive id checksum, exact integer
+    value units (nothing lost, nothing re-emitted from carried-forward
+    files) and n_versions = 3 distinct _commit_version stamps (rows are
+    attributed to the commit that added them).  The oracle recomputes the
+    totals from raw events.  Restart exactly-once (a second availableNow
+    run from the same checkpoint emits ONLY versions committed after the
+    first drain) is pinned in tests/test_round10.py."""
+    import tempfile
+
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    root = tempfile.mkdtemp(prefix="snapsrc_")
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") % _SRC_STREAM_MOD == 0)
+        .select("event_id", "user_id", "value")
+    )
+    log = SnapshotLog(f"{root}/t")
+    for i in range(3):
+        log.commit_append(ev.where(F.col("event_id") % 3 == i), note=f"cohort {i}")
+    src = spark.readStream.format("snaplog").option("path", f"{root}/t").load()
+    q = (
+        src.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "table_log_stream_source: availableNow stream did not drain in 300s"
+        )
+    got = spark.read.parquet(f"{root}/out")
+    out = got.agg(
+        F.countDistinct("_commit_version").cast("bigint").alias("n_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("value_units"),
+    )
+    return materialize_then_rmtree(out, root)

@@ -140,10 +140,14 @@ def register_sources(spark) -> None:
     convention and pyavro's mapping matches it (see the invariant note in
     avro_source.py)."""
     from experiments_datafusion_spark.sources.avro_source import PyAvroDataSource
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        SnapshotLogDataSource,
+    )
 
     spark.dataSource.register(SortbenchDataSource)
     spark.dataSource.register(ChecksumDataSource)
     spark.dataSource.register(PyAvroDataSource)
+    spark.dataSource.register(SnapshotLogDataSource)
 
 
 # --- checksum sink: the WRITER half of the API (commit protocol demo) ------

@@ -949,3 +949,49 @@ def test_native_parquet_bloom_prunes_row_groups(spark, sf_dir, tmp_path):
         for m in file_scan_metrics(probe(str(tmp_path / "without")))
     )
     assert emitted_with < emitted_without
+
+
+# ---- snapshot log as a streaming source --------------------------------------------
+
+
+def test_snaplog_source_restart_exactly_once(spark, tmp_path):
+    """The streaming source's offsets are log versions: a second
+    availableNow run from the SAME checkpoint emits only rows from
+    versions committed after the first drain — restart exactly-once,
+    with every row stamped by the commit that added it."""
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(10).select(F.col("id")))
+    log.commit_append(spark.range(10, 25).select(F.col("id")))
+
+    def drain():
+        q = (
+            spark.readStream.format("snaplog")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    drain()
+    got1 = spark.read.parquet(str(tmp_path / "out"))
+    assert got1.count() == 25
+    assert {r._commit_version for r in got1.select("_commit_version").distinct().collect()} == {0, 1}
+    # table moves on; restart from the same checkpoint
+    log.commit_append(spark.range(25, 31).select(F.col("id")))
+    drain()
+    got2 = spark.read.parquet(str(tmp_path / "out"))
+    assert got2.count() == 31  # only the 6 new rows were appended
+    assert sorted(r.id for r in got2.collect()) == list(range(31))
+    assert {
+        r._commit_version for r in got2.select("_commit_version").distinct().collect()
+    } == {0, 1, 2}
