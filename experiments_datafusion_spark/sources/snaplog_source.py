@@ -19,10 +19,16 @@ versions added (appends add files; a full commit's files are all new), so
     which is the bit-identical replay contract exactly-once recovery
     needs from a source.
 
-Scale note: a 100 TB deployment would cap per-batch file count via
-`maxFilesPerBatch` (implemented) the way file sources cap
-`maxFilesPerTrigger`, and would read column-pruned row groups; the demo
-reads whole files because the fixture tables are narrow by construction.
+Scale note: per-batch admission control (the maxFilesPerTrigger idiom)
+belongs in `latestOffset` — pace how far the offset advances — NEVER in
+`partitions()`: truncating the partition list after the offset range is
+fixed would silently drop the truncated files' rows (the offset still
+commits as covering them).  An earlier draft had exactly that bug behind
+a dead option (Spark lowercases DataSource option keys, so the knob
+never engaged — caught by its own test), and the knob was removed rather
+than shipped wrong.  A 100 TB deployment would also column-prune the
+executor-side parquet reads; the demo reads whole files because the
+fixture tables are narrow by construction.
 """
 
 from __future__ import annotations
@@ -78,7 +84,6 @@ class _SnapLogStreamReader(DataSourceStreamReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("snaplog source needs .option('path', <log root>)")
-        self.max_files = int(options.get("maxFilesPerBatch", "0"))  # 0 = all
 
     def initialOffset(self) -> dict:
         return {"next_version": 0}
@@ -93,8 +98,6 @@ class _SnapLogStreamReader(DataSourceStreamReader):
             if int(start["next_version"]) <= v < int(end["next_version"]):
                 for p in _new_files(self.root, v):
                     out.append(_FilePartition(p, v))
-                    if self.max_files and len(out) >= self.max_files:
-                        return out
         return out
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

@@ -995,3 +995,34 @@ def test_snaplog_source_restart_exactly_once(spark, tmp_path):
     assert {
         r._commit_version for r in got2.select("_commit_version").distinct().collect()
     } == {0, 1, 2}
+
+
+def test_snaplog_source_multi_file_commits_emit_exactly_once(spark, tmp_path):
+    """Multi-file append commits drain exactly once.  (This test started
+    life covering a maxFilesPerBatch knob; the knob turned out to be both
+    dead — Spark lowercases DataSource option keys — and WRONG by design:
+    truncating partitions() after the offset range is fixed loses the
+    truncated files' rows.  The knob was removed; the exactly-once drain
+    over multi-file commits is what remains worth pinning.)"""
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(8).repartition(4))
+    log.commit_append(spark.range(8, 20).repartition(4))
+    q = (
+        spark.readStream.format("snaplog")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in got.collect()) == list(range(20))
