@@ -187,7 +187,17 @@ class SnapshotLog:
         parent = self.latest_version()
         schema = [[f.name, f.dataType.simpleString(), f.nullable] for f in df.schema]
         if parent >= 0:
-            want = self.entry(parent).get("schema")
+            pe = self.entry(parent)
+            if pe.get("kind") == "staged":
+                # appends extend the PUBLISHED lineage; an append on top of
+                # a staged (unpublished) snapshot would carry its files
+                # into a data entry and leak the un-audited batch to
+                # consumers — publish or abandon the staged version first
+                raise ValueError(
+                    f"cannot append onto staged version {parent}; "
+                    "publish_staged or vacuum it first"
+                )
+            want = pe.get("schema")
             if want is not None and want != schema:
                 raise ValueError(
                     f"append schema mismatch: table has {want}, batch has {schema}"
@@ -251,7 +261,13 @@ class SnapshotLog:
         for _ in range(attempts):
             parent = self.latest_version()
             if parent >= 0:
-                want = self.entry(parent).get("schema")
+                pe = self.entry(parent)
+                if pe.get("kind") == "staged":
+                    raise ValueError(
+                        f"cannot append onto staged version {parent}; "
+                        "publish_staged or vacuum it first"
+                    )
+                want = pe.get("schema")
                 if want is not None and want != schema:
                     raise ValueError(
                         f"append schema mismatch: table has {want}, batch has {schema}"

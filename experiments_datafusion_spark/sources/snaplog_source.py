@@ -33,7 +33,6 @@ fixture tables are narrow by construction.
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator, Sequence
 
@@ -44,24 +43,22 @@ from pyspark.sql.datasource import (
 )
 
 
-def _log_dir(root: str) -> str:
-    return os.path.join(root, "_log")
-
-
 def _versions(root: str) -> list[int]:
-    d = _log_dir(root)
-    if not os.path.isdir(d):
+    """Committed versions — resolved through SnapshotLog so a CHECKPOINTED
+    log (tail entries consolidated into checkpoint-*.json) reads
+    identically: a raw tail-only listing would make the first version
+    after a checkpoint look parentless and re-emit its carried files."""
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
+
+    if not os.path.isdir(os.path.join(root, "_log")):
         return []
-    return sorted(
-        int(f.split(".")[0])
-        for f in os.listdir(d)
-        if f.endswith(".json") and not f.startswith((".", "checkpoint-"))
-    )
+    return SnapshotLog(root).versions()
 
 
 def _entry(root: str, version: int) -> dict:
-    with open(os.path.join(_log_dir(root), f"{version:05d}.json")) as fh:
-        return json.load(fh)
+    from experiments_datafusion_spark.operators.table_format import SnapshotLog
+
+    return SnapshotLog(root).entry(version)
 
 
 def _new_files(root: str, version: int) -> list[str]:

@@ -1026,3 +1026,54 @@ def test_snaplog_source_multi_file_commits_emit_exactly_once(spark, tmp_path):
     assert q.awaitTermination(180)
     got = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r.id for r in got.collect()) == list(range(20))
+
+
+def test_append_onto_staged_is_refused(spark, tmp_path):
+    """Appends extend the PUBLISHED lineage: an append on top of a staged
+    (unpublished) snapshot would leak the un-audited batch's files into a
+    data entry, so the commit refuses loudly."""
+    from experiments_datafusion_spark.operators.table_format import commit_staged
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(5))
+    commit_staged(log, spark.range(5, 9))
+    with pytest.raises(ValueError, match="staged"):
+        log.commit_append(spark.range(9, 12))
+
+
+def test_snaplog_source_survives_log_checkpoint(spark, tmp_path):
+    """After checkpoint() consolidates the log's tail entries, the
+    streaming source still resolves parents correctly: a post-checkpoint
+    append emits ONLY its new rows (a raw tail-only reader would see the
+    first post-checkpoint version as parentless and re-emit everything)."""
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(10))
+    log.commit_append(spark.range(10, 30))
+
+    def drain():
+        q = (
+            spark.readStream.format("snaplog")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    drain()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 30
+    log.checkpoint()  # consolidate tail entries
+    log.commit_append(spark.range(30, 37))
+    drain()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 37  # exactly the 7 new rows; no re-emission
+    assert sorted(r.id for r in got.collect()) == list(range(37))
