@@ -1077,3 +1077,38 @@ def test_snaplog_source_survives_log_checkpoint(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 37  # exactly the 7 new rows; no re-emission
     assert sorted(r.id for r in got.collect()) == list(range(37))
+
+
+def test_concurrent_appends_all_land_no_lost_updates(spark, tmp_path):
+    """Stress the put-if-absent protocol with real concurrency: 6 threads
+    append disjoint row ranges through commit_append_rebased against ONE
+    log root.  Every batch must land (6 commits after the base), the
+    final version must contain every row exactly once, and each thread's
+    data files must be written exactly once (6 batch dirs)."""
+    import threading
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(0, 100))
+    errors = []
+
+    def writer(i: int) -> None:
+        try:
+            # each thread its own handle, as separate writers would have
+            own = SnapshotLog(str(tmp_path / "t"))
+            own.commit_append_rebased(
+                spark.range(100 + i * 50, 100 + (i + 1) * 50), note=f"w{i}"
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append((i, exc))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert log.latest_version() == 6  # base + 6 appends, no version lost
+    got = sorted(r.id for r in log.read(spark).collect())
+    assert got == list(range(400))  # every row exactly once
+    batch_dirs = [d for d in os.listdir(str(tmp_path / "t")) if d.startswith("b-")]
+    assert len(batch_dirs) == 6  # each batch written exactly once
