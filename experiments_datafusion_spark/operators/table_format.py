@@ -32,8 +32,11 @@ manifests, CDF row shape) re-expressed as plain parquet + JSON.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
+import uuid
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -58,6 +61,29 @@ class CommitConflict(Exception):
     EEXIST if the version was taken), which is the put-if-absent."""
 
 
+class ConcurrentModification(Exception):
+    """A concurrent commit removed/rewrote files this transaction read —
+    the rewrites touched the SAME data, so no rebase is sound (Delta's
+    ConcurrentDeleteReadException).  Unlike CommitConflict this is not
+    retryable: the caller must re-derive its rewrite from the new
+    snapshot."""
+
+
+def _append_schema_ok(table_schema, batch_schema) -> bool:
+    """Append-compatibility: names and types must match exactly; a
+    NON-nullable batch column may land in a nullable table column (its
+    data vacuously satisfies the weaker contract — exactly why scans
+    through a parquet read, which surfaces everything nullable, must not
+    reject spark.range-style non-null producers), but a nullable batch
+    may NOT land in a non-nullable table column."""
+    if len(table_schema) != len(batch_schema):
+        return False
+    for (tn, tt, t_null), (bn, bt, b_null) in zip(table_schema, batch_schema):
+        if tn != bn or tt != bt or (b_null and not t_null):
+            return False
+    return True
+
+
 class SnapshotLog:
     """Versioned snapshot log rooted at ``root``.
 
@@ -74,15 +100,26 @@ class SnapshotLog:
         self._log_dir = os.path.join(root, "_log")
         os.makedirs(self._log_dir, exist_ok=True)
 
+    def _tmp_path(self, version: int) -> str:
+        """A WRITER-unique tmp name.  pid alone is not unique here: the
+        concurrent-append topology races THREADS of one process, and two
+        same-pid writers sharing a tmp path would truncate each other's
+        entry before the link (a torn/lost publish) — so the name also
+        carries the thread id and a uuid."""
+        return os.path.join(
+            self._log_dir,
+            f".{version:05d}.{os.getpid()}.{threading.get_ident()}"
+            f".{uuid.uuid4().hex}.json.tmp",
+        )
+
     def _publish(self, version: int, entry: dict) -> None:
         """PUT-IF-ABSENT publish of a log entry (see CommitConflict): the
-        entry is fully written to a tmp file, then hard-linked to its
-        final name — ``os.link`` is atomic and fails with EEXIST if a
-        concurrent writer already took this version, so a race surfaces
-        as CommitConflict, never as a silently replaced entry."""
-        tmp = os.path.join(
-            self._log_dir, f".{version:05d}.{os.getpid()}.json.tmp"
-        )
+        entry is fully written to a writer-unique tmp file, then
+        hard-linked to its final name — ``os.link`` is atomic and fails
+        with EEXIST if a concurrent writer already took this version, so
+        a race surfaces as CommitConflict, never as a silently replaced
+        entry."""
+        tmp = self._tmp_path(version)
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
         final = os.path.join(self._log_dir, f"{version:05d}.json")
@@ -93,16 +130,17 @@ class SnapshotLog:
                 f"version {version} was committed by another writer"
             ) from None
         finally:
-            os.remove(tmp)
+            # suppress, don't assume: a crashed sibling's cleanup (or an
+            # unlinked tmp dir) must not mask the CommitConflict above
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)
 
     def _republish(self, version: int, entry: dict) -> None:
         """Replace an entry THIS writer already owns (post-publish stamp
         of extra metadata on the version it just committed) — the only
         place replacement is legal, because ownership was established by
         winning the _publish link."""
-        tmp = os.path.join(
-            self._log_dir, f".{version:05d}.{os.getpid()}.json.tmp"
-        )
+        tmp = self._tmp_path(version)
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
         os.rename(tmp, os.path.join(self._log_dir, f"{version:05d}.json"))
@@ -135,37 +173,60 @@ class SnapshotLog:
         version = self.latest_version() + 1
         data_dir = os.path.join(self.root, f"v{version}")
         df.write.mode("error").parquet(data_dir)
-        files = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
-        )
-        entry = {
-            "version": version,
-            "note": note,
-            "kind": kind,
-            "schema": [
-                [f.name, f.dataType.simpleString(), f.nullable] for f in df.schema
-            ],
-            "files": [{"path": p, "size": os.path.getsize(p)} for p in files],
-        }
-        if stats_cols:
-            spark = df.sparkSession
-            stats = file_stats_nd(spark.read.parquet(*files), stats_cols)
-            by_path = {
-                r.file_path[len("file:"):]
-                if r.file_path.startswith("file:")
-                else r.file_path: r
-                for r in stats
+        try:
+            files = sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+            entry = {
+                "version": version,
+                "note": note,
+                "kind": kind,
+                "schema": [
+                    [f.name, f.dataType.simpleString(), f.nullable] for f in df.schema
+                ],
+                "files": [{"path": p, "size": os.path.getsize(p)} for p in files],
             }
-            for f in entry["files"]:
-                r = by_path[f["path"]]
-                f["n_rows"] = r.n_rows
-                f["stats"] = {
-                    c: [getattr(r, f"{c}_lo"), getattr(r, f"{c}_hi")]
-                    for c in stats_cols
+            if stats_cols:
+                spark = df.sparkSession
+                stats = file_stats_nd(spark.read.parquet(*files), stats_cols)
+                by_path = {
+                    r.file_path[len("file:"):]
+                    if r.file_path.startswith("file:")
+                    else r.file_path: r
+                    for r in stats
                 }
-        self._publish(version, entry)
+                for f in entry["files"]:
+                    r = by_path.get(f["path"])
+                    if r is None:
+                        # an EMPTY part-file contributes no group to the
+                        # stats aggregate — record it as such (the old
+                        # KeyError here orphaned the data dir)
+                        f["n_rows"] = 0
+                        f["stats"] = {}
+                        continue
+                    f["n_rows"] = r.n_rows
+                    # a file whose stats column is all-NULL has no [lo, hi];
+                    # omit that column's block (stats_only_agg/prune raise
+                    # loudly on a missing block instead of min()-ing None)
+                    f["stats"] = {
+                        c: [getattr(r, f"{c}_lo"), getattr(r, f"{c}_hi")]
+                        for c in stats_cols
+                        if getattr(r, f"{c}_lo") is not None
+                        and getattr(r, f"{c}_hi") is not None
+                    }
+            self._publish(version, entry)
+        except BaseException:
+            # anything failing AFTER the parquet write but BEFORE the
+            # publish (stats drift, CommitConflict) must not leave an
+            # orphaned v{N} directory — the next commit at this version
+            # writes mode("error") and would wedge on the leftovers
+            import shutil
+
+            with contextlib.suppress(FileNotFoundError):
+                shutil.rmtree(data_dir)
+            raise
         return version
 
     def commit_append(self, df: DataFrame, note: str = "", kind: str = "data") -> int:
@@ -198,10 +259,14 @@ class SnapshotLog:
                     "publish_staged or vacuum it first"
                 )
             want = pe.get("schema")
-            if want is not None and want != schema:
+            if want is not None and not _append_schema_ok(want, schema):
                 raise ValueError(
                     f"append schema mismatch: table has {want}, batch has {schema}"
                 )
+            if want is not None:
+                # the entry records the TABLE's schema: carried-forward
+                # files may hold NULLs a non-nullable batch doesn't
+                schema = want
         parent_files = (
             [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
             if parent >= 0
@@ -260,6 +325,7 @@ class SnapshotLog:
         schema = [[f.name, f.dataType.simpleString(), f.nullable] for f in df.schema]
         for _ in range(attempts):
             parent = self.latest_version()
+            entry_schema = schema
             if parent >= 0:
                 pe = self.entry(parent)
                 if pe.get("kind") == "staged":
@@ -268,10 +334,12 @@ class SnapshotLog:
                         "publish_staged or vacuum it first"
                     )
                 want = pe.get("schema")
-                if want is not None and want != schema:
+                if want is not None and not _append_schema_ok(want, schema):
                     raise ValueError(
                         f"append schema mismatch: table has {want}, batch has {schema}"
                     )
+                if want is not None:
+                    entry_schema = want  # the TABLE's schema (see commit_append)
             parent_files = (
                 [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
                 if parent >= 0
@@ -281,7 +349,7 @@ class SnapshotLog:
                 "version": parent + 1,
                 "note": note,
                 "kind": kind,
-                "schema": schema,
+                "schema": entry_schema,
                 "files": parent_files + new_files,
             }
             try:
@@ -337,6 +405,101 @@ class SnapshotLog:
         }
         self._publish(version, entry)
         return version
+
+    def commit_rewrite_checked(
+        self,
+        df_new: DataFrame,
+        keep_files,
+        removed_files,
+        note: str = "",
+        kind: str = "data",
+        attempts: int = 10,
+    ) -> int:
+        """CONCURRENT-SAFE partial rewrite — the optimistic-concurrency
+        half that ``commit_rewrite`` lacks (Delta's conflict-detection
+        rules, public spec, re-expressed over the put-if-absent log).
+
+        The caller derived ``keep_files`` (carried forward untouched) and
+        ``removed_files`` (the files it rewrote into ``df_new``) from some
+        snapshot it READ.  The new data is written ONCE to a
+        rewrite-unique directory; then the publish loop re-reads the
+        CURRENT latest version and applies the compatibility check before
+        every attempt:
+
+        * every file this transaction read (keep + removed) must still be
+          live — a concurrent commit that removed/rewrote any of them
+          touched the same data, and the rewrite ABORTS loudly
+          (``ConcurrentModification``), because silently re-adding
+          ``keep_files`` would resurrect rows the other writer deleted;
+        * files the concurrent commits ADDED (blind appends) commute with
+          this rewrite — the rebase carries them forward unchanged, which
+          is exactly Delta's WriteSerializable rule: an append racing a
+          delete lands as if it happened after it (appended rows are NOT
+          re-filtered by the delete predicate; a reader wanting full
+          Serializable must serialize at the application level).
+
+        On CommitConflict the loop rebases and retries; data files are
+        never rewritten — the retry cost is one O(live files) log entry.
+        At 100 TB this is what lets compaction/DELETE/UPDATE maintenance
+        run continuously against a table streaming writers are appending
+        to."""
+        data_dir = os.path.join(self.root, f"rw-{uuid.uuid4().hex[:12]}")
+        df_new.write.mode("error").parquet(data_dir)
+        new_files = [
+            {"path": p, "size": os.path.getsize(p)}
+            for p in sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+        ]
+
+        def norm(p: str) -> str:
+            return p[len("file:"):] if p.startswith("file:") else p
+
+        keep = {norm(p) for p in keep_files}
+        removed = {norm(p) for p in removed_files}
+        read_set = keep | removed
+        schema = [[f.name, f.dataType.simpleString(), f.nullable] for f in df_new.schema]
+        for _ in range(attempts):
+            parent = self.latest_version()
+            if parent < 0:
+                raise ValueError("rewrite needs an existing table version")
+            pe = self.entry(parent)
+            if pe.get("kind") == "staged":
+                raise ValueError(
+                    f"cannot rewrite onto staged version {parent}; "
+                    "publish_staged or vacuum it first"
+                )
+            live = {fe.path: fe.size for fe in self.manifest(parent)}
+            gone = sorted(read_set - set(live))
+            if gone:
+                raise ConcurrentModification(
+                    "concurrent commit removed files this rewrite read "
+                    f"(same-data race, cannot rebase): {gone[:3]}"
+                )
+            entry = {
+                "version": parent + 1,
+                "note": note,
+                "kind": kind,
+                "schema": schema,
+                # rebase: everything live except what we rewrote — which
+                # carries concurrently APPENDED files forward — plus ours
+                "files": [
+                    {"path": p, "size": s}
+                    for p, s in sorted(live.items())
+                    if p not in removed
+                ]
+                + new_files,
+            }
+            try:
+                self._publish(parent + 1, entry)
+                return parent + 1
+            except CommitConflict:
+                continue  # rebase: somebody else won this version
+        raise CommitConflict(
+            f"rewrite did not land after {attempts} rebase attempts"
+        )
 
     # ---- log side -----------------------------------------------------------
     #
@@ -507,14 +670,20 @@ class SnapshotLog:
         NULL caveat as in every format: per-file [lo, hi] ignores NULLs,
         so ``col`` must be non-nullable for min/max to equal the scan
         answer — the caller picks the column, the stats block stays
-        honest either way for count(*)."""
+        honest either way for count(*).  Empty part-files (n_rows == 0)
+        carry no [lo, hi] and are vacuous for min/max."""
         files = self.entry(version)["files"]
-        if any("stats" not in f or col not in f["stats"] for f in files):
+        if any("n_rows" not in f for f in files):
             raise ValueError(f"version {version} has no write-time stats for {col!r}")
+        nonempty = [f for f in files if f["n_rows"] > 0]
+        if any(col not in f["stats"] for f in nonempty):
+            raise ValueError(f"version {version} has no write-time stats for {col!r}")
+        if not nonempty:
+            return (0, None, None)
         return (
             sum(f["n_rows"] for f in files),
-            min(f["stats"][col][0] for f in files),
-            max(f["stats"][col][1] for f in files),
+            min(f["stats"][col][0] for f in nonempty),
+            max(f["stats"][col][1] for f in nonempty),
         )
 
 
@@ -670,16 +839,40 @@ def prune_nd(stats, bands: dict) -> list[str]:
     return keep
 
 
-def append_once(log: SnapshotLog, df: DataFrame, txn_id: str) -> int:
-    """Idempotent append: if a commit tagged ``txn_id`` is already in the
-    log, return it instead of appending again — the Delta
-    txnAppId/txnVersion dedup that turns foreachBatch's at-least-once
-    retries into exactly-once AT THE TABLE: a replayed micro-batch finds
-    its transaction already committed and becomes a no-op."""
-    for v in log.versions():
-        if log.entry(v).get("note") == txn_id:
-            return v
-    return log.commit_append(df, note=txn_id)
+def _latest_txns(log: SnapshotLog) -> dict:
+    """The newest entry's transaction map (Delta's SetTransaction state:
+    ``{app_id: [last txn_version, its commit version]}``).  Appends carry
+    the map forward, so for an append-only stream this is ONE entry read;
+    the walk-back only runs when a non-append commit (compaction,
+    rewrite) interposed and dropped the map from the tip."""
+    for v in reversed(log.versions()):
+        e = log.entry(v)
+        if "txns" in e:
+            return dict(e["txns"])
+    return {}
+
+
+def append_once(log: SnapshotLog, df: DataFrame, app_id: str, txn_version: int) -> int:
+    """Idempotent append — the Delta txnAppId/txnVersion dedup that turns
+    foreachBatch's at-least-once retries into exactly-once AT THE TABLE.
+    Each writing application carries a monotone ``txn_version`` (the
+    micro-batch id); the log entry records ``{app_id: [txn_version,
+    commit_version]}`` CARRIED FORWARD from its parent, so the replay
+    check reads ONE entry (the latest), never the whole log — O(apps)
+    state per entry, O(1) driver I/O per append, where the note-scan it
+    replaces was O(versions) per batch (quadratic over a stream's life).
+    A replayed batch (``txn_version`` <= the recorded one) is a no-op and
+    returns the recorded commit version."""
+    txns = _latest_txns(log)
+    rec = txns.get(app_id)
+    if rec is not None and int(rec[0]) >= int(txn_version):
+        return int(rec[1])
+    v = log.commit_append(df, note=f"{app_id} txn {txn_version}")
+    entry = log.entry(v)
+    txns[app_id] = [int(txn_version), v]
+    entry["txns"] = txns
+    log._republish(v, entry)  # ownership: this writer just won v
+    return v
 
 
 def mor_current_view(log: SnapshotLog, spark: SparkSession, key: str) -> DataFrame:
@@ -993,14 +1186,25 @@ def merge_into(
     100 TB both sides co-partition on the key for one SMJ; there is no
     second pass per clause — every WHEN branch is decided row-local inside
     the single projection, which is why MERGE scales like a join and not
-    like clause-count scans."""
+    like clause-count scans.
+
+    NULL-condition semantics (SQL MERGE): a WHEN clause whose condition
+    evaluates to NULL simply DOESN'T FIRE — the row falls through to the
+    next clause / stays unchanged.  Every condition is therefore coalesced
+    to FALSE before composing; without that, ``~NULL`` is NULL and
+    ``where(NULL)`` would silently DELETE a matched row whose delete
+    condition was merely unknown."""
     t, s = target.alias("t"), source.alias("s")
     tk, sk = F.col(f"t.{key}"), F.col(f"s.{key}")
     joined = t.join(s, tk == sk, "full_outer")
     matched = tk.isNotNull() & sk.isNotNull()
-    del_c = matched_delete(t, s) if matched_delete else F.lit(False)
-    upd_c = matched_update(t, s) if matched_update else F.lit(True)
-    ins_c = not_matched_insert(s) if not_matched_insert else F.lit(True)
+
+    def _fires(cond) -> "F.Column":
+        return F.coalesce(cond, F.lit(False))
+
+    del_c = _fires(matched_delete(t, s)) if matched_delete else F.lit(False)
+    upd_c = _fires(matched_update(t, s)) if matched_update else F.lit(True)
+    ins_c = _fires(not_matched_insert(s)) if not_matched_insert else F.lit(True)
     keep = F.when(matched, ~del_c).when(tk.isNotNull(), F.lit(True)).otherwise(ins_c)
     use_source = (matched & ~del_c & upd_c) | (tk.isNull() & ins_c)
     cols = [

@@ -357,7 +357,7 @@ def stream_ingest_log(events: DataFrame, log_root: str) -> "object":
     log = SnapshotLog(log_root)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        append_once(log, batch_df, txn_id=f"micro-batch {batch_id}")
+        append_once(log, batch_df, app_id="stream-ingest", txn_version=batch_id)
 
     return (
         events.writeStream.foreachBatch(ingest)
@@ -1241,7 +1241,7 @@ def dedup_stream_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from experiments_datafusion_spark.operators.table_format import append_once
 
-        append_once(log, _doc_bands(batch_df), txn_id=f"bands batch {batch_id}")
+        append_once(log, _doc_bands(batch_df), app_id="bands", txn_version=batch_id)
 
     q = (
         src.writeStream.foreachBatch(ingest)

@@ -117,16 +117,16 @@ def test_append_commits_and_exactly_once(spark, tmp_path):
     from experiments_datafusion_spark.operators.table_format import append_once
 
     log = SnapshotLog(str(tmp_path / "t"))
-    v0 = append_once(log, spark.range(10), "txn-0")
-    v1 = append_once(log, spark.range(10, 30), "txn-1")
+    v0 = append_once(log, spark.range(10), "ing", 0)
+    v1 = append_once(log, spark.range(10, 30), "ing", 1)
     assert (v0, v1) == (0, 1)
     f0 = {fe.path for fe in log.manifest(0)}
     f1 = {fe.path for fe in log.manifest(1)}
     assert f0 < f1  # parent files carried forward, new files added
     assert log.read(spark, 0).count() == 10
     assert log.read(spark, 1).count() == 30
-    # the retry: same txn id -> same version, no new commit, no new rows
-    assert append_once(log, spark.range(10, 30), "txn-1") == 1
+    # the retry: same (app, txn version) -> same version, no new commit
+    assert append_once(log, spark.range(10, 30), "ing", 1) == 1
     assert log.versions() == [0, 1]
     assert log.read(spark).count() == 30
     # vacuum keeping the tip removes nothing (appends share all files)
@@ -786,13 +786,24 @@ def test_rejected_batch_leaves_log_untouched(spark, tmp_path):
     )
 
     log = SnapshotLog(str(tmp_path / "t"))
-    log.commit(spark.range(1, 10).select(F.col("id").alias("x")))
+    log.commit(spark.createDataFrame([(i,) for i in range(1, 10)], "x bigint"))
     bad = spark.createDataFrame([(0,), (5,)], "x bigint")
+
+    # the production gate: enforce, and commit ONLY if the checks pass
+    # (mirroring queries/round10.table_constraints) — keeping the commit
+    # outside the raises block so the log assertions actually bite
+    def gated_append(df):
+        enforce_checks(df, [("x_positive", F.col("x") > 0)])
+        log.commit_append(df)
+
     with pytest.raises(ConstraintViolation):
-        enforce_checks(bad, [("x_positive", F.col("x") > 0)])
-        log.commit_append(bad)
+        gated_append(bad)
     assert log.versions() == [0]
     assert log.read(spark).count() == 9
+    # a passing batch flows through the same gate
+    gated_append(spark.createDataFrame([(7,)], "x bigint"))
+    assert log.versions() == [0, 1]
+    assert log.read(spark).count() == 10
 
 
 # ---- shallow clone -----------------------------------------------------------------
