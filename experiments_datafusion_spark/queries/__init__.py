@@ -67,6 +67,7 @@ _MODULES = (
     "round7",  # round 7: BPE train/apply, vacuum, RTBF delete, phash/audio dedup
     "round9",  # round 9: merge-on-read deletion vectors
     "round10",  # round 10: snapshot-log layer + change data feed
+    "round11",  # round 11: conflict-checked concurrent rewrites
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

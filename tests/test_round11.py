@@ -318,6 +318,125 @@ def test_commit_failure_before_publish_cleans_orphan_dir(spark, tmp_path):
     assert log.read(spark).count() == 5
 
 
+# ---- snaplog streaming source: WAP awareness, rewrite detection, pruning ------------
+
+
+def _drain_snaplog(spark, root: str, out: str, chk: str, **options):
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    reader = spark.readStream.format("snaplog").option("path", root)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+
+def test_snaplog_source_skips_staged_emits_publish_delta(spark, tmp_path):
+    """Write-audit-publish through the stream: the staged snapshot's rows
+    must NOT reach consumers before the audit, and the publish commit
+    (whose manifest is head files + staged files) must emit ONLY the
+    staged batch — not re-emit the whole published base (ADVICE r10)."""
+    from experiments_datafusion_spark.operators.table_format import (
+        commit_staged,
+        publish_staged,
+    )
+
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(10))
+    staged_v = commit_staged(log, spark.range(100, 104))
+    # drain with the staged tip: only the published base is visible
+    _drain_snaplog(spark, root, str(tmp_path / "out"), str(tmp_path / "chk"))
+    got1 = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in got1.collect()) == list(range(10))
+    # audit passes -> publish; restart emits EXACTLY the staged batch
+    publish_staged(log, staged_v)
+    _drain_snaplog(spark, root, str(tmp_path / "out"), str(tmp_path / "chk"))
+    got2 = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in got2.collect()) == list(range(10)) + [100, 101, 102, 103]
+    # the publish commit's rows are stamped with ITS version, not staged's
+    assert {
+        r._commit_version
+        for r in got2.where(F.col("id") >= 100).select("_commit_version").collect()
+    } == {2}
+
+
+def test_snaplog_source_rewrite_fails_unless_ignorechanges(spark, tmp_path):
+    """A compaction/rewrite mid-stream removes files: the stream must fail
+    loudly (Delta readStream contract) instead of silently re-emitting
+    every row; ignoreChanges opts in, emitting the version's new files."""
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(10))
+    _drain_snaplog(spark, root, str(tmp_path / "out"), str(tmp_path / "chk"))
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+    log.compact(spark)  # rewrites every file into one
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _drain_snaplog(spark, root, str(tmp_path / "out"), str(tmp_path / "chk"))
+    # opting in admits the rewrite (rows re-emit — the documented caveat)
+    _drain_snaplog(
+        spark, root, str(tmp_path / "out2"), str(tmp_path / "chk2"),
+        ignoreChanges="true",
+    )
+    got = spark.read.parquet(str(tmp_path / "out2"))
+    assert sorted(r.id for r in got.collect()) == sorted(list(range(10)) * 2)
+
+
+def test_snaplog_source_column_pruning(spark, tmp_path):
+    """.option('columns', ...) prunes the executor-side parquet reads and
+    the declared schema."""
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(
+        spark.range(6).select(
+            "id", (F.col("id") * 2).alias("x"), F.lit("wide").alias("payload")
+        )
+    )
+    _drain_snaplog(
+        spark, root, str(tmp_path / "out"), str(tmp_path / "chk"),
+        columns="id,x",
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(got.columns) == ["_commit_version", "id", "x"]
+    assert sorted((r.id, r.x) for r in got.collect()) == [(i, 2 * i) for i in range(6)]
+    # asking for a column the table lacks fails loudly at planning
+    with pytest.raises(Exception, match="not in table schema"):
+        _drain_snaplog(
+            spark, root, str(tmp_path / "out3"), str(tmp_path / "chk3"),
+            columns="nope",
+        )
+
+
+def test_snaplog_source_arrow_and_row_paths_agree(spark, tmp_path):
+    """The legacy row-tuple arm (arrow=false) is kept only for the A/B
+    measurement; both paths must emit identical data."""
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(
+        spark.range(50).select("id", (F.col("id") % 7).alias("g"))
+    )
+    log.commit_append(
+        spark.range(50, 80).select("id", (F.col("id") % 7).alias("g"))
+    )
+    _drain_snaplog(spark, root, str(tmp_path / "a"), str(tmp_path / "chka"))
+    _drain_snaplog(
+        spark, root, str(tmp_path / "b"), str(tmp_path / "chkb"), arrow="false"
+    )
+    a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "a")).collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "b")).collect()))
+    assert a == b
+
+
 # ---- O(1) append_once --------------------------------------------------------------
 
 
