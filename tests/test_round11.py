@@ -437,6 +437,52 @@ def test_snaplog_source_arrow_and_row_paths_agree(spark, tmp_path):
     assert a == b
 
 
+# ---- streaming-dedup band-state compaction (the deferred LSM merge) -----------------
+
+
+def test_band_state_compaction_preserves_verdicts_and_shrinks(spark, sf_dir, tmp_path):
+    """The LSM merge: folding band rows into per-bucket minima + dup
+    sentinels MID-STREAM yields byte-identical survivor verdicts under
+    any continuation (dup verdicts are final; a survivor's occupancy is
+    exactly its min-rows), and the state measurably shrinks."""
+    from experiments_datafusion_spark.io import table as load_table
+    from experiments_datafusion_spark.queries.round10 import (
+        _band_state_verdicts,
+        _doc_bands,
+        compact_band_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    parts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    plain = SnapshotLog(str(tmp_path / "plain"))
+    folded = SnapshotLog(str(tmp_path / "folded"))
+    for i, p in enumerate(parts):
+        bands = _doc_bands(p)
+        plain.commit_append(bands)
+        folded.commit_append(bands)
+        if i == 1:
+            pre_rows = folded.read(spark).count()
+            compact_band_state(folded, spark)
+            post_rows = folded.read(spark).count()
+            assert post_rows < pre_rows, (pre_rows, post_rows)
+
+    v_plain = sorted(map(tuple, _band_state_verdicts(plain.read(spark)).collect()))
+    v_folded = sorted(map(tuple, _band_state_verdicts(folded.read(spark)).collect()))
+    assert v_plain == v_folded
+    assert any(k == 0 for _d, k in v_plain), "corpus must contain near-dups"
+    # the compacted entry is kind-tagged and the post-compaction append
+    # extended it (copy-on-write: pre-compaction versions stay readable)
+    kinds = [folded.entry(v).get("kind") for v in folded.versions()]
+    assert kinds == ["data", "data", "compacted", "data"]
+    assert plain.read(spark, 0).count() > 0  # old versions still readable
+    # a second fold composes (idempotent semantics, state keeps shrinking
+    # or stays put)
+    compact_band_state(folded, spark)
+    v_refold = sorted(map(tuple, _band_state_verdicts(folded.read(spark)).collect()))
+    assert v_refold == v_plain
+
+
 # ---- O(1) append_once --------------------------------------------------------------
 
 
