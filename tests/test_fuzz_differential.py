@@ -94,3 +94,19 @@ def test_fuzz_hof_40_specs(spark, sf_dir, duck):
     results = run(40, 20260817, sf_dir, spark=spark, con=duck, only=("hof",))
     fails = [(i, sql, d) for i, sql, ok, d in results if not ok]
     assert not fails, fails
+
+
+def test_fuzz_merge_45_specs(spark, sf_dir, duck):
+    """Round-11 axis in isolation: the MERGE/changelog surface — seeded
+    random changelogs (insert/update/delete mixes, NULLABLE payloads via
+    seeded NULLIF bands, duplicate source keys collapsed by a seeded
+    dedup rule) lowered to operators/table_format.merge_into or
+    changes_between on the Spark side while DuckDB replays the SAME WHEN
+    branches as a full-outer-join CASE projection with every condition
+    coalesced to FALSE — the independently-spelled pin of the SQL-MERGE
+    NULL-condition rule (the r10 NULL-delete bug's regression surface).
+    Also green at sf0.01/sf0.1 (run manually:
+    run(45, 20260901, sf, only=('merge',)))."""
+    results = run(45, 20260901, sf_dir, spark=spark, con=duck, only=("merge",))
+    fails = [(i, sql, d) for i, sql, ok, d in results if not ok]
+    assert not fails, fails

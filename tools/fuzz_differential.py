@@ -1319,6 +1319,203 @@ def hofspec_to_spark(spec: HofSpec, orders):
     )
 
 
+# ---- merge/changelog axis (round 11) -----------------------------------------------
+#
+# Seeded random CHANGELOGS lowered to the lakehouse DML surface: a target
+# (latest pre-cut state per derived key) and a source changelog (post-cut
+# rows, which carry DUPLICATE keys until the spec's dedup rule collapses
+# them) flow through operators/table_format.merge_into or changes_between
+# on the Spark side, while DuckDB replays the SAME WHEN branches as a
+# full-outer-join CASE projection (deliberately different spelling).
+# Payloads are made NULLABLE by seeded NULLIF bands so WHEN conditions
+# genuinely evaluate to NULL — regression surface for the r10
+# NULL-condition-fires-as-delete bug (conditions must coalesce to FALSE).
+
+_MG_CUTS = ["1995-09-01", "1996-06-01", "1997-03-01", "1998-01-01"]
+# condition templates: name -> (sql over aliased sides, spark callable)
+# condition templates: SQL is written against the joined row's flattened
+# names (tp1/tp2 = target payload, sp1/sp2 = source payload)
+_MG_DEL = {
+    None: None,
+    "p2_is_F": ("sp2 = 'F'", lambda t, s: F.col("s.p2") == "F"),
+    "src_pricier": ("sp1 > tp1", lambda t, s: F.col("s.p1") > F.col("t.p1")),
+    "p1_mod5": ("sp1 % 5 = 0", lambda t, s: F.col("s.p1") % 5 == 0),
+}
+_MG_UPD = {
+    None: None,
+    "p1_differs": ("sp1 <> tp1", lambda t, s: F.col("s.p1") != F.col("t.p1")),
+    "p2_not_null": ("sp2 IS NOT NULL", lambda t, s: F.col("s.p2").isNotNull()),
+    "src_pricier": ("sp1 > tp1", lambda t, s: F.col("s.p1") > F.col("t.p1")),
+}
+_MG_INS = {
+    None: None,
+    "p1_even": ("sp1 % 2 = 0", lambda s: F.col("s.p1") % 2 == 0),
+    "p2_is_O": ("sp2 = 'O'", lambda s: F.col("s.p2") == "O"),
+}
+
+
+@dataclass
+class MgSpec:
+    op: str  # 'merge' | 'cdf'
+    key_mod: int
+    cut: str
+    t_null_mod: int | None  # seeded NULL band in the target's p1
+    s_null_mod: int | None  # ... and the source's
+    null_status: bool  # p2 = NULLIF(status, 'O')
+    dedup: str  # 'latest' | 'pricey' — how source dup keys collapse
+    del_c: str | None
+    upd_c: str | None
+    ins_c: str | None
+
+
+def gen_mgspec(rng: random.Random) -> MgSpec:
+    return MgSpec(
+        op=rng.choice(["merge", "merge", "cdf"]),
+        key_mod=rng.choice([50, 100, 250]),
+        cut=rng.choice(_MG_CUTS),
+        t_null_mod=rng.choice([None, 3, 7]),
+        s_null_mod=rng.choice([None, 4, 9]),
+        null_status=rng.random() < 0.5,
+        dedup=rng.choice(["latest", "pricey"]),
+        del_c=rng.choice(list(_MG_DEL)),
+        upd_c=rng.choice(list(_MG_UPD)),
+        ins_c=rng.choice(list(_MG_INS)),
+    )
+
+
+def _mg_side_sql(spec: MgSpec, pre: bool) -> str:
+    cmp = "<" if pre else ">="
+    null_mod = spec.t_null_mod if pre else spec.s_null_mod
+    price = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+    p1 = (
+        f"CASE WHEN o_custkey % {null_mod} = 0 THEN NULL ELSE {price} END"
+        if null_mod
+        else price
+    )
+    p2 = "NULLIF(o_orderstatus, 'O')" if spec.null_status else "o_orderstatus"
+    order = (
+        "o_orderdate DESC, o_orderkey DESC"
+        if spec.dedup == "latest"
+        else "o_totalprice DESC, o_orderkey DESC"
+    )
+    return (
+        f"SELECT o_custkey % {spec.key_mod} AS k, {p1} AS p1, {p2} AS p2 "
+        f"FROM orders WHERE o_orderdate {cmp} TIMESTAMP '{spec.cut}' "
+        f"QUALIFY row_number() OVER (PARTITION BY o_custkey % {spec.key_mod} "
+        f"ORDER BY {order}) = 1"
+    )
+
+
+def mgspec_to_sql(spec: MgSpec) -> str:
+    del_sql = _MG_DEL[spec.del_c][0] if spec.del_c else "FALSE"
+    upd_sql = _MG_UPD[spec.upd_c][0] if spec.upd_c else "TRUE"
+    ins_sql = _MG_INS[spec.ins_c][0] if spec.ins_c else "TRUE"
+    base = f"""
+WITH t AS ({_mg_side_sql(spec, pre=True)}),
+s AS ({_mg_side_sql(spec, pre=False)}),
+j AS (
+  SELECT t.k AS tk, s.k AS sk, t.p1 AS tp1, t.p2 AS tp2,
+         s.p1 AS sp1, s.p2 AS sp2
+  FROM t FULL OUTER JOIN s ON t.k = s.k
+)"""
+    if spec.op == "merge":
+        # the NULL-condition rule spelled independently: every WHEN
+        # condition coalesces to FALSE before composing
+        return f"""{base},
+w AS (
+  SELECT tk, sk, tp1, tp2, sp1, sp2,
+         (tk IS NOT NULL AND sk IS NOT NULL) AS matched,
+         coalesce({del_sql}, FALSE) AS del_c,
+         coalesce({upd_sql}, FALSE) AS upd_c,
+         coalesce({ins_sql}, FALSE) AS ins_c
+  FROM j
+)
+SELECT coalesce(sk, tk) AS k,
+       CASE WHEN (matched AND NOT del_c AND upd_c) OR (tk IS NULL AND ins_c)
+            THEN sp1 ELSE tp1 END AS p1,
+       CASE WHEN (matched AND NOT del_c AND upd_c) OR (tk IS NULL AND ins_c)
+            THEN sp2 ELSE tp2 END AS p2
+FROM w
+WHERE CASE WHEN matched THEN NOT del_c
+           WHEN tk IS NOT NULL THEN TRUE
+           ELSE ins_c END
+"""
+    return f"""{base}
+SELECT sk AS k, sp1 AS p1, sp2 AS p2, 'insert' AS _change_type
+FROM j WHERE tk IS NULL
+UNION ALL
+SELECT tk, tp1, tp2, 'delete' FROM j WHERE sk IS NULL
+UNION ALL
+SELECT tk, tp1, tp2, 'update_preimage'
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL
+  AND (tp1 IS DISTINCT FROM sp1 OR tp2 IS DISTINCT FROM sp2)
+UNION ALL
+SELECT sk, sp1, sp2, 'update_postimage'
+FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL
+  AND (tp1 IS DISTINCT FROM sp1 OR tp2 IS DISTINCT FROM sp2)
+"""
+
+
+def _mg_side_spark(spec: MgSpec, orders, pre: bool):
+    from pyspark.sql import Window
+
+    null_mod = spec.t_null_mod if pre else spec.s_null_mod
+    price = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    p1 = (
+        F.when(F.col("o_custkey") % null_mod == 0, F.lit(None).cast("long")).otherwise(
+            price
+        )
+        if null_mod
+        else price
+    )
+    p2 = (
+        F.expr("nullif(o_orderstatus, 'O')")
+        if spec.null_status
+        else F.col("o_orderstatus")
+    )
+    cond = (
+        F.col("o_orderdate") < spec.cut if pre else F.col("o_orderdate") >= spec.cut
+    )
+    order = (
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+        if spec.dedup == "latest"
+        else [F.col("o_totalprice").desc(), F.col("o_orderkey").desc()]
+    )
+    w = Window.partitionBy(F.col("o_custkey") % spec.key_mod).orderBy(*order)
+    return (
+        orders.where(cond)
+        .select(
+            (F.col("o_custkey") % spec.key_mod).alias("k"),
+            p1.alias("p1"),
+            p2.alias("p2"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def mgspec_to_spark(spec: MgSpec, orders):
+    from experiments_datafusion_spark.operators.table_format import (
+        changes_between,
+        merge_into,
+    )
+
+    t = _mg_side_spark(spec, orders, pre=True)
+    s = _mg_side_spark(spec, orders, pre=False)
+    if spec.op == "merge":
+        return merge_into(
+            t,
+            s,
+            key="k",
+            payload=["p1", "p2"],
+            matched_delete=_MG_DEL[spec.del_c][1] if spec.del_c else None,
+            matched_update=_MG_UPD[spec.upd_c][1] if spec.upd_c else None,
+            not_matched_insert=_MG_INS[spec.ins_c][1] if spec.ins_c else None,
+        )
+    return changes_between(t, s, key="k", payload=["p1", "p2"])
+
+
 # ---- lowering ---------------------------------------------------------------
 
 
@@ -1498,8 +1695,10 @@ def _pick_family(r: float) -> str:
         return "datetime"
     if r < 0.91:
         return "frame"
-    if r < 0.96:
+    if r < 0.95:
         return "hof"
+    if r < 0.98:
+        return "merge"
     return "agg"
 
 
@@ -1577,6 +1776,10 @@ def run(
             hspec = gen_hofspec(rng)
             sql = hofspec_to_sql(hspec)
             builder = lambda: hofspec_to_spark(hspec, dfs["orders"])  # noqa: B023,E731
+        elif fam == "merge":
+            mgspec = gen_mgspec(rng)
+            sql = mgspec_to_sql(mgspec)
+            builder = lambda: mgspec_to_spark(mgspec, dfs["orders"])  # noqa: B023,E731
         else:
             spec = gen_spec(rng)
             sql = to_sql(spec)
