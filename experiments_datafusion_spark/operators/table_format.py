@@ -621,23 +621,39 @@ class SnapshotLog:
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
         version: int | None = None,
+        sort_cols=None,
     ) -> int:
         """Small-file compaction as a log commit: rewrite a version into
-        ceil(total_bytes / target) files (round-robin repartition keeps
-        sizes even) and commit the result as a NEW version — the old one
-        stays readable until vacuumed, exactly how a format's OPTIMIZE
-        sequences.  Sizing comes from the manifest (catalog state), not a
-        filesystem walk.  At 100 TB this runs per partition directory so
-        each rewrite is bounded (io.compact_parquet is the path-based
-        twin)."""
+        ceil(total_bytes / target) files and commit the result as a NEW
+        version — the old one stays readable until vacuumed, exactly how
+        a format's OPTIMIZE sequences.  Sizing comes from the manifest
+        (catalog state), not a filesystem walk.
+
+        ``sort_cols`` (round 11) makes the compaction CLUSTERING: files
+        are cut by range partition on those columns and sorted within —
+        Delta's ``OPTIMIZE ... ZORDER BY`` idea in its 1-D form — and the
+        new manifest records their write-time [lo, hi] stats, so the
+        compacted table is immediately file-skippable on the sort columns
+        (disjoint per-file ranges).  Without it, round-robin repartition
+        keeps sizes even but destroys any clustering the input had — at
+        100 TB a compaction that un-clusters a table silently revokes its
+        pruning, which is why OPTIMIZE takes the sort spec.  At 100 TB
+        this runs per partition directory so each rewrite is bounded
+        (io.compact_parquet is the path-based twin)."""
         import math
 
         v = self.latest_version() if version is None else version
         total = sum(fe.size for fe in self.manifest(v))
         n = max(1, math.ceil(total / target_file_bytes))
-        return self.commit(
-            self.read(spark, v).repartition(n), note=f"compact v{v} -> {n} files"
-        )
+        df = self.read(spark, v)
+        if sort_cols:
+            df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+            return self.commit(
+                df,
+                note=f"compact v{v} -> {n} files clustered on {list(sort_cols)}",
+                stats_cols=list(sort_cols),
+            )
+        return self.commit(df.repartition(n), note=f"compact v{v} -> {n} files")
 
     def stats_manifest(self, spark: SparkSession, version: int, col: str):
         """Per-file [lo, hi, n_rows] stats for ``col`` — the add-file stats

@@ -88,44 +88,38 @@ _MODULES = (
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # round-10 NEW keys (table_changes/_apply = change-data-feed producer +
-    # incremental-view-maintenance consumer; scan_pruning_zorder = 2-D
-    # manifest skipping over the z-ordered layout; batch 2 = schema/
-    # partition evolution, bloom skipping, stats-only aggregates,
-    # conditional MERGE INTO) + CHANGED keys
-    # (sortbench_merge now reads the committed fixture and materializes
-    # segmented runs; ev_stream_upsert's serving table is hash-bucketed
-    # with touched-bucket-only rewrites; the nine maintenance keys were
-    # refactored onto operators/table_format.SnapshotLog — zero intended
-    # output drift, so the driver re-verifies all of them fresh)
-    "table_changes", "table_changes_apply", "table_changes_stream",
-    "table_stream_ingest", "table_delete_pruned",
-    "table_schema_evolution", "table_partition_evolution",
-    "scan_pruning_bloom", "table_stats_only", "table_merge_into",
-    "table_wap_publish", "table_constraints", "table_clone_shallow",
-    "dedup_stream_minhash", "table_restore", "scan_pruning_bloom_native",
-    "table_log_stream_source",
-    "scan_pruning_zorder", "sortbench_merge", "ev_stream_upsert",
-    "table_time_travel", "table_time_travel_multi", "table_vacuum",
-    "table_delete_compliance", "table_delete_mor",
-    "table_delete_mor_positional", "scan_pruning_manifest",
-    "table_diff_reconcile", "compact_small_files",
+    # round-11 NEW key (table_concurrent_rewrite = a stats-pruned DELETE
+    # racing an interposed append through commit_rewrite_checked) +
+    # CHANGED keys re-verified fresh: dedup_stream_minhash now compacts
+    # its LSH band state MID-stream; table_merge_into's WHEN conditions
+    # coalesce to FALSE (NULL-condition fix; intended output unchanged);
+    # table_stream_ingest moved to the O(1) txn-map append_once;
+    # table_log_stream_source reads Arrow batches through the reworked
+    # WAP-aware source; the CDF trio shares one fixture log per sweep;
+    # compact_small_files/table_delete_pruned sit on the commit paths the
+    # round touched (stats robustness, orphan cleanup, schema narrowing)
+    "table_concurrent_rewrite",
+    "dedup_stream_minhash", "table_merge_into", "table_stream_ingest",
+    "table_log_stream_source", "table_changes", "table_changes_apply",
+    "table_changes_stream", "compact_small_files", "table_delete_pruned",
     # the least-recently-verified fill (tools/lrv_window.py output from
     # the CORRECTNESS ledger: oldest driver round first, ties
-    # alphabetical — the r2 text/udf tail + the r3 events/pipeline/
-    # hygiene/multimodal block)
-    "text_langid", "text_quality", "text_stats", "udf_apply_in_pandas",
-    "udf_grouped_agg", "udf_pandas_scalar", "view_logical",
-    "agg_argmax", "anomaly_zscore", "contamination_ngram",
-    "dedup_clusters", "dedup_fuzzy_levenshtein", "dedup_incremental",
-    "dedup_keep_best", "dedup_near_canonical", "docs_heavy_hitters",
-    "docs_length_histogram", "embedding_kmeans", "embedding_norm_stats",
-    "embedding_quantize", "ev_attribution",
-    # (the LRV tail beyond 50 — ev_daily_stats, ev_dedup, ev_enrich_join, ev_funnel, ev_gapfill, ev_retention, ev_session,
-    # ev_sliding, ev_tumbling, lang_confusion, mix_temperature,
-    # mix_weighted_sources — was trimmed as round-10 batches 2 and 3
-    # added twelve new keys to the front; those rotate in next round per
-    # the freshness policy)
+    # alphabetical — the r3 events/mix/multimodal/sortbench/split/text
+    # block the r10 rotation trimmed, then the r4 head)
+    "ev_daily_stats", "ev_dedup", "ev_enrich_join", "ev_funnel",
+    "ev_gapfill", "ev_retention", "ev_session", "ev_sliding",
+    "ev_tumbling", "lang_confusion", "mix_temperature",
+    "mix_weighted_sources", "mm_dedup_payload", "mm_features",
+    "mm_metadata", "quality_gate_percentile", "rollup_time_multi",
+    "sample_stratified", "scalar_datebin", "shard_assign",
+    "sortbench_dictionary_tuple", "sortbench_mixed_dictionary_tuple",
+    "sortbench_mixed_tuple", "sortbench_utf8_tuple", "split_leakage_safe",
+    "split_streams", "split_train_test", "sql_lateral_topk",
+    "text_pii_redact", "text_repetition", "text_tfidf",
+    "text_token_budget", "text_top_words", "topk_per_group",
+    "win_range_time", "win_sessionize",
+    "agg_approx", "agg_corr_regr", "agg_decimal_exact",
+    "agg_mode_listagg",
 )
 
 

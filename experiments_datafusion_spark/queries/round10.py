@@ -101,14 +101,36 @@ def table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned on the key for one sort-merge join and the change rows
     stream out of a single projection — cost is one join over two
     manifest-pinned scans, independent of table history length."""
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="cdf_")
-    log = _cdf_log(spark, sf_dir, root)
+    log = _cdf_log_shared(spark, sf_dir)
     out = changes_between(
         log.read(spark, 0), log.read(spark, 1), key="k", payload=["status", "price_c"]
     )
-    return materialize_then_rmtree(out, root)
+    return out.localCheckpoint(eager=True)
+
+
+_CDF_CACHE: dict[str, str] = {}
+
+
+def _cdf_log_shared(spark: SparkSession, sf_dir: str) -> SnapshotLog:
+    """The CDF fixture log, built ONCE per (process, sf_dir) and shared by
+    the three consumer keys (r10 verdict "what's wrong" #4: each key used
+    to rebuild the identical two-commit log, three parquet commit rounds
+    per sweep).  The shared tree lives until process exit (atexit rmtree)
+    so each key's lazy reads stay valid; the oracles are unchanged —
+    only the fixture cost is deduplicated."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = _CDF_CACHE.get(sf_dir)
+    if root is not None and os.path.isdir(os.path.join(root, "_log")):
+        return SnapshotLog(root)
+    root = tempfile.mkdtemp(prefix="cdf_shared_")
+    log = _cdf_log(spark, sf_dir, root)
+    _CDF_CACHE[sf_dir] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return log
 
 
 def _cdf_log(spark: SparkSession, sf_dir: str, root: str) -> SnapshotLog:
@@ -167,10 +189,7 @@ def table_changes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVM correctness property.  At 100 TB this is the difference
     between an O(changes) micro-update and an O(table) rebuild per
     commit."""
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="cdfapply_")
-    log = _cdf_log(spark, sf_dir, root)
+    log = _cdf_log_shared(spark, sf_dir)
     # the materialized view AS OF v0 (in production it sits materialized
     # from the previous maintenance cycle; rebuilt here for
     # self-containment — its cost is NOT part of the claim)
@@ -209,7 +228,7 @@ def table_changes_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") != 0)
     )
-    return materialize_then_rmtree(out, root)
+    return out.localCheckpoint(eager=True)
 
 
 @register(
@@ -243,8 +262,8 @@ def table_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_apply_changes,
     )
 
-    root = tempfile.mkdtemp(prefix="cdfstream_")
-    log = _cdf_log(spark, sf_dir, root)
+    root = tempfile.mkdtemp(prefix="cdfstream_")  # per-key scratch only
+    log = _cdf_log_shared(spark, sf_dir)
     view_path = f"{root}/view"
     # the materialized view AS OF v0 — the consumer's starting state
     log.read(spark, 0).groupBy("status").agg(

@@ -318,6 +318,39 @@ def test_commit_failure_before_publish_cleans_orphan_dir(spark, tmp_path):
     assert log.read(spark).count() == 5
 
 
+# ---- clustering compaction -----------------------------------------------------------
+
+
+def test_compact_with_sort_cols_restores_pruning(spark, tmp_path):
+    """A compaction that round-robins destroys clustering; compact(sort_cols=...)
+    range-clusters the output and records write-time stats, so the
+    compacted table is immediately file-skippable: per-file [lo, hi]
+    bands are disjoint and a band predicate keeps a strict subset."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    # deliberately UN-clustered input: id interleaved across 8 files
+    log.commit(spark.range(10_000).repartition(8), note="v0 unclustered")
+    v = log.compact(spark, target_file_bytes=40_000, sort_cols=["id"])
+    files = [f for f in log.entry(v)["files"] if f["n_rows"] > 0]
+    assert len(files) > 1
+    bands = sorted(tuple(f["stats"]["id"]) for f in files)
+    for (lo1, hi1), (lo2, _hi2) in zip(bands, bands[1:]):
+        assert hi1 < lo2, bands  # disjoint ranges: clustering is real
+    kept = [
+        f["path"]
+        for f in files
+        if f["stats"]["id"][1] >= 100 and f["stats"]["id"][0] <= 200
+    ]
+    assert 0 < len(kept) < len(files)  # the band predicate skips files
+    got = (
+        spark.read.parquet(*kept)
+        .where(F.col("id").between(100, 200))
+        .count()
+    )
+    assert got == 101
+    # rows survived the compaction exactly
+    assert log.read(spark, v).count() == 10_000
+
+
 # ---- snaplog streaming source: WAP awareness, rewrite detection, pruning ------------
 
 
