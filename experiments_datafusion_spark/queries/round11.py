@@ -24,6 +24,79 @@ from experiments_datafusion_spark.operators.table_format import (
 )
 from experiments_datafusion_spark.queries import register
 
+# user-id band for the clustering-compaction key — distinct from
+# scan_pruning_zorder's 2..5 x-band so the two keys can't verify each other
+_CC_LO, _CC_HI = 3, 9
+
+
+@register(
+    "table_compact_cluster",
+    tags=("io", "maintenance", "layout"),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+       CAST(sum(event_id) AS BIGINT)   AS id_sum,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                                       AS value_units
+FROM events
+WHERE user_id BETWEEN {_CC_LO} AND {_CC_HI}
+""",
+)
+def table_compact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING compaction (Delta OPTIMIZE ... ZORDER BY in its 1-D
+    form): a round-robin-landed events table — every file's [lo, hi]
+    spans the whole user_id domain, so manifest pruning keeps ALL files
+    (asserted as the counterfactual) — is compacted with
+    ``compact(sort_cols=["user_id"])``: files cut by range partition,
+    sorted within, write-time stats recorded in the new manifest.  A
+    user-band query then prunes the COMPACTED manifest driver-side
+    (asserted: survivors < total) and scans only surviving files with
+    the residual filter, oracled against the raw-events recompute.  The
+    point at 100 TB: a compaction that round-robins silently REVOKES a
+    table's file-skipping; OPTIMIZE takes the sort spec so small-file
+    health and pruning health are the same maintenance pass."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tcc_")
+    log = SnapshotLog(root)
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    v0 = log.commit(
+        ev.repartition(16), note="unclustered landing", stats_cols=["user_id"]
+    )
+    # counterfactual: the unclustered layout prunes NOTHING
+    f0 = [f for f in log.entry(v0)["files"] if f["n_rows"] > 0]
+    keep0 = [
+        f
+        for f in f0
+        if f["stats"]["user_id"][1] >= _CC_LO and f["stats"]["user_id"][0] <= _CC_HI
+    ]
+    assert len(keep0) == len(f0), "unclustered layout unexpectedly prunable"
+
+    # target ~8 clustered files at EVERY scale (sizing from the manifest,
+    # as compact itself does)
+    total = sum(f["size"] for f in log.entry(v0)["files"])
+    v1 = log.compact(
+        spark, target_file_bytes=max(8 * 1024, total // 8), sort_cols=["user_id"]
+    )
+    f1 = [f for f in log.entry(v1)["files"] if f["n_rows"] > 0]
+    survivors = [
+        f["path"]
+        for f in f1
+        if f["stats"]["user_id"][1] >= _CC_LO and f["stats"]["user_id"][0] <= _CC_HI
+    ]
+    assert 0 < len(survivors) < len(f1), (len(survivors), len(f1))
+    band = log.read_files(spark, survivors).where(
+        F.col("user_id").between(_CC_LO, _CC_HI)
+    )
+    out = band.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("value_units"),
+    )
+    return materialize_then_rmtree(out, root)
+
+
 # cutover + delete band — distinct from every other maintenance key's
 # constants (table_delete_pruned bands custkey 2..40 with no cut;
 # table_time_travel cuts 1995-06-01; CDF cuts 1996-01-01) so no two keys
