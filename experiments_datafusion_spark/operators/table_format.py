@@ -172,7 +172,22 @@ class SnapshotLog:
         (and stats-only aggregates can answer) without touching data."""
         version = self.latest_version() + 1
         data_dir = os.path.join(self.root, f"v{version}")
-        df.write.mode("error").parquet(data_dir)
+        try:
+            df.write.mode("error").parquet(data_dir)
+        except Exception as exc:
+            # two FULL commits racing the same version collide at the
+            # data-dir write (mode("error") on v{N}) before either
+            # reaches the log — surface it as the conflict it is.  A
+            # full rewrite READ the whole table, so per the Delta rules
+            # NO concurrent commit commutes with it: there is no rebase,
+            # the caller must re-derive (commit_rewrite_checked /
+            # commit_append_rebased are the rebaseable shapes).
+            if "PATH_ALREADY_EXISTS" in str(exc) or "already exists" in str(exc):
+                raise CommitConflict(
+                    f"data dir v{version} already exists — another writer "
+                    "is committing this version (full commits do not rebase)"
+                ) from exc
+            raise
         try:
             files = sorted(
                 os.path.join(data_dir, f)

@@ -58,6 +58,18 @@ def test_publish_same_pid_thread_race_is_clean_conflict(tmp_path):
         assert not [f for f in os.listdir(log._log_dir) if f.endswith(".tmp")]
 
 
+def test_full_commit_dir_collision_is_commit_conflict(spark, tmp_path):
+    """Two FULL commits racing one version collide at the v{N} data-dir
+    write; that must surface as CommitConflict (no rebase for full
+    rewrites — the caller re-derives), not a raw Spark path error."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(spark.range(5))
+    # simulate the loser: the winner's data dir (and entry) already exist
+    os.makedirs(os.path.join(log.root, "v1"))
+    with pytest.raises(CommitConflict, match="another writer"):
+        log.commit(spark.range(5, 9))
+
+
 # ---- conflict-checked rewrite commits ----------------------------------------------
 
 
