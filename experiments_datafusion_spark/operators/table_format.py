@@ -772,25 +772,53 @@ class EvolvingLog(SnapshotLog):
         self._stamp(v, [tuple(c) for c in columns], schema_v_of=parent_sv)
         return v
 
-    def evolve(self, new_columns, note: str = "") -> int:
+    def evolve(self, new_columns, note: str = "", attempts: int = 10) -> int:
         """METADATA-ONLY schema evolution: the new version references the
         parent's files untouched (same paths, same schema_v) and changes
         only the live column list.  Same id + new name = RENAME; same id
         + wider type = WIDEN; id absent = DROP; fresh id = ADD (surfaces
         NULL for files that predate it).  Cost: one O(live files) log
-        entry — never a data write."""
-        parent = self.latest_version()
-        pe = self.entry(parent)
-        version = parent + 1
-        entry = {
-            "version": version,
-            "note": note,
-            "kind": "schema-evolution",
-            "columns": [[int(i), n, t] for i, n, t in new_columns],
-            "files": [dict(f) for f in pe["files"]],
-        }
-        self._publish(version, entry)
-        return version
+        entry — never a data write.
+
+        CONCURRENCY (round 11, completing the per-kind contract): an
+        evolve COMMUTES with concurrent appends — the rebase re-reads the
+        new latest and re-derives its file list (appended files keep
+        their own schema_v and resolve through the ids like any other
+        generation).  A CONCURRENT SCHEMA CHANGE does not commute: if the
+        latest's column list is no longer the one this evolve was derived
+        against, the two DDLs raced and the loser aborts loudly
+        (ConcurrentModification) — last-writer-wins on schema is how
+        silent column resurrection happens."""
+        base_parent = self.latest_version()
+        base_cols = self.entry(base_parent)["columns"]
+        for _ in range(attempts):
+            parent = self.latest_version()
+            pe = self.entry(parent)
+            if pe.get("kind") == "staged":
+                raise ValueError(
+                    f"cannot evolve on staged version {parent}; "
+                    "publish_staged or vacuum it first"
+                )
+            if parent != base_parent and pe.get("columns") != base_cols:
+                raise ConcurrentModification(
+                    "concurrent schema change: live columns moved from "
+                    f"{base_cols} to {pe.get('columns')} while this evolve "
+                    "was derived — re-derive against the new schema"
+                )
+            version = parent + 1
+            entry = {
+                "version": version,
+                "note": note,
+                "kind": "schema-evolution",
+                "columns": [[int(i), n, t] for i, n, t in new_columns],
+                "files": [dict(f) for f in pe["files"]],
+            }
+            try:
+                self._publish(version, entry)
+                return version
+            except CommitConflict:
+                continue  # rebase: somebody else won this version
+        raise CommitConflict(f"evolve did not land after {attempts} attempts")
 
     def read_evolved(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Scan a version through the id mapping (class docstring): one
@@ -1035,28 +1063,41 @@ def commit_staged(log: SnapshotLog, df: DataFrame, note: str = "") -> int:
     return log.commit(df, note=note, kind="staged")
 
 
-def publish_staged(log: SnapshotLog, staged_version: int, note: str = "") -> int:
+def publish_staged(
+    log: SnapshotLog, staged_version: int, note: str = "", attempts: int = 10
+) -> int:
     """PUBLISH step: a METADATA-ONLY append-commit merging the staged
     batch into the published head — the new entry's file list is
     head_published's files PLUS the staged snapshot's files, kind='data',
     so the audit-passed batch becomes visible atomically (one
     put-if-absent log append), zero data moved.  An audit failure simply
     never calls this: the staged entry stays invisible to consumers and
-    its files are vacuumable."""
+    its files are vacuumable.
+
+    CONCURRENCY (round 11): publishing IS an append of the staged batch,
+    so it commutes with any concurrent commit — on CommitConflict the
+    rebase re-resolves the (possibly moved) published head and retries,
+    exactly like commit_append_rebased; the staged files are added onto
+    whatever head won."""
     e = log.entry(staged_version)
     if e.get("kind") != "staged":
         raise ValueError(f"version {staged_version} is not a staged snapshot")
-    head_files = [dict(f) for f in log.entry(head_published(log))["files"]]
-    version = log.latest_version() + 1
-    entry = {
-        "version": version,
-        "note": note or f"publish staged v{staged_version}",
-        "kind": "data",
-        "schema": e.get("schema"),
-        "files": head_files + [dict(f) for f in e["files"]],
-    }
-    log._publish(version, entry)
-    return version
+    for _ in range(attempts):
+        head_files = [dict(f) for f in log.entry(head_published(log))["files"]]
+        version = log.latest_version() + 1
+        entry = {
+            "version": version,
+            "note": note or f"publish staged v{staged_version}",
+            "kind": "data",
+            "schema": e.get("schema"),
+            "files": head_files + [dict(f) for f in e["files"]],
+        }
+        try:
+            log._publish(version, entry)
+            return version
+        except CommitConflict:
+            continue  # rebase: re-resolve the head, retry
+    raise CommitConflict(f"publish did not land after {attempts} attempts")
 
 
 def head_published(log: SnapshotLog) -> int:

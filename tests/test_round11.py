@@ -239,6 +239,94 @@ def test_append_nullability_narrowing_allowed_widening_refused(spark, tmp_path):
         log2.commit_append(nullable)
 
 
+# ---- metadata-only commits under concurrency ----------------------------------------
+
+
+def test_evolve_rebases_over_concurrent_append(spark, tmp_path):
+    """A schema evolution racing an append: the evolve loses its first
+    publish, rebases over the appended files (appends commute with
+    evolve — appended files resolve through their own schema_v), and the
+    evolved read sees both the new schema and the appended rows."""
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(str(tmp_path / "t"))
+    log.commit_columns(spark.range(5).select(F.col("id").alias("a")), [(1, "a", "bigint")])
+
+    real_publish = log._publish
+    state = {"done": False}
+
+    def losing_first(version: int, entry: dict) -> None:
+        if not state["done"]:
+            state["done"] = True
+            other = EvolvingLog(log.root)
+            other.append_columns(spark.range(5, 8).select(F.col("id").alias("a")))
+        real_publish(version, entry)
+
+    log._publish = losing_first
+    v = log.evolve([(1, "a_renamed", "bigint")], note="rename a")
+    log._publish = real_publish
+    assert state["done"] and v == 2
+    got = log.read_evolved(spark)
+    assert got.columns == ["a_renamed"]
+    assert sorted(r.a_renamed for r in got.collect()) == list(range(8))
+
+
+def test_concurrent_schema_changes_abort(spark, tmp_path):
+    """Two evolves racing: the loser must NOT last-writer-win (silent
+    schema resurrection) — it aborts with ConcurrentModification."""
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(str(tmp_path / "t"))
+    log.commit_columns(spark.range(5).select(F.col("id").alias("a")), [(1, "a", "bigint")])
+
+    real_publish = log._publish
+    state = {"done": False}
+
+    def losing_first(version: int, entry: dict) -> None:
+        if not state["done"]:
+            state["done"] = True
+            EvolvingLog(log.root).evolve([(1, "b", "bigint")], note="winner")
+        real_publish(version, entry)
+
+    log._publish = losing_first
+    with pytest.raises(ConcurrentModification, match="schema change"):
+        log.evolve([(1, "c", "bigint")], note="loser")
+    log._publish = real_publish
+    assert log.read_evolved(spark).columns == ["b"]  # the winner's DDL holds
+
+
+def test_publish_staged_rebases_over_concurrent_publish(spark, tmp_path):
+    """Two WAP publishes racing (appends/rewrites refuse staged tips, so
+    the realistic publish race is another publish): the loser rebases —
+    re-resolves the head the winner moved — and BOTH audited batches
+    become visible, neither lost."""
+    from experiments_datafusion_spark.operators.table_format import (
+        commit_staged,
+        publish_staged,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit_append(spark.range(10))
+    sv_a = commit_staged(log, spark.range(100, 104))
+    sv_b = commit_staged(log, spark.range(200, 203))
+
+    real_publish = log._publish
+    state = {"done": False}
+
+    def losing_first(version: int, entry: dict) -> None:
+        if not state["done"]:
+            state["done"] = True
+            publish_staged(SnapshotLog(log.root), sv_b)  # B wins the version
+        real_publish(version, entry)
+
+    log._publish = losing_first
+    v = publish_staged(log, sv_a)
+    log._publish = real_publish
+    assert state["done"] and v == 4  # v1/v2 staged, v3 = B's publish, v4 = A's
+    got = sorted(r.id for r in log.read(spark).collect())
+    assert got == list(range(10)) + [100, 101, 102, 103, 200, 201, 202]
+
+
 # ---- merge_into NULL-condition semantics (ADVICE r10, medium) -----------------------
 
 
