@@ -122,6 +122,108 @@ def topk_bruteforce(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    pool: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998 —
+    the diversity-aware top-k every RAG retrieval stack runs after its
+    ANN stage): retrieve a candidate ``pool`` per query (exact cosine
+    here — the recall baseline; IVF/LSH feed the pool at corpus scale),
+    then greedily select k docs maximizing
+
+        lam * sim(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    i.e. each pick trades query relevance against redundancy with what's
+    already selected.  Dataflow: the pool retrieval is the usual
+    broadcast-queries-vs-partitioned-corpus rank; the pairwise penalty
+    matrix is pool^2 rows PER QUERY (co-keyed on query_id — never an
+    all-corpus pair join); the greedy loop is k chained small joins over
+    those checkpointed pools, each iteration one anti-join + one
+    max-aggregate + one windowed argmax.  Cost after retrieval is
+    O(queries * pool^2), INDEPENDENT of corpus size — the property that
+    lets the re-rank run as a per-query postprocess at 100 TB.  All
+    similarities are quantized to 6dp before any argmax (ties broken by
+    doc id), so selection is engine-stable and the DuckDB oracle replays
+    the greedy walk exactly."""
+    c = _with_norm(corpus).select(
+        F.col(id_col).alias("doc_id"), F.col("embedding").alias("c_emb"), "nrm"
+    )
+    q = _with_norm(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    simq = F.round(
+        dotd(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("simq").desc(), F.col("doc_id"))
+    cand_full = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", simq.alias("simq"), "c_emb", "nrm")
+        .withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= pool)
+    )
+    a, b = cand_full.alias("a"), cand_full.alias("b")
+    s = F.round(
+        dotd(F.col("a.c_emb"), F.col("b.c_emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    # pool^2 rows per query; computed ONCE, reused by every greedy step
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            s.alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = cand_full.select("query_id", "doc_id", "simq").localCheckpoint(eager=True)
+    w1 = Window.partitionBy("query_id").orderBy(F.col("simq").desc(), F.col("doc_id"))
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("query_id", "doc_id", "simq", F.lit(1).cast("bigint").alias("rank"))
+    )
+    for i in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select("query_id", F.col("doc_id").alias("d2")),
+                ["query_id", "d2"],
+            )
+            .groupBy("query_id", F.col("d1").alias("doc_id"))
+            .agg(F.max("s").alias("maxs"))
+        )
+        rem = cand.join(selected.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
+        score = F.round(
+            F.lit(lam) * F.col("simq")
+            - F.lit(1 - lam) * F.coalesce(F.col("maxs"), F.lit(0.0)),
+            6,
+        )
+        wi = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+        pick = (
+            rem.join(pen, ["query_id", "doc_id"], "left_outer")
+            .select("query_id", "doc_id", "simq", score.alias("score"))
+            .withColumn("rn", F.row_number().over(wi))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id", "doc_id", "simq", F.lit(i).cast("bigint").alias("rank")
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select("query_id", "rank", "doc_id", "simq")
+
+
 def _proj(vec: Column, plane: list[float]) -> Column:
     """v . plane as an UNROLLED left-associated sum chain — bit-identical to
     the sequential HOF/list_sum accumulation (same order), but flat

@@ -98,7 +98,7 @@ _PRIORITY = (
     # WAP-aware source; the CDF trio shares one fixture log per sweep;
     # compact_small_files/table_delete_pruned sit on the commit paths the
     # round touched (stats robustness, orphan cleanup, schema narrowing)
-    "table_concurrent_rewrite", "table_compact_cluster",
+    "table_concurrent_rewrite", "table_compact_cluster", "sim_mmr_rerank",
     "dedup_stream_minhash", "table_merge_into", "table_stream_ingest",
     "table_log_stream_source", "table_changes", "table_changes_apply",
     "table_changes_stream", "compact_small_files", "table_delete_pruned",

@@ -24,6 +24,107 @@ from experiments_datafusion_spark.operators.table_format import (
 )
 from experiments_datafusion_spark.queries import register
 
+# ---- MMR re-ranking ------------------------------------------------------------------
+
+_MMR_NQ = 4  # vec_id < 4 are the query vectors (the registry convention)
+_MMR_POOL = 12
+_MMR_K = 6
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    """DuckDB replay of the greedy MMR walk: candidate pool + pairwise
+    sims as CTEs, then one (penalty, remaining, argmax) CTE triple PER
+    greedy step — the same unrolled-iteration oracle style as
+    embedding_kmeans / sim_topk_pq_trained.  Every similarity and score
+    is quantized to 6dp with doc-id tiebreaks before any argmax, in both
+    engines, so the walks cannot diverge."""
+    dotsql = (
+        "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    parts = [
+        f"""norms AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cand AS (
+  SELECT query_id, doc_id, simq FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           round({dotsql.format(a='q', b='c')} / (q.nrm * c.nrm), 6) AS simq,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({dotsql.format(a='q', b='c')} / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id) AS crank
+    FROM norms q JOIN norms c ON q.vec_id < {_MMR_NQ} AND c.vec_id <> q.vec_id
+  ) WHERE crank <= {_MMR_POOL}
+),
+pairs AS (
+  SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+         round({dotsql.format(a='na', b='nb')} / (na.nrm * nb.nrm), 6) AS s
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+  JOIN norms na ON na.vec_id = a.doc_id
+  JOIN norms nb ON nb.vec_id = b.doc_id
+),
+up1 AS (
+  SELECT query_id, doc_id, simq, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY simq DESC, doc_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""pen{i} AS (
+  SELECT p.query_id, p.d1 AS doc_id, max(p.s) AS maxs
+  FROM pairs p JOIN up{i - 1} s ON p.query_id = s.query_id AND p.d2 = s.doc_id
+  GROUP BY p.query_id, p.d1
+),
+pick{i} AS (
+  SELECT query_id, doc_id, simq, {i} AS rank FROM (
+    SELECT c.query_id, c.doc_id, c.simq,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY round({_MMR_LAM} * c.simq
+                            - {round(1 - _MMR_LAM, 10)} * coalesce(p.maxs, 0), 6) DESC,
+                      c.doc_id) AS rn
+    FROM cand c
+    LEFT JOIN up{i - 1} s ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+    LEFT JOIN pen{i} p ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+    WHERE s.doc_id IS NULL
+  ) WHERE rn = 1
+),
+up{i} AS (SELECT * FROM up{i - 1} UNION ALL SELECT * FROM pick{i})"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, simq
+FROM up{_MMR_K}
+"""
+
+
+@register("sim_mmr_rerank", tags=("llm", "similarity"), oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (operators/similarity.py:
+    mmr_rerank) — the diversity-aware top-k a RAG stack runs after ANN
+    retrieval: greedy selection of {_MMR_K} docs per query from a
+    {_MMR_POOL}-candidate pool, each pick maximizing lam*sim(q,d) -
+    (1-lam)*max-sim-to-selected.  Post-retrieval cost is
+    O(queries * pool^2), independent of corpus size; the oracle unrolls
+    the greedy walk as per-step CTEs with the identical 6dp quantization
+    and doc-id tiebreaks."""
+    from experiments_datafusion_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MMR_NQ)
+    return S.mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
+
+
 # user-id band for the clustering-compaction key — distinct from
 # scan_pruning_zorder's 2..5 x-band so the two keys can't verify each other
 _CC_LO, _CC_HI = 3, 9

@@ -616,6 +616,50 @@ def test_band_state_compaction_preserves_verdicts_and_shrinks(spark, sf_dir, tmp
     assert v_refold == v_plain
 
 
+# ---- MMR re-ranking -----------------------------------------------------------------
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """The penalty term must BITE: MMR's selection diverges from plain
+    cosine top-k for at least one query (otherwise the key degenerates to
+    brute force), rank-1 always equals the cosine argmax (no penalty on
+    the first pick), and every selected doc comes from the candidate
+    pool."""
+    from experiments_datafusion_spark.io import table as load_table
+    from experiments_datafusion_spark.operators import similarity as S
+    from experiments_datafusion_spark.queries.round11 import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_NQ,
+        _MMR_POOL,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MMR_NQ)
+    mmr = S.mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
+    topk = S.topk_bruteforce(emb, queries, _MMR_K)
+    m = {(r.query_id, r.rank): r.doc_id for r in mmr.collect()}
+    t = {(r.query_id, r.rank): r.neighbor_id for r in topk.collect()}
+    assert len(m) == _MMR_NQ * _MMR_K
+    # rank 1 is the plain argmax for every query
+    for qid in range(_MMR_NQ):
+        assert m[(qid, 1)] == t[(qid, 1)]
+    # diversity: the sets differ for at least one query
+    diverged = any(
+        {m[(qid, r)] for r in range(1, _MMR_K + 1)}
+        != {t[(qid, r)] for r in range(1, _MMR_K + 1)}
+        for qid in range(_MMR_NQ)
+    )
+    assert diverged, "MMR never diverged from plain top-k: penalty is dead"
+    # pool containment: selected docs are all top-POOL candidates
+    pool = S.topk_bruteforce(emb, queries, _MMR_POOL)
+    pool_sets: dict = {}
+    for r in pool.collect():
+        pool_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for (qid, _rank), doc in m.items():
+        assert doc in pool_sets[qid]
+
+
 # ---- O(1) append_once --------------------------------------------------------------
 
 
