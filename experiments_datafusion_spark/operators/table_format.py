@@ -119,6 +119,9 @@ class SnapshotLog:
         with EEXIST if a concurrent writer already took this version, so
         a race surfaces as CommitConflict, never as a silently replaced
         entry."""
+        import time
+
+        entry.setdefault("ts", time.time())  # commit timestamp (TIMESTAMP AS OF)
         tmp = self._tmp_path(version)
         with open(tmp, "w") as fh:
             json.dump(entry, fh)
@@ -581,6 +584,29 @@ class SnapshotLog:
                 os.remove(p)
         return upto
 
+    def version_as_of_ts(self, ts: float) -> int:
+        """Delta ``TIMESTAMP AS OF`` resolution: the newest version whose
+        commit timestamp is <= ``ts`` (every publish stamps one).  Like
+        the real thing, this is an O(versions) driver-side walk over log
+        entries — catalog metadata, never data.  Raises if the timestamp
+        predates the table."""
+        best = None
+        for v in self.versions():
+            e = self.entry(v)
+            if e.get("ts") is not None and e["ts"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no version committed at or before ts={ts}")
+        return best
+
+    def stamp_ts(self, version: int, ts: float) -> None:
+        """Re-stamp a version's commit timestamp (ownership rule as in
+        _republish: only the writer that just published may call this —
+        fixtures use it to pin deterministic clocks)."""
+        e = self.entry(version)
+        e["ts"] = float(ts)
+        self._republish(version, e)
+
     def manifest(self, version: int) -> list[FileEntry]:
         return [FileEntry(f["path"], f["size"]) for f in self.entry(version)["files"]]
 
@@ -1028,6 +1054,52 @@ def changes_between(
         *[F.col(f"_ch.{c}").alias(c) for c in payload],
         F.col(f"_ch.{change_col}").alias(change_col),
     )
+
+
+def changes_incremental(
+    log: SnapshotLog,
+    spark: SparkSession,
+    v_from: int,
+    v_to: int,
+    change_col: str = "_change_type",
+    version_col: str = "_commit_version",
+) -> DataFrame:
+    """CDF over an APPEND-ONLY version range straight from the MANIFESTS —
+    the fast path a real format takes for appends (Delta emits no change
+    files for AddFile-only commits; the readChangeFeed scan is just the
+    added files): every version in (v_from, v_to] contributes its NEW
+    files as ``insert`` rows stamped with the commit version.  Cost is
+    O(new files) scan — NO join against the previous snapshot, which is
+    what makes per-commit CDF consumption O(changes) instead of O(table)
+    (``changes_between`` remains the general diff for ranges containing
+    rewrites).  A version that REMOVED files is not append-only; this
+    reader refuses it loudly rather than emitting a wrong feed."""
+    vs = [v for v in log.versions() if v_from < v <= v_to]
+    if not vs:
+        raise ValueError(f"no versions in ({v_from}, {v_to}]")
+    prev_files = {fe.path for fe in log.manifest(v_from)}
+    out = None
+    for v in vs:
+        cur = [fe.path for fe in log.manifest(v)]
+        removed = prev_files - set(cur)
+        if removed:
+            raise ValueError(
+                f"version {v} removed {len(removed)} file(s) — range is not "
+                "append-only; use changes_between for rewrite-bearing ranges"
+            )
+        added = [p for p in cur if p not in prev_files]
+        prev_files = set(cur)
+        if not added:
+            continue
+        part = (
+            spark.read.parquet(*added)
+            .withColumn(change_col, F.lit("insert"))
+            .withColumn(version_col, F.lit(v).cast("bigint"))
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError(f"range ({v_from}, {v_to}] added no files")
+    return out
 
 
 class ConstraintViolation(Exception):

@@ -24,6 +24,113 @@ from experiments_datafusion_spark.operators.table_format import (
 )
 from experiments_datafusion_spark.queries import register
 
+# ---- append-only CDF from manifests ---------------------------------------------------
+
+# date bands distinct from every other key's cuts (CDF 1996-01-01,
+# time travel 1995-06-01, concurrent rewrite 1997-03-01, restore 1995-12-01)
+_CI_C1, _CI_C2, _CI_C3 = "1996-09-01", "1997-06-01", "1998-03-01"
+
+
+@register(
+    "table_changes_incremental",
+    tags=("io", "maintenance", "dimensional"),
+    oracle=f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+       'insert' AS _change_type,
+       CAST(CASE WHEN o_orderdate < TIMESTAMP '{_CI_C2}' THEN 1 ELSE 2 END AS BIGINT)
+           AS _commit_version
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_CI_C1}'
+  AND o_orderdate <  TIMESTAMP '{_CI_C3}'
+""",
+)
+def table_changes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF the way a format serves it for APPENDS — from the manifests,
+    no join (operators/table_format.changes_incremental): versions 1 and
+    2 are append commits, and the change feed over (0, 2] is exactly
+    their NEW files scanned as ``insert`` rows stamped with the commit
+    version that added them.  table_changes (the full-outer diff) is the
+    general path for rewrite-bearing ranges; this key pins the O(new
+    files) fast path that makes per-commit consumption O(changes) at
+    100 TB — the oracle recomputes both appends' row sets and version
+    stamps from raw orders by date band.  Refusal on non-append ranges
+    is pinned in tests."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import (
+        changes_incremental,
+    )
+
+    root = tempfile.mkdtemp(prefix="tci_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        "o_orderdate",
+    )
+
+    def band(lo=None, hi=None):
+        df = orders
+        if lo:
+            df = df.where(F.col("o_orderdate") >= lo)
+        if hi:
+            df = df.where(F.col("o_orderdate") < hi)
+        return df.select("o_orderkey", "price_c")
+
+    log.commit_append(band(hi=_CI_C1), note="v0 base")
+    log.commit_append(band(_CI_C1, _CI_C2), note="append 1")
+    log.commit_append(band(_CI_C2, _CI_C3), note="append 2")
+    out = changes_incremental(log, spark, 0, 2)
+    return materialize_then_rmtree(out, root)
+
+
+# ---- TIMESTAMP AS OF time travel -------------------------------------------------------
+
+_TT_CUTS = ("1994-09-01", "1996-03-01", "1997-09-01")
+
+
+@register(
+    "table_time_travel_ts",
+    tags=("io", "maintenance"),
+    oracle=f"""
+SELECT CAST(1 AS BIGINT)               AS resolved_version,
+       CAST(count(*) AS BIGINT)        AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderdate < TIMESTAMP '{_TT_CUTS[1]}'
+""",
+)
+def table_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (the Delta surface table_time_travel's
+    VERSION AS OF twin lacks): every publish stamps a commit timestamp
+    in the log entry; ``version_as_of_ts`` resolves a query timestamp to
+    the newest version committed at or before it — an O(versions)
+    driver-side walk over catalog entries, never data.  Three growing
+    snapshots are stamped with a deterministic clock (10/20/30) and read
+    AS OF t=25, which must resolve to version 1 — the oracle recomputes
+    that snapshot's slice from raw orders."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ttts_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    for i, cut in enumerate(_TT_CUTS):
+        v = log.commit(
+            orders.where(F.col("o_orderdate") < cut).select("o_orderkey"),
+            note=f"as of {cut}",
+        )
+        log.stamp_ts(v, 10.0 * (i + 1))
+    v = log.version_as_of_ts(25.0)
+    out = log.read(spark, v).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).select(
+        F.lit(v).cast("bigint").alias("resolved_version"), "n_rows", "key_sum"
+    )
+    return materialize_then_rmtree(out, root)
+
+
 # ---- MMR re-ranking ------------------------------------------------------------------
 
 _MMR_NQ = 4  # vec_id < 4 are the query vectors (the registry convention)

@@ -616,6 +616,49 @@ def test_band_state_compaction_preserves_verdicts_and_shrinks(spark, sf_dir, tmp
     assert v_refold == v_plain
 
 
+# ---- append-only CDF fast path + TIMESTAMP AS OF -------------------------------------
+
+
+def test_changes_incremental_appends_only_and_refuses_rewrites(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import (
+        changes_incremental,
+    )
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit_append(spark.range(5))
+    log.commit_append(spark.range(5, 12))
+    log.commit_append(spark.range(12, 15))
+    feed = changes_incremental(log, spark, 0, 2)
+    got = sorted((r.id, r._commit_version) for r in feed.collect())
+    assert got == [(i, 1) for i in range(5, 12)] + [(i, 2) for i in range(12, 15)]
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+    # a compaction inside the range is not append-only: refuse loudly
+    log.compact(spark)
+    with pytest.raises(ValueError, match="not.*append-only|append-only"):
+        changes_incremental(log, spark, 0, 3)
+    # ...but the range AFTER the compaction is append-only again
+    log.commit_append(spark.range(15, 18))
+    post = changes_incremental(log, spark, 3, 4)
+    assert sorted(r.id for r in post.collect()) == [15, 16, 17]
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    for i, n in enumerate((3, 6, 9)):
+        v = log.commit(spark.range(n), note=f"v{i}")
+        log.stamp_ts(v, 10.0 * (i + 1))
+    assert log.version_as_of_ts(25.0) == 1
+    assert log.version_as_of_ts(20.0) == 1  # inclusive boundary
+    assert log.version_as_of_ts(19.999) == 0
+    assert log.version_as_of_ts(1e9) == 2
+    with pytest.raises(ValueError, match="no version committed"):
+        log.version_as_of_ts(5.0)
+    # every publish stamps a real clock by default
+    fresh = SnapshotLog(str(tmp_path / "u"))
+    fresh.commit(spark.range(2))
+    assert fresh.entry(0)["ts"] > 0
+
+
 # ---- MMR re-ranking -----------------------------------------------------------------
 
 
