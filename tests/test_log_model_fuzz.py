@@ -1,0 +1,144 @@
+"""Model-based STATE-MACHINE fuzZing of the snapshot log (round 11): a
+seeded random walk over the commit surface — append, rebased append,
+checked band-delete rewrite, compaction (round-robin AND clustered),
+RESTORE, log checkpointing, TIMESTAMP AS OF — with a plain-Python MODEL
+of the expected table contents at every version.  After every operation
+the real log's read must equal the model, AS OF reads must equal the
+model's history, and changes_between must equal the model's set diff.
+
+This is the table-format analog of tools/fuzz_differential.py: the
+hand-written keys each pin one dataflow; the walk probes the COMPOSITION
+space (restore after compaction, delete after restore, checkpoint in the
+middle, ...) that no single key enumerates.  Seeded, so a failure
+reproduces exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from experiments_datafusion_spark.operators.table_format import (
+    SnapshotLog,
+    changes_between,
+)
+
+
+def _read_ids(log: SnapshotLog, spark, version=None) -> list[int]:
+    return sorted(r.id for r in log.read(spark, version).collect())
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint")
+
+
+def _restore(log: SnapshotLog, version: int) -> int:
+    """RESTORE as a forward metadata commit (queries/round10.restore_version
+    without the module import cycle)."""
+    e = log.entry(version)
+    new_v = log.latest_version() + 1
+    entry = {
+        "version": new_v,
+        "note": f"restore v{version}",
+        "kind": "data",
+        "schema": e.get("schema"),
+        "files": [dict(f) for f in e["files"]],
+    }
+    log._publish(new_v, entry)
+    return new_v
+
+
+@pytest.mark.parametrize("seed", [20261101, 20261102, 20261103])
+def test_log_random_walk_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    log = SnapshotLog(str(tmp_path / f"t{seed}"))
+    next_id = 0
+
+    def fresh_ids(k):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + k))
+        next_id += k
+        return ids
+
+    # model: expected sorted id list per version; clock: synthetic ts per
+    # version (stamped after each commit so TIMESTAMP AS OF is testable)
+    cur = fresh_ids(rng.randint(5, 20))
+    v = log.commit(_df(spark, cur), note="v0")
+    log.stamp_ts(v, 0.0)
+    model = {0: sorted(cur)}
+
+    for step in range(1, 23):
+        op = rng.choices(
+            ["append", "append_rebased", "delete", "compact",
+             "compact_sorted", "restore", "checkpoint"],
+            weights=[30, 15, 20, 10, 10, 10, 5],
+        )[0]
+        if op == "checkpoint":
+            log.checkpoint()  # pure metadata: nothing changes, no version
+            assert _read_ids(log, spark) == model[log.latest_version()]
+            continue
+        if op == "append":
+            ids = fresh_ids(rng.randint(1, 15))
+            cur = sorted(cur + ids)
+            v = log.commit_append(_df(spark, ids), note=f"append {step}")
+        elif op == "append_rebased":
+            ids = fresh_ids(rng.randint(1, 15))
+            cur = sorted(cur + ids)
+            v = log.commit_append_rebased(_df(spark, ids), note=f"appendr {step}")
+        elif op == "delete":
+            if not cur:
+                continue
+            lo = rng.choice(cur)
+            hi = lo + rng.randint(0, max(cur) - lo)
+            # checked rewrite: affected = files whose [min,max] hits the band
+            # (one distributed stats pass), keep = the rest — the pruned
+            # DELETE shape under a random band
+            from experiments_datafusion_spark.operators.table_format import (
+                file_stats,
+            )
+
+            stats = file_stats(log.read(spark), "id")
+            affected = [
+                r.file_path for r in stats if r.hi >= lo and r.lo <= hi
+            ]
+            kept = [r.file_path for r in stats if not (r.hi >= lo and r.lo <= hi)]
+            if not affected:
+                continue
+            df_new = log.read_files(spark, affected).where(
+                ~F.col("id").between(lo, hi)
+            )
+            v = log.commit_rewrite_checked(
+                df_new, keep_files=kept, removed_files=affected,
+                note=f"delete [{lo},{hi}]",
+            )
+            cur = [i for i in cur if not (lo <= i <= hi)]
+        elif op == "compact":
+            v = log.compact(spark, target_file_bytes=16 * 1024)
+        elif op == "compact_sorted":
+            v = log.compact(spark, target_file_bytes=16 * 1024, sort_cols=["id"])
+        else:  # restore
+            target = rng.choice(sorted(model))
+            v = _restore(log, target)
+            cur = list(model[target])
+        log.stamp_ts(v, float(v))
+        model[v] = sorted(cur)
+        assert _read_ids(log, spark) == model[v], f"seed={seed} step={step} op={op}"
+
+    # history: every recorded version still reads as the model says
+    probe_versions = rng.sample(sorted(model), min(6, len(model)))
+    for pv in probe_versions:
+        assert _read_ids(log, spark, pv) == model[pv], f"seed={seed} as-of v{pv}"
+        # TIMESTAMP AS OF the synthetic clock resolves to the same state
+        assert log.version_as_of_ts(float(pv) + 0.5) >= pv
+
+    # CDF consistency: changes_between two random versions == the model diff
+    a, b = sorted(rng.sample(sorted(model), 2))
+    feed = changes_between(
+        log.read(spark, a), log.read(spark, b), key="id", payload=[]
+    )
+    got = {(r.id, r._change_type) for r in feed.collect()}
+    sa, sb = set(model[a]), set(model[b])
+    want = {(i, "insert") for i in sb - sa} | {(i, "delete") for i in sa - sb}
+    assert got == want, f"seed={seed} cdf v{a}->v{b}"
