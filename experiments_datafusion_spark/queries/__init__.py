@@ -100,6 +100,7 @@ _PRIORITY = (
     # round touched (stats robustness, orphan cleanup, schema narrowing)
     "table_concurrent_rewrite", "table_compact_cluster", "sim_mmr_rerank",
     "table_changes_incremental", "table_time_travel_ts",
+    "table_log_stream_ivm",
     "dedup_stream_minhash", "table_merge_into", "table_stream_ingest",
     "table_log_stream_source", "table_changes", "table_changes_apply",
     "table_changes_stream", "compact_small_files", "table_delete_pruned",

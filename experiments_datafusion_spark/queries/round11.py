@@ -24,6 +24,75 @@ from experiments_datafusion_spark.operators.table_format import (
 )
 from experiments_datafusion_spark.queries import register
 
+# ---- the medallion hop: table -> snaplog stream -> serving view -----------------------
+
+
+@register(
+    "table_log_stream_ivm",
+    tags=("streaming", "io", "maintenance", "aggregation"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS price_units
+FROM events
+GROUP BY user_id
+""",
+)
+def table_log_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDALLION hop end-to-end: a bronze table's APPEND commits are
+    consumed THROUGH the snaplog streaming source (each micro-batch =
+    one commit's new files, Arrow-batched, column-pruned to the two
+    columns the view needs) and folded into a silver per-user serving
+    aggregate by the same retract/apply consumer the CDF keys use —
+    append rows are just insert-signed changes, so
+    streaming/pipelines.stream_apply_changes maintains the view in
+    O(changes) per commit with no rescan of the bronze table.  This is
+    the composition the parts were built for: table format as SOURCE
+    (table_log_stream_source) + incremental view maintenance
+    (table_changes_stream) joined into one pipeline; the oracle
+    recomputes the final view from raw events, so losing OR re-emitting
+    any append anywhere in the chain fails the diff."""
+    import tempfile
+
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+    from experiments_datafusion_spark.streaming.pipelines import (
+        stream_apply_changes,
+    )
+
+    register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tivm_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("price_c"),
+    )
+    log = SnapshotLog(f"{root}/bronze")
+    for i in range(3):
+        log.commit_append(
+            ev.where(F.col("event_id") % 3 == i).select("user_id", "price_c"),
+            note=f"bronze append {i}",
+        )
+    src = (
+        spark.readStream.format("snaplog")
+        .option("path", f"{root}/bronze")
+        .option("columns", "user_id,price_c")  # pruned at the parquet read
+        .load()
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    q = stream_apply_changes(
+        src, f"{root}/view", group_col="user_id", value_col="price_c"
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "table_log_stream_ivm: availableNow stream did not drain in 300s"
+        )
+    out = spark.read.parquet(f"{root}/view").select("user_id", "n", "price_units")
+    return materialize_then_rmtree(out, root)
+
+
 # ---- append-only CDF from manifests ---------------------------------------------------
 
 # date bands distinct from every other key's cuts (CDF 1996-01-01,
