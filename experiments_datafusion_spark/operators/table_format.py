@@ -657,6 +657,21 @@ class SnapshotLog:
                     removed.append(p)
         return sorted(removed)
 
+    def vacuum_retain(self, since_ts: float) -> list[str]:
+        """Retention-policy vacuum (the Delta ``VACUUM ... RETAIN`` shape
+        over commit timestamps): keep every version committed at or after
+        ``since_ts`` PLUS the latest (the table must stay readable even if
+        the whole window expired), remove data files referenced by
+        nothing kept.  Pure metadata diff + O(dead files) unlinks, like
+        vacuum()."""
+        keep = {
+            v
+            for v in self.versions()
+            if self.entry(v).get("ts", 0.0) >= since_ts
+        }
+        keep.add(self.latest_version())
+        return self.vacuum(keep)
+
     def compact(
         self,
         spark: SparkSession,

@@ -88,8 +88,12 @@ _MODULES = (
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # round-11 NEW key (table_concurrent_rewrite = a stats-pruned DELETE
-    # racing an interposed append through commit_rewrite_checked) +
+    # round-11 NEW keys (table_concurrent_rewrite = a stats-pruned DELETE
+    # racing an interposed append through commit_rewrite_checked;
+    # table_compact_cluster = clustering compaction; sim_mmr_rerank = MMR
+    # diversity re-rank; table_changes_incremental = append-only CDF from
+    # manifests; table_time_travel_ts = TIMESTAMP AS OF;
+    # table_log_stream_ivm = bronze->snaplog-stream->silver hop) +
     # CHANGED keys re-verified fresh: dedup_stream_minhash now compacts
     # its LSH band state MID-stream; table_merge_into's WHEN conditions
     # coalesce to FALSE (NULL-condition fix; intended output unchanged);

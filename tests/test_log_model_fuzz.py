@@ -142,3 +142,100 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
     sa, sb = set(model[a]), set(model[b])
     want = {(i, "insert") for i in sb - sa} | {(i, "delete") for i in sa - sb}
     assert got == want, f"seed={seed} cdf v{a}->v{b}"
+
+
+@pytest.mark.parametrize("seed", [20261111, 20261112])
+def test_evolving_log_random_walk_matches_model(spark, tmp_path, seed):
+    """The schema-evolution twin: random walks over {append, RENAME, ADD,
+    DROP, WIDEN} with a column-ID model — rows live as {col_id: value}
+    dicts, so the model is inherently rename-proof and the walk checks
+    exactly what the id mapping must guarantee: every historical file
+    generation resolves to the live schema (added columns NULL for
+    pre-evolution rows, widened columns cast, dropped columns invisible,
+    renames free)."""
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    rng = random.Random(seed)
+    log = EvolvingLog(str(tmp_path / f"e{seed}"))
+    next_val = 0
+    next_id = 3
+    next_name = 0
+
+    def vals(k):
+        nonlocal next_val
+        out = list(range(next_val, next_val + k))
+        next_val += k
+        return out
+
+    live = [(1, "a", "bigint"), (2, "b", "int")]
+    rows = []  # model: list of {col_id: int}
+
+    def append(n):
+        nonlocal rows
+        new = [dict() for _ in range(n)]
+        for cid, _name, _t in live:
+            for r, v in zip(new, vals(n)):
+                r[cid] = v
+        rows = rows + new
+        ddl = ", ".join(f"{name} {t}" for _i, name, t in live)
+        data = [tuple(r[cid] for cid, _n, _t in live) for r in new]
+        return log.append_columns(spark.createDataFrame(data, ddl))
+
+    # v0: full commit under the id-carrying schema
+    first = [dict() for _ in range(rng.randint(3, 8))]
+    for cid, _name, _t in live:
+        for r, v in zip(first, vals(len(first))):
+            r[cid] = v
+    rows = first
+    ddl = ", ".join(f"{name} {t}" for _i, name, t in live)
+    log.commit_columns(
+        spark.createDataFrame([tuple(r[c] for c, _n, _t in live) for r in rows], ddl),
+        live,
+    )
+
+    def check(step, op):
+        got = log.read_evolved(spark)
+        names = [name for _i, name, _t in live]
+        assert sorted(got.columns) == sorted(names), (step, op)
+        got_rows = sorted(
+            tuple(r[name] for name in sorted(names)) for r in got.collect()
+        )
+        want = sorted(
+            tuple(r.get(cid) for cid, name, _t in sorted(live, key=lambda c: c[1]))
+            for r in rows
+        )
+        assert got_rows == want, f"seed={seed} step={step} op={op}"
+
+    check(0, "init")
+    for step in range(1, 15):
+        op = rng.choices(
+            ["append", "rename", "add", "drop", "widen"],
+            weights=[45, 15, 15, 10, 15],
+        )[0]
+        if op == "append":
+            append(rng.randint(1, 6))
+        elif op == "rename":
+            i = rng.randrange(len(live))
+            cid, _old, t = live[i]
+            live[i] = (cid, f"c{next_name}", t)
+            next_name += 1
+            log.evolve(live, note=f"rename {step}")
+        elif op == "add":
+            live = live + [(next_id, f"c{next_name}", "bigint")]
+            next_id += 1
+            next_name += 1
+            log.evolve(live, note=f"add {step}")
+        elif op == "drop":
+            if len(live) < 2:
+                continue
+            live = live[: (i := rng.randrange(len(live)))] + live[i + 1 :]
+            log.evolve(live, note=f"drop {step}")
+        else:  # widen
+            ints = [j for j, (_c, _n, t) in enumerate(live) if t == "int"]
+            if not ints:
+                continue
+            j = rng.choice(ints)
+            cid, name, _t = live[j]
+            live[j] = (cid, name, "bigint")
+            log.evolve(live, note=f"widen {step}")
+        check(step, op)

@@ -642,6 +642,26 @@ def test_changes_incremental_appends_only_and_refuses_rewrites(spark, tmp_path):
     assert sorted(r.id for r in post.collect()) == [15, 16, 17]
 
 
+def test_vacuum_retain_by_timestamp(spark, tmp_path):
+    """Retention vacuum: versions inside the window (and always the
+    latest) stay readable; files exclusive to expired versions go."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    for i, n in enumerate((10, 20, 30)):
+        v = log.commit(spark.range(n), note=f"v{i}")  # full commits: disjoint files
+        log.stamp_ts(v, 10.0 * (i + 1))
+    removed = log.vacuum_retain(since_ts=15.0)
+    v0_files = {fe.path for fe in log.manifest(0)}
+    assert set(removed) == v0_files  # only the expired version's files
+    assert log.read(spark, 1).count() == 20
+    assert log.read(spark, 2).count() == 30
+    with pytest.raises(Exception):
+        log.read(spark, 0).collect()
+    # a window that expired EVERYTHING still keeps the latest readable
+    removed2 = log.vacuum_retain(since_ts=1e9)
+    assert log.read(spark).count() == 30
+    assert {fe.path for fe in log.manifest(1)} <= set(removed2) | v0_files
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     log = SnapshotLog(str(tmp_path / "t"))
     for i, n in enumerate((3, 6, 9)):
