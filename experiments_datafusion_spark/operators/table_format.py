@@ -1330,6 +1330,7 @@ def merge_into(
     matched_delete=None,
     matched_update=None,
     not_matched_insert=None,
+    not_matched_by_source_delete=None,
 ) -> DataFrame:
     """Full conditional MERGE INTO (the lakehouse DML surface; public
     Delta/Iceberg MERGE semantics) as ONE full-outer join + one projection:
@@ -1338,7 +1339,15 @@ def merge_into(
       WHEN MATCHED AND matched_update(t, s)      THEN UPDATE SET * (source wins)
       WHEN MATCHED (neither condition)           -> target row unchanged
       WHEN NOT MATCHED AND not_matched_insert(s) THEN INSERT *
-      WHEN NOT MATCHED BY SOURCE                 -> target row unchanged
+      WHEN NOT MATCHED BY SOURCE
+           AND not_matched_by_source_delete(t)   THEN DELETE
+      WHEN NOT MATCHED BY SOURCE (otherwise)     -> target row unchanged
+
+    ``not_matched_by_source_delete`` (round 11; Delta 2.3's WHEN NOT
+    MATCHED BY SOURCE surface) is the retention clause: target rows the
+    changelog no longer mentions can be aged out in the SAME single-join
+    pass (``(t) -> Column``; None = never fires, the historical
+    default).
 
     Conditions are callables ``(t, s) -> Column`` over the aliased sides
     (None = unconditional for update/insert, never-fires for delete).  At
@@ -1364,7 +1373,12 @@ def merge_into(
     del_c = _fires(matched_delete(t, s)) if matched_delete else F.lit(False)
     upd_c = _fires(matched_update(t, s)) if matched_update else F.lit(True)
     ins_c = _fires(not_matched_insert(s)) if not_matched_insert else F.lit(True)
-    keep = F.when(matched, ~del_c).when(tk.isNotNull(), F.lit(True)).otherwise(ins_c)
+    nmbs_del = (
+        _fires(not_matched_by_source_delete(t))
+        if not_matched_by_source_delete
+        else F.lit(False)
+    )
+    keep = F.when(matched, ~del_c).when(tk.isNotNull(), ~nmbs_del).otherwise(ins_c)
     use_source = (matched & ~del_c & upd_c) | (tk.isNull() & ins_c)
     cols = [
         F.when(use_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)

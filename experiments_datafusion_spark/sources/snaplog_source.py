@@ -46,6 +46,10 @@ Options (Spark lowercases DataSource option keys):
     executor-side parquet reads (`iter_batches(columns=...)`), so a
     wide-row table streams only the bytes the consumer asked for;
   * `ignorechanges` — admit rewrite commits (see above);
+  * `startingversion` — where a NEW subscription begins (Delta's
+    startingVersion): a version number, or `latest` to emit only commits
+    made after the stream starts; checkpointed restarts resume from the
+    checkpoint as always;
   * `arrow`    — default true; `false` keeps the legacy row-tuple path
     (kept ONLY as the A/B arm the BENCH_NOTES measurement quotes).
 
@@ -129,9 +133,18 @@ class _SnapLogStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
         self.arrow = str(options.get("arrow", "true")).lower() != "false"
+        # Delta's startingVersion: where a NEW subscription begins.  A
+        # number = emit that version onward; "latest" = only commits made
+        # AFTER the stream starts.  Checkpointed restarts ignore this —
+        # Spark hands partitions() the committed offset, exactly as the
+        # real option behaves.
+        self.starting = str(options.get("startingversion", "0")).lower()
 
     def initialOffset(self) -> dict:
-        return {"next_version": 0}
+        if self.starting == "latest":
+            vs = _versions(self.root)
+            return {"next_version": (vs[-1] + 1) if vs else 0}
+        return {"next_version": int(self.starting)}
 
     def latestOffset(self) -> dict:
         vs = _versions(self.root)

@@ -372,6 +372,32 @@ def test_merge_into_null_insert_condition_does_not_fire(spark):
     assert got == {(1, "a"), (3, "c")}
 
 
+def test_merge_into_not_matched_by_source_delete(spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (the Delta 2.3 retention
+    clause): target rows absent from the source age out iff the condition
+    fires; a NULL condition does not fire (row kept)."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k bigint, v string"
+    )
+    source = spark.createDataFrame([(1, "A")], "k bigint, v string")
+    out = merge_into(
+        target,
+        source,
+        key="k",
+        payload=["v"],
+        not_matched_by_source_delete=lambda t: F.col("t.v") == "b",
+    )
+    got = {(r.k, r.v) for r in out.collect()}
+    # k=1 matched -> updated; k=2 condition TRUE -> deleted;
+    # k=3 FALSE -> kept; k=4 NULL condition -> does not fire -> kept
+    assert got == {(1, "A"), (3, "c"), (4, None)}
+    # default (no clause): unmatched-by-source rows always survive
+    legacy = merge_into(target, source, key="k", payload=["v"])
+    assert {(r.k, r.v) for r in legacy.collect()} == {
+        (1, "A"), (2, "b"), (3, "c"), (4, None)
+    }
+
+
 # ---- commit stats robustness + orphan cleanup (ADVICE r10, low) ---------------------
 
 
@@ -614,6 +640,40 @@ def test_band_state_compaction_preserves_verdicts_and_shrinks(spark, sf_dir, tmp
     compact_band_state(folded, spark)
     v_refold = sorted(map(tuple, _band_state_verdicts(folded.read(spark)).collect()))
     assert v_refold == v_plain
+
+
+def test_snaplog_source_starting_version(spark, tmp_path):
+    """startingVersion: 'latest' subscribes to only post-subscription
+    commits; a number starts at that version's own additions."""
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(10))
+    log.commit_append(spark.range(10, 25))
+    # latest: the first drain sees NOTHING (history skipped)...
+    _drain_snaplog(
+        spark, root, str(tmp_path / "out"), str(tmp_path / "chk"),
+        startingVersion="latest",
+    )
+    try:
+        n0 = spark.read.parquet(str(tmp_path / "out")).count()
+    except Exception:
+        n0 = 0  # sink wrote no files at all
+    assert n0 == 0
+    # ...and a post-subscription append arrives on the SAME checkpoint
+    log.commit_append(spark.range(25, 31))
+    _drain_snaplog(
+        spark, root, str(tmp_path / "out"), str(tmp_path / "chk"),
+        startingVersion="latest",
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.id for r in got.collect()) == list(range(25, 31))
+    # a numeric start emits that version's own additions onward
+    _drain_snaplog(
+        spark, root, str(tmp_path / "b"), str(tmp_path / "chkb"),
+        startingVersion="1",
+    )
+    got_b = spark.read.parquet(str(tmp_path / "b"))
+    assert sorted(r.id for r in got_b.collect()) == list(range(10, 31))
 
 
 # ---- append-only CDF fast path + TIMESTAMP AS OF -------------------------------------

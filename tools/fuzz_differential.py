@@ -1352,6 +1352,11 @@ _MG_INS = {
     "p1_even": ("sp1 % 2 = 0", lambda s: F.col("s.p1") % 2 == 0),
     "p2_is_O": ("sp2 = 'O'", lambda s: F.col("s.p2") == "O"),
 }
+_MG_NMBS = {  # WHEN NOT MATCHED BY SOURCE THEN DELETE (retention clause)
+    None: None,
+    "t_p1_mod3": ("tp1 % 3 = 0", lambda t: F.col("t.p1") % 3 == 0),
+    "t_p2_is_F": ("tp2 = 'F'", lambda t: F.col("t.p2") == "F"),
+}
 
 
 @dataclass
@@ -1366,6 +1371,7 @@ class MgSpec:
     del_c: str | None
     upd_c: str | None
     ins_c: str | None
+    nmbs_c: str | None = None  # not-matched-by-source DELETE condition
 
 
 def gen_mgspec(rng: random.Random) -> MgSpec:
@@ -1380,6 +1386,7 @@ def gen_mgspec(rng: random.Random) -> MgSpec:
         del_c=rng.choice(list(_MG_DEL)),
         upd_c=rng.choice(list(_MG_UPD)),
         ins_c=rng.choice(list(_MG_INS)),
+        nmbs_c=rng.choice(list(_MG_NMBS)),
     )
 
 
@@ -1410,6 +1417,7 @@ def mgspec_to_sql(spec: MgSpec) -> str:
     del_sql = _MG_DEL[spec.del_c][0] if spec.del_c else "FALSE"
     upd_sql = _MG_UPD[spec.upd_c][0] if spec.upd_c else "TRUE"
     ins_sql = _MG_INS[spec.ins_c][0] if spec.ins_c else "TRUE"
+    nmbs_sql = _MG_NMBS[spec.nmbs_c][0] if spec.nmbs_c else "FALSE"
     base = f"""
 WITH t AS ({_mg_side_sql(spec, pre=True)}),
 s AS ({_mg_side_sql(spec, pre=False)}),
@@ -1427,7 +1435,8 @@ w AS (
          (tk IS NOT NULL AND sk IS NOT NULL) AS matched,
          coalesce({del_sql}, FALSE) AS del_c,
          coalesce({upd_sql}, FALSE) AS upd_c,
-         coalesce({ins_sql}, FALSE) AS ins_c
+         coalesce({ins_sql}, FALSE) AS ins_c,
+         coalesce({nmbs_sql}, FALSE) AS nmbs_c
   FROM j
 )
 SELECT coalesce(sk, tk) AS k,
@@ -1437,7 +1446,7 @@ SELECT coalesce(sk, tk) AS k,
             THEN sp2 ELSE tp2 END AS p2
 FROM w
 WHERE CASE WHEN matched THEN NOT del_c
-           WHEN tk IS NOT NULL THEN TRUE
+           WHEN tk IS NOT NULL THEN NOT nmbs_c
            ELSE ins_c END
 """
     return f"""{base}
@@ -1512,6 +1521,9 @@ def mgspec_to_spark(spec: MgSpec, orders):
             matched_delete=_MG_DEL[spec.del_c][1] if spec.del_c else None,
             matched_update=_MG_UPD[spec.upd_c][1] if spec.upd_c else None,
             not_matched_insert=_MG_INS[spec.ins_c][1] if spec.ins_c else None,
+            not_matched_by_source_delete=(
+                _MG_NMBS[spec.nmbs_c][1] if spec.nmbs_c else None
+            ),
         )
     return changes_between(t, s, key="k", payload=["p1", "p2"])
 
