@@ -108,6 +108,9 @@ _PRIORITY = (
     "dedup_stream_minhash", "table_merge_into", "table_stream_ingest",
     "table_log_stream_source", "table_changes", "table_changes_apply",
     "table_changes_stream", "compact_small_files", "table_delete_pruned",
+    # evolve()/publish_staged() gained rebase paths late in the round —
+    # their keys re-verify fresh too
+    "table_schema_evolution", "table_wap_publish",
     # the least-recently-verified fill (tools/lrv_window.py output from
     # the CORRECTNESS ledger: oldest driver round first, ties
     # alphabetical — the r3 events/mix/multimodal/sortbench/split/text
