@@ -206,8 +206,12 @@ def mmr_rerank(
         )
         rem = cand.join(selected.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
         score = F.round(
+            # round the penalty coefficient exactly as the oracle spells it
+            # (ADVICE r11: F.lit(1 - 0.7) is 0.30000000000000004 while the
+            # SQL literal is 0.3 — a 4e-17 drift that can flip the 6dp
+            # score quantization at a half boundary)
             F.lit(lam) * F.col("simq")
-            - F.lit(1 - lam) * F.coalesce(F.col("maxs"), F.lit(0.0)),
+            - F.lit(round(1 - lam, 10)) * F.coalesce(F.col("maxs"), F.lit(0.0)),
             6,
         )
         wi = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))

@@ -68,6 +68,7 @@ _MODULES = (
     "round9",  # round 9: merge-on-read deletion vectors
     "round10",  # round 10: snapshot-log layer + change data feed
     "round11",  # round 11: conflict-checked concurrent rewrites
+    "round12",  # round 12: batch snaplog source, paced streaming, zorder compact
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

@@ -1370,9 +1370,13 @@ def restore_version(log: SnapshotLog, version: int, note: str = "") -> int:
     metadata-only, history preserved (the bad commits stay readable for
     forensics until vacuumed), and the rollback is itself a forward
     commit, so time travel and CDF over the restore behave like any other
-    version transition."""
+    version transition.  The SetTransaction map carries through from the
+    CURRENT tip (not the restored version): a rollback of table DATA must
+    not also roll back streaming writers' dedup state, or their next
+    retry would re-append batches the table already ingested."""
     e = log.entry(version)
-    new_v = log.latest_version() + 1
+    parent = log.latest_version()
+    new_v = parent + 1
     entry = {
         "version": new_v,
         "note": note or f"restore v{version}",
@@ -1380,6 +1384,7 @@ def restore_version(log: SnapshotLog, version: int, note: str = "") -> int:
         "schema": e.get("schema"),
         "files": [dict(f) for f in e["files"]],
     }
+    log._set_txns(entry, log._parent_txns(parent))
     log._publish(new_v, entry)
     return new_v
 

@@ -1,15 +1,20 @@
-"""Model-based STATE-MACHINE fuzZing of the snapshot log (round 11): a
-seeded random walk over the commit surface — append, rebased append,
+"""Model-based STATE-MACHINE fuzZing of the snapshot log (rounds 11-12):
+a seeded random walk over the commit surface — append, rebased append,
 checked band-delete rewrite, compaction (round-robin AND clustered),
-RESTORE, log checkpointing, TIMESTAMP AS OF — with a plain-Python MODEL
-of the expected table contents at every version.  After every operation
-the real log's read must equal the model, AS OF reads must equal the
-model's history, and changes_between must equal the model's set diff.
+RESTORE, log checkpointing, TIMESTAMP AS OF, and (round 12, VERDICT r11
+next #8) write-audit-publish (stage + publish AND stage + abandon +
+recovery), shallow CLONE, and retention VACUUM — with a plain-Python
+MODEL of the expected table contents at every version.  After every
+operation the real log's read must equal the model, AS OF reads must
+equal the model's history, and changes_between must equal the model's
+set diff.  A second walk covers the merge-on-read surface (delete
+sidecars + compaction-reconcile) against a live-set model through
+``mor_current_view``.
 
 This is the table-format analog of tools/fuzz_differential.py: the
 hand-written keys each pin one dataflow; the walk probes the COMPOSITION
-space (restore after compaction, delete after restore, checkpoint in the
-middle, ...) that no single key enumerates.  Seeded, so a failure
+space (restore after compaction, publish after restore, vacuum through a
+checkpoint, ...) that no single key enumerates.  Seeded, so a failure
 reproduces exactly.
 """
 
@@ -23,6 +28,10 @@ import pytest
 from experiments_datafusion_spark.operators.table_format import (
     SnapshotLog,
     changes_between,
+    clone_shallow,
+    commit_staged,
+    mor_current_view,
+    publish_staged,
 )
 
 
@@ -69,15 +78,74 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
     log.stamp_ts(v, 0.0)
     model = {0: sorted(cur)}
 
-    for step in range(1, 23):
+    cloned = False
+    for step in range(1, 27):
         op = rng.choices(
             ["append", "append_rebased", "delete", "compact",
-             "compact_sorted", "restore", "checkpoint"],
-            weights=[30, 15, 20, 10, 10, 10, 5],
+             "compact_sorted", "restore", "checkpoint", "wap_publish",
+             "wap_abandon", "vacuum_retain", "clone"],
+            weights=[24, 12, 16, 8, 8, 8, 4, 8, 5, 4, 3],
         )[0]
         if op == "checkpoint":
             log.checkpoint()  # pure metadata: nothing changes, no version
             assert _read_ids(log, spark) == model[log.latest_version()]
+            continue
+        if op == "clone":
+            # shallow clone: zero data copied, immediate divergence —
+            # one-shot assertions against the source model, then the walk
+            # forgets the clone (a later source vacuum may legitimately
+            # strand it; that caveat is pinned in test_round10)
+            if cloned:
+                continue
+            cloned = True
+            dst = clone_shallow(log, str(tmp_path / f"c{seed}-{step}"))
+            assert _read_ids(dst, spark) == sorted(cur), f"seed={seed} clone"
+            extra = fresh_ids(3)
+            dst.commit_append(_df(spark, extra), note="clone diverges")
+            assert _read_ids(dst, spark) == sorted(cur + extra)
+            assert _read_ids(log, spark) == sorted(cur)  # source untouched
+            continue
+        if op == "vacuum_retain":
+            # retention vacuum by the synthetic clock: versions stamped
+            # ts=v, so since_ts=floor keeps [floor, latest]; swept
+            # versions leave the probe set (their files may or may not
+            # survive via sharing — the model only promises KEPT history)
+            if len(model) < 3:
+                continue
+            floor_v = rng.choice(sorted(model)[1:-1])
+            log.vacuum_retain(float(floor_v))
+            latest = log.latest_version()
+            for v in [v for v in model if v < floor_v and v != latest]:
+                del model[v]
+            assert _read_ids(log, spark) == model[latest], f"seed={seed} vacuum"
+            continue
+        if op == "wap_publish":
+            ids = fresh_ids(rng.randint(1, 10))
+            sv = commit_staged(log, _df(spark, ids), note=f"staged {step}")
+            log.stamp_ts(sv, float(sv))
+            # the staged snapshot is AS-OF-readable but NOT the consumer
+            # head: the published read must not move yet
+            assert _read_ids(log, spark, sv) == sorted(ids)
+            assert _read_ids(log, spark, max(model)) == model[max(model)]
+            v = publish_staged(log, sv)
+            cur = sorted(cur + ids)
+            log.stamp_ts(v, float(v))
+            model[v] = sorted(cur)
+            assert _read_ids(log, spark) == model[v], f"seed={seed} publish"
+            continue
+        if op == "wap_abandon":
+            ids = fresh_ids(rng.randint(1, 10))
+            sv = commit_staged(log, _df(spark, ids), note=f"abandoned {step}")
+            log.stamp_ts(sv, float(sv))
+            # a staged tip REFUSES appends/rewrites — pinned here, then
+            # recovered by restoring the pre-stage state (the abandon
+            # path: audit failed, never published)
+            with pytest.raises(ValueError, match="staged"):
+                log.commit_append(_df(spark, [999_999]), note="must refuse")
+            v = _restore(log, max(model))
+            log.stamp_ts(v, float(v))
+            model[v] = sorted(cur)
+            assert _read_ids(log, spark) == model[v], f"seed={seed} abandon"
             continue
         if op == "append":
             ids = fresh_ids(rng.randint(1, 15))
@@ -238,4 +306,42 @@ def test_evolving_log_random_walk_matches_model(spark, tmp_path, seed):
             cid, name, _t = live[j]
             live[j] = (cid, name, "bigint")
             log.evolve(live, note=f"widen {step}")
+        check(step, op)
+
+
+@pytest.mark.parametrize("seed", [20261201, 20261202])
+def test_mor_log_random_walk_matches_model(spark, tmp_path, seed):
+    """The merge-on-read twin (round 12): random walks over {delete
+    sidecar, compaction-reconcile, checkpoint} against a live-id-set
+    model through the mor_current_view state machine — the composition
+    (sidecar after reconcile after sidecar...) the single round-9 keys
+    don't enumerate.  After a reconcile the view must be the PLAIN
+    compacted scan (no sidecars newer than the base), and every sidecar
+    layered on top must subtract exactly its keys."""
+    rng = random.Random(seed)
+    log = SnapshotLog(str(tmp_path / f"m{seed}"))
+    ids = list(range(rng.randint(12, 30)))
+    log.commit(_df(spark, ids), note="base", kind="base")
+    live = set(ids)
+
+    def check(step, op):
+        got = sorted(r.id for r in mor_current_view(log, spark, "id").collect())
+        assert got == sorted(live), f"seed={seed} step={step} op={op}"
+
+    check(0, "base")
+    for step in range(1, 13):
+        op = rng.choices(
+            ["sidecar", "reconcile", "checkpoint"], weights=[55, 30, 15]
+        )[0]
+        if op == "sidecar":
+            if not live:
+                continue
+            kill = rng.sample(sorted(live), rng.randint(1, max(1, len(live) // 3)))
+            log.commit(_df(spark, kill), note=f"del {step}", kind="delete-sidecar")
+            live -= set(kill)
+        elif op == "reconcile":
+            view = mor_current_view(log, spark, "id")
+            log.commit(view, note=f"reconcile {step}", kind="compacted")
+        else:
+            log.checkpoint()
         check(step, op)
