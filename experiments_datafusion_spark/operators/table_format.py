@@ -401,55 +401,14 @@ class SnapshotLog:
         ]
         schema = [[f.name, f.dataType.simpleString(), f.nullable] for f in df.schema]
         try:
-            for _ in range(attempts):
-                parent = self.latest_version()
-                entry_schema = schema
-                txns: dict = {}
-                if parent >= 0:
-                    pe = self.entry(parent)
-                    if pe.get("kind") == "staged":
-                        raise ValueError(
-                            f"cannot append onto staged version {parent}; "
-                            "publish_staged or vacuum it first"
-                        )
-                    want = pe.get("schema")
-                    if want is not None and not _append_schema_ok(want, schema):
-                        raise ValueError(
-                            f"append schema mismatch: table has {want}, "
-                            f"batch has {schema}"
-                        )
-                    if want is not None:
-                        entry_schema = want  # the TABLE's schema (see commit_append)
-                    txns = dict(pe.get("txns") or {})
-                if txn is not None:
-                    rec = txns.get(txn[0])
-                    if rec is not None and int(rec[0]) >= int(txn[1]):
-                        # replayed batch already landed (possibly by a
-                        # concurrent retry): drop our orphan data, answer
-                        # from the carried map
-                        shutil.rmtree(data_dir, ignore_errors=True)
-                        return int(rec[1])
-                    txns[txn[0]] = [int(txn[1]), parent + 1]
-                parent_files = (
-                    [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
-                    if parent >= 0
-                    else []
-                )
-                entry = {
-                    "version": parent + 1,
-                    "note": note,
-                    "kind": kind,
-                    "schema": entry_schema,
-                    "files": parent_files + new_files,
-                }
-                self._set_txns(entry, txns)
-                try:
-                    self._publish(parent + 1, entry)
-                    return parent + 1
-                except CommitConflict:
-                    continue  # rebase: somebody else won this version
-            raise CommitConflict(
-                f"append did not land after {attempts} rebase attempts"
+            return self.commit_append_files(
+                new_files,
+                schema,
+                note=note,
+                kind=kind,
+                attempts=attempts,
+                txn=txn,
+                on_replay=lambda: shutil.rmtree(data_dir, ignore_errors=True),
             )
         except BaseException:
             # attempts exhausted / schema drift / staged parent: the batch
@@ -457,6 +416,77 @@ class SnapshotLog:
             # (same cleanup contract as commit()'s failure path)
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
+
+    def commit_append_files(
+        self,
+        new_files: list[dict],
+        schema: list,
+        note: str = "",
+        kind: str = "data",
+        attempts: int = 10,
+        txn: tuple[str, int] | None = None,
+        on_replay=None,
+    ) -> int:
+        """The publish half of ``commit_append_rebased``, factored so
+        callers that already hold written data files — the snaplog
+        streaming SINK's driver-side commit of executor-written parquet
+        (round 12), exactly the Delta sink's task-files → one-log-commit
+        shape — share the same rebase loop, schema check, txn-map merge,
+        and put-if-absent publish.  ``new_files`` is ``[{"path", "size"},
+        ...]``; ``schema`` is the entry-schema list.  ``on_replay`` is
+        invoked (before returning the recorded version) when ``txn``
+        reveals the batch already landed, so the caller can drop its
+        now-orphan files."""
+        for _ in range(attempts):
+            parent = self.latest_version()
+            entry_schema = schema
+            txns: dict = {}
+            if parent >= 0:
+                pe = self.entry(parent)
+                if pe.get("kind") == "staged":
+                    raise ValueError(
+                        f"cannot append onto staged version {parent}; "
+                        "publish_staged or vacuum it first"
+                    )
+                want = pe.get("schema")
+                if want is not None and not _append_schema_ok(want, schema):
+                    raise ValueError(
+                        f"append schema mismatch: table has {want}, "
+                        f"batch has {schema}"
+                    )
+                if want is not None:
+                    entry_schema = want  # the TABLE's schema (see commit_append)
+                txns = dict(pe.get("txns") or {})
+            if txn is not None:
+                rec = txns.get(txn[0])
+                if rec is not None and int(rec[0]) >= int(txn[1]):
+                    # replayed batch already landed (possibly by a
+                    # concurrent retry): answer from the carried map
+                    if on_replay is not None:
+                        on_replay()
+                    return int(rec[1])
+                txns[txn[0]] = [int(txn[1]), parent + 1]
+            parent_files = (
+                [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
+                if parent >= 0
+                else []
+            )
+            entry = {
+                "version": parent + 1,
+                "note": note,
+                "kind": kind,
+                "schema": entry_schema,
+                "files": parent_files + new_files,
+            }
+            self._set_txns(entry, txns)
+            try:
+                self._publish(parent + 1, entry)
+                return parent + 1
+            except CommitConflict:
+                continue  # rebase: somebody else won this version
+        raise CommitConflict(
+            f"append did not land after {attempts} rebase attempts"
+        )
 
     def commit_rewrite(
         self,

@@ -89,48 +89,55 @@ _MODULES = (
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # round-11 NEW keys (table_concurrent_rewrite = a stats-pruned DELETE
-    # racing an interposed append through commit_rewrite_checked;
-    # table_compact_cluster = clustering compaction; sim_mmr_rerank = MMR
-    # diversity re-rank; table_changes_incremental = append-only CDF from
-    # manifests; table_time_travel_ts = TIMESTAMP AS OF;
-    # table_log_stream_ivm = bronze->snaplog-stream->silver hop) +
-    # CHANGED keys re-verified fresh: dedup_stream_minhash now compacts
-    # its LSH band state MID-stream; table_merge_into's WHEN conditions
-    # coalesce to FALSE (NULL-condition fix; intended output unchanged);
-    # table_stream_ingest moved to the O(1) txn-map append_once;
-    # table_log_stream_source reads Arrow batches through the reworked
-    # WAP-aware source; the CDF trio shares one fixture log per sweep;
-    # compact_small_files/table_delete_pruned sit on the commit paths the
-    # round touched (stats robustness, orphan cleanup, schema narrowing)
-    "table_concurrent_rewrite", "table_compact_cluster", "sim_mmr_rerank",
-    "table_changes_incremental", "table_time_travel_ts",
-    "table_log_stream_ivm",
-    "dedup_stream_minhash", "table_merge_into", "table_stream_ingest",
-    "table_log_stream_source", "table_changes", "table_changes_apply",
-    "table_changes_stream", "compact_small_files", "table_delete_pruned",
-    # evolve()/publish_staged() gained rebase paths late in the round —
-    # their keys re-verify fresh too
-    "table_schema_evolution", "table_wap_publish",
+    # round-12 NEW keys (table_log_batch_source = spark.read.format(
+    # "snaplog") with versionAsOf + column pruning; table_log_stream_paced
+    # = maxFilesPerTrigger admission control with pinned batch boundaries;
+    # table_stream_skipchanges = kind-aware change-commit streaming over a
+    # MoR log; table_merge_evolve = schema-evolving MERGE INTO;
+    # table_compact_zorder = OPTIMIZE ZORDER BY compaction with 2-D
+    # pruning asserted; table_log_stream_sink = writeStream.format(
+    # "snaplog"), the exactly-once streaming sink through the public
+    # DataSource writer API)
+    "table_log_batch_source", "table_log_stream_paced",
+    "table_stream_skipchanges", "table_merge_evolve", "table_compact_zorder",
+    "table_log_stream_sink", "table_batch_cdf",
+    # CHANGED keys re-verified fresh: append_once now publishes its txn
+    # record atomically inside the commit entry (table_stream_ingest,
+    # dedup_stream_minhash); the snaplog source was reworked (one-pass
+    # _LogView planning, pacing cursor, kind-aware policies) under
+    # table_log_stream_source / table_log_stream_ivm;
+    # changes_incremental skips staged WAP versions
+    # (table_changes_incremental); merge_into gained evolve_schema
+    # (table_merge_into); table_concurrent_rewrite moved off the
+    # _publish monkey-patch onto the on_publish_attempt hook;
+    # compact() gained zorder_cols next to sort_cols
+    # (table_compact_cluster, compact_small_files); sim_mmr_rerank's
+    # penalty coefficient now rounds identically in both engines; every
+    # commit kind carries the SetTransaction map forward
+    # (table_wap_publish, table_schema_evolution, table_restore)
+    "table_stream_ingest", "dedup_stream_minhash",
+    "table_log_stream_source", "table_log_stream_ivm",
+    "table_changes_incremental", "table_merge_into",
+    "table_concurrent_rewrite", "table_compact_cluster",
+    "compact_small_files", "sim_mmr_rerank", "table_wap_publish",
+    "table_schema_evolution", "table_restore",
     # the least-recently-verified fill (tools/lrv_window.py output from
     # the CORRECTNESS ledger: oldest driver round first, ties
-    # alphabetical — the r3 events/mix/multimodal/sortbench/split/text
-    # block the r10 rotation trimmed, then the r4 head)
-    "ev_daily_stats", "ev_dedup", "ev_enrich_join", "ev_funnel",
-    "ev_gapfill", "ev_retention", "ev_session", "ev_sliding",
-    "ev_tumbling", "lang_confusion", "mix_temperature",
-    "mix_weighted_sources", "mm_dedup_payload", "mm_features",
-    "mm_metadata", "quality_gate_percentile", "rollup_time_multi",
-    "sample_stratified", "scalar_datebin", "shard_assign",
-    "sortbench_dictionary_tuple", "sortbench_mixed_dictionary_tuple",
-    "sortbench_mixed_tuple", "sortbench_utf8_tuple", "split_leakage_safe",
-    "split_streams", "split_train_test", "sql_lateral_topk",
-    "text_pii_redact", "text_repetition", "text_tfidf",
-    "text_token_budget", "text_top_words",
-    # (LRV tail beyond 50 — topk_per_group, win_range_time,
-    # win_sessionize, agg_approx, agg_corr_regr, agg_decimal_exact — was
-    # trimmed as round-11 keys took the head; they rotate in next round
-    # per the freshness policy)
+    # alphabetical — the r3 tail the r11 rotation trimmed, then the
+    # r4 head)
+    "topk_per_group", "win_range_time", "win_sessionize",
+    "agg_approx", "agg_corr_regr", "agg_decimal_exact",
+    "agg_mode_listagg", "agg_sketch_rollup", "agg_weighted_median",
+    "cdc_changelog", "dedup_semantic_canonical", "docs_ngram_freq",
+    "docs_ngram_novelty", "docs_paragraph_dedup", "docs_winnowing",
+    "embedding_pca_power", "ev_cep_pattern", "ev_interpolate",
+    "graph_pagerank", "graph_triangles", "interval_coverage",
+    "join_asof_nearest", "join_bucketed", "join_range_bands",
+    "join_salted", "layout_zorder", "merge_upsert",
+    "mix_epochs_fractional", "mm_frame_sample", "mm_png_features",
+    # (pack_sequences/pivot_dynamic were next in LRV order; trimmed as the
+    # sink and batch-CDF keys took the last slots — they rotate in next
+    # round per the freshness policy)
 )
 
 

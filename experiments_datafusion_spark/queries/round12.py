@@ -459,3 +459,135 @@ def table_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("y_sum"),
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- the snapshot log as a streaming SINK ------------------------------------------------
+
+
+@register(
+    "table_log_stream_sink",
+    tags=("streaming", "io", "maintenance"),
+    oracle="""
+SELECT CAST(3 AS BIGINT)             AS n_versions,
+       CAST(count(*) AS BIGINT)      AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(user_id) AS BIGINT)  AS user_sum
+FROM events
+""",
+)
+def table_log_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table format as a first-class streaming SINK (round 12) —
+    ``df.writeStream.format("snaplog")`` through the public Spark 4
+    Python DataSource writer API (sources/snaplog_source.
+    _SnapLogStreamWriter), the write-side twin of table_log_stream_source
+    and the API-surface upgrade of table_stream_ingest's foreachBatch:
+    executors stream their Arrow RecordBatches into task-local parquet
+    files (no data through the driver), and the driver publishes ONE
+    put-if-absent append commit per micro-batch carrying the batch's
+    SetTransaction record in the same entry — exactly-once at the table
+    with zero user code.  The fixture events arrive as a 3-file
+    availableNow stream (3 micro-batches -> 3 append commits, pinned by
+    n_versions); the final version is read back through the manifest and
+    audited against the oracle's scan of raw events, so the sink provably
+    loses and duplicates nothing.  Replay no-ops, abort cleanup, and
+    schema enforcement are pinned in tests/test_round12.py."""
+    import tempfile
+
+    _register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tlsk_")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+    schema = spark.read.parquet(f"{root}/src").schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/src")
+        .writeStream.format("snaplog")
+        .option("path", f"{root}/table")
+        .option("appId", "events-ingest")
+        .option("checkpointLocation", f"{root}/chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("table_log_stream_sink: stream did not drain")
+    log = SnapshotLog(f"{root}/table")
+    n_versions = len(log.versions())
+    out = log.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.sum("user_id").cast("bigint").alias("user_sum"),
+    ).select(
+        F.lit(n_versions).cast("bigint").alias("n_versions"),
+        "n_rows",
+        "id_sum",
+        "user_sum",
+    )
+    return materialize_then_rmtree(out, root)
+
+
+# ---- batch CDF through the reader API ------------------------------------------------------
+
+_BC_C1, _BC_C2, _BC_C3 = "1993-09-15", "1995-04-10", "1997-11-20"
+
+
+@register(
+    "table_batch_cdf",
+    tags=("io", "maintenance", "dimensional"),
+    oracle=f"""
+SELECT o_orderkey,
+       'insert' AS _change_type,
+       CAST(CASE WHEN o_orderdate < TIMESTAMP '{_BC_C2}' THEN 1 ELSE 3 END AS BIGINT)
+           AS _commit_version
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_BC_C1}'
+  AND o_orderdate <  TIMESTAMP '{_BC_C3}'
+""",
+)
+def table_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDF through the reader API (round 12; Delta's
+    ``spark.read.format("delta").option("readChangeFeed", "true")
+    .option("startingVersion", v)`` shape): the snaplog batch reader
+    switches from one-snapshot to changes-of-a-range — each published
+    version in [startingVersion, endingVersion] contributes its NEW
+    files as ``_change_type='insert'`` rows stamped with the commit
+    version, O(new files) with no join (the ``changes_incremental`` fast
+    path, now reachable by tools that only know the reader API).  The
+    fixture interposes a WAP staged version inside the range: the staged
+    commit must emit NOTHING and its publish must emit exactly the
+    audited batch stamped with the PUBLISH version — the oracle
+    recomputes both bands and their stamps from raw orders (the staged
+    band stamps version 3, the publish, never 2, the stage)."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import (
+        commit_staged,
+        publish_staged,
+    )
+
+    _register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tbc_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def band(lo=None, hi=None):
+        df = orders
+        if lo:
+            df = df.where(F.col("o_orderdate") >= lo)
+        if hi:
+            df = df.where(F.col("o_orderdate") < hi)
+        return df.select("o_orderkey")
+
+    log.commit_append(band(hi=_BC_C1), note="v0 base (before the feed)")
+    log.commit_append(band(_BC_C1, _BC_C2), note="v1 append")
+    sv = commit_staged(log, band(_BC_C2, _BC_C3), note="v2 staged")
+    publish_staged(log, sv)  # v3
+    out = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    return materialize_then_rmtree(out, root)

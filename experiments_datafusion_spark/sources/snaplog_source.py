@@ -96,8 +96,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 def _log(root: str):
@@ -171,15 +173,22 @@ class _ArrowFileReadMixin:
 
     columns: list | None
     arrow: bool
+    change_type: str | None = None  # set by CDF batch reads: adds _change_type
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         v = partition.version
+        ct = self.change_type
         if self.arrow:
             pf = pq.ParquetFile(partition.path)
             for batch in pf.iter_batches(columns=self.columns):
+                if ct is not None:
+                    batch = batch.append_column(
+                        "_change_type",
+                        pa.array([ct] * batch.num_rows, type=pa.string()),
+                    )
                 yield batch.append_column(
                     "_commit_version",
                     pa.array([v] * batch.num_rows, type=pa.int64()),
@@ -188,8 +197,9 @@ class _ArrowFileReadMixin:
         # legacy row-tuple path — the measured-negative A/B arm only
         tbl = pq.read_table(partition.path, columns=self.columns)
         cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        tail = (v,) if ct is None else (ct, v)
         for i in range(tbl.num_rows):
-            yield tuple(c[i] for c in cols) + (v,)
+            yield tuple(c[i] for c in cols) + tail
 
 
 class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
@@ -338,7 +348,19 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
     """Manifest-driven batch read of ONE resolved version: partitions are
     the version's live files; ``_commit_version`` stamps each file's
     first-published version (the add-version), derived from the same
-    forward delta pass the stream planner uses."""
+    forward delta pass the stream planner uses.
+
+    ``readChangeFeed=true`` (round 12; the Delta batch-CDF reader shape:
+    ``option("readChangeFeed", "true").option("startingVersion", v)``)
+    switches the read from ONE snapshot to the CHANGES of the published
+    versions in [startingVersion, endingVersion] (ending defaults to the
+    published head): each version contributes its NEW files as
+    ``_change_type='insert'`` rows stamped with the commit version —
+    O(new files), the manifests-only fast path ``changes_incremental``
+    pins, now reachable through the reader API.  Staged WAP versions are
+    skipped; a version that REMOVED files is not append-only and the read
+    refuses it loudly (``table_changes`` / ``changes_between`` is the
+    general diff for rewrite-bearing ranges)."""
 
     def __init__(self, options: dict):
         common = _parse_common_options(options)
@@ -352,6 +374,24 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
                 "snaplog source: versionAsOf and timestampAsOf are mutually "
                 "exclusive"
             )
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
+        if self.cdf:
+            if self.version_as_of is not None or self.timestamp_as_of is not None:
+                raise ValueError(
+                    "snaplog source: readChangeFeed and versionAsOf/"
+                    "timestampAsOf are mutually exclusive (the feed has its "
+                    "own startingVersion/endingVersion range)"
+                )
+            start = options.get("startingversion")
+            if start is None:
+                raise ValueError(
+                    "snaplog source: readChangeFeed needs "
+                    ".option('startingVersion', <first version to emit>)"
+                )
+            self.cdf_start = int(start)
+            end = options.get("endingversion")
+            self.cdf_end = int(end) if end is not None else None
+            self.change_type = "insert"  # the mixin appends _change_type
 
     def _resolve_version(self, view: _LogView) -> int:
         if self.version_as_of is not None:
@@ -372,6 +412,8 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         view = _LogView(self.root)
+        if self.cdf:
+            return self._cdf_partitions(view)
         v = self._resolve_version(view)
         # first-published version per file, from the one forward pass
         added_in: dict[str, int] = {}
@@ -385,12 +427,151 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
             raise ValueError(f"version {v} has no data files")
         return [_FilePartition(p, added_in.get(p, v)) for p in files]
 
+    def _cdf_partitions(self, view: _LogView) -> Sequence[InputPartition]:
+        end = self.cdf_end
+        if end is None:
+            if not view.published:
+                raise ValueError(f"no published versions under {self.root}")
+            end = view.published[-1]
+        out: list[InputPartition] = []
+        for v in view.published:
+            if not self.cdf_start <= v <= end:
+                continue
+            added, removed = view.delta[v]
+            if removed:
+                raise ValueError(
+                    f"snaplog readChangeFeed: version {v} removed "
+                    f"{len(removed)} file(s) — the range is not append-only; "
+                    "use table_changes/changes_between for rewrite-bearing "
+                    "ranges"
+                )
+            for f in added:
+                out.append(_FilePartition(f["path"], v))
+        if not out:
+            raise ValueError(
+                f"snaplog readChangeFeed: no published changes in "
+                f"[{self.cdf_start}, {end}]"
+            )
+        return out
+
+
+class _TaskFile(WriterCommitMessage):
+    """Per-task commit message: the parquet file one executor wrote (or
+    None path for an empty partition).  Must be picklable."""
+
+    def __init__(self, path: str | None, size: int, rows: int):
+        self.path = path
+        self.size = size
+        self.rows = rows
+
+
+class _SnapLogStreamWriter(DataSourceStreamArrowWriter):
+    """The snapshot log as a STREAMING SINK (round 12) —
+    ``df.writeStream.format("snaplog").option("path", root)`` — the Delta
+    streaming-sink shape through the public Spark 4 Python DataSource
+    writer API, completing the read/write pair:
+
+      * ``write()`` runs on EXECUTORS: each task streams its Arrow
+        RecordBatches (the vectorized ``DataSourceStreamArrowWriter``
+        path — rows never materialize as Python objects) into ONE
+        parquet file under a sink-private directory and returns its
+        (path, size, rows) as the task's commit message — no data ever
+        moves through the driver;
+      * ``commit()`` runs on the DRIVER once all tasks succeed: one
+        put-if-absent append commit referencing the task files, with the
+        micro-batch id recorded as the Delta SetTransaction
+        ``(appId, batchId)`` IN the same entry
+        (``SnapshotLog.commit_append_files``) — so a foreachBatch-style
+        retry of an already-committed batch is a no-op that removes its
+        re-written orphan files: exactly-once AT THE TABLE, the property
+        the atomic txn-map commit exists for;
+      * ``abort()`` removes the task files — a failed micro-batch leaves
+        no orphans and, because the manifest is the only read path, could
+        never have leaked rows anyway.
+
+    Options: ``path`` (required, the log root); ``appId`` (the
+    SetTransaction application id — defaults to the Delta-like
+    ``snaplog-sink``; give each logical pipeline its own so two pipelines
+    can share one table).  Schema is enforced by the append commit
+    itself: a drifted stream fails at commit, loudly, before the entry
+    publishes."""
+
+    def __init__(self, options: dict, schema):
+        root = options.get("path")
+        if not root:
+            raise ValueError("snaplog sink needs .option('path', <log root>)")
+        self.root = root
+        self.app_id = options.get("appid") or "snaplog-sink"
+        self.schema_list = [
+            [f.name, f.dataType.simpleString(), f.nullable] for f in schema.fields
+        ]
+
+    def write(self, iterator) -> _TaskFile:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        writer = None
+        path = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                d = os.path.join(self.root, "ws")
+                os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _TaskFile(None, 0, 0)  # empty partition: nothing written
+        writer.close()
+        return _TaskFile(path, os.path.getsize(path), rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import contextlib
+
+        from experiments_datafusion_spark.operators.table_format import (
+            SnapshotLog,
+        )
+
+        files = [
+            {"path": m.path, "size": m.size}
+            for m in messages
+            if m is not None and m.path is not None
+        ]
+        if not files:
+            return  # an all-empty micro-batch commits nothing (Delta too)
+
+        def drop_orphans() -> None:
+            for f in files:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(f["path"])
+
+        SnapshotLog(self.root).commit_append_files(
+            files,
+            self.schema_list,
+            note=f"{self.app_id} batch {batchId}",
+            txn=(self.app_id, int(batchId)),
+            on_replay=drop_orphans,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import contextlib
+
+        for m in messages:
+            if m is not None and getattr(m, "path", None):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(m.path)
+
 
 class SnapshotLogDataSource(DataSource):
-    """``spark.read.format("snaplog")`` (AS OF batch reads) and
+    """``spark.read.format("snaplog")`` (AS OF batch reads),
     ``spark.readStream.format("snaplog")`` (exactly-once incremental
-    reads) over one snapshot log — both stamped with ``_commit_version``,
-    the CDF-lite read surface of the table format."""
+    reads — both stamped with ``_commit_version``, the CDF-lite read
+    surface of the table format), and ``df.writeStream.format("snaplog")``
+    (the exactly-once streaming SINK: executor task files + one
+    driver-side put-if-absent append commit carrying the batch's
+    SetTransaction record)."""
 
     @classmethod
     def name(cls) -> str:
@@ -424,6 +605,8 @@ class SnapshotLogDataSource(DataSource):
                 )
             cols = [(name, by_name[name][1], True) for name in keep]
         ddl = ", ".join(f"{name} {typ}" for name, typ, _n in cols)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            ddl += ", _change_type string"  # the Delta CDF row shape
         return ddl + ", _commit_version bigint"
 
     def reader(self, schema) -> _SnapLogBatchReader:
@@ -431,3 +614,11 @@ class SnapshotLogDataSource(DataSource):
 
     def streamReader(self, schema) -> _SnapLogStreamReader:
         return _SnapLogStreamReader(dict(self.options))
+
+    def streamWriter(self, schema, overwrite: bool) -> _SnapLogStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "snaplog sink is append-only (snapshots are immutable); "
+                "use outputMode('append')"
+            )
+        return _SnapLogStreamWriter(dict(self.options), schema)

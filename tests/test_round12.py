@@ -637,3 +637,166 @@ def test_compact_sort_and_zorder_exclusive(spark, tmp_path):
     log.commit(spark.range(4).select(F.col("id").alias("x"), F.col("id").alias("y")))
     with pytest.raises(ValueError, match="exclusive"):
         log.compact(spark, sort_cols=["x"], zorder_cols=["x", "y"])
+
+
+# ---- snaplog streaming SINK ----------------------------------------------------------------
+
+
+def _sink_stream(spark, src: str, root: str, chk: str, app_id: str = "ing"):
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("snaplog")
+        .option("path", root)
+        .option("appId", app_id)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_snaplog_sink_commits_per_batch_exactly_once(spark, tmp_path):
+    """writeStream.format('snaplog'): one append commit per micro-batch,
+    the batch's SetTransaction record in the same entry, restart = no-op."""
+    _register(spark)
+    src, root, chk = str(tmp_path / "src"), str(tmp_path / "t"), str(tmp_path / "chk")
+    spark.range(30).select("id", (F.col("id") * 3).alias("v")).repartition(
+        3
+    ).write.parquet(src)
+    q = _sink_stream(spark, src, root, chk)
+    assert q.awaitTermination(180)
+    log = SnapshotLog(root)
+    assert log.versions() == [0, 1, 2]  # 3 files -> 3 micro-batch commits
+    assert log.entry(2)["txns"] == {"ing": [2, 2]}
+    got = sorted((r.id, r.v) for r in log.read(spark).collect())
+    assert got == [(i, i * 3) for i in range(30)]
+    # restart over the same checkpoint: nothing re-committed
+    q2 = _sink_stream(spark, src, root, chk)
+    assert q2.awaitTermination(180)
+    assert log.versions() == [0, 1, 2]
+    # no stray task files survive outside the manifests
+    live = {fe.path for fe in log.manifest(2)}
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_snaplog_sink_replayed_commit_drops_orphans(spark, tmp_path):
+    """A driver-side replay of an already-committed batchId (the
+    foreachBatch-retry shape) must publish nothing and remove the
+    re-written task files."""
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        _SnapLogStreamWriter,
+        _TaskFile,
+    )
+
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    df = spark.range(4)
+    w = _SnapLogStreamWriter({"path": root, "appid": "app"}, df.schema)
+    # batch 0 commits normally (files written out-of-band for the test)
+    d = os.path.join(root, "ws")
+    os.makedirs(d, exist_ok=True)
+
+    def fake_file(name: str) -> _TaskFile:
+        p = os.path.join(d, name)
+        df.write.mode("overwrite").parquet(str(tmp_path / "tmpw"))
+        src = next(
+            f
+            for f in os.listdir(str(tmp_path / "tmpw"))
+            if f.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(str(tmp_path / "tmpw"), src), p)
+        return _TaskFile(p, os.path.getsize(p), 4)
+
+    m0 = fake_file("part-b0.parquet")
+    w.commit([m0], batchId=0)
+    assert log.versions() == [0]
+    # the RETRY of batch 0 wrote a fresh task file; commit must no-op and
+    # sweep it
+    m0r = fake_file("part-b0-retry.parquet")
+    w.commit([m0r], batchId=0)
+    assert log.versions() == [0]
+    assert not os.path.exists(m0r.path)
+    assert os.path.exists(m0.path)  # the committed file is untouched
+
+
+def test_snaplog_sink_abort_and_overwrite_refusal(spark, tmp_path):
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        SnapshotLogDataSource,
+        _SnapLogStreamWriter,
+        _TaskFile,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "ws"), exist_ok=True)
+    p = os.path.join(root, "ws", "part-x.parquet")
+    open(p, "wb").write(b"junk")
+    w = _SnapLogStreamWriter({"path": root}, spark.range(1).schema)
+    w.abort([_TaskFile(p, 4, 0), None], batchId=7)
+    assert not os.path.exists(p)  # failed batch leaves no orphans
+    ds = SnapshotLogDataSource({"path": root})
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(spark.range(1).schema, overwrite=True)
+
+
+def test_snaplog_sink_schema_drift_fails_commit(spark, tmp_path):
+    """A second stream with a drifted schema must fail at the append
+    commit (the table-format schema gate), not poison the table."""
+    _register(spark)
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    root = str(tmp_path / "t")
+    spark.range(6).select("id").repartition(1).write.parquet(src1)
+    spark.range(6).select("id", F.lit("x").alias("extra")).repartition(
+        1
+    ).write.parquet(src2)
+    q = _sink_stream(spark, src1, root, str(tmp_path / "c1"), app_id="a")
+    assert q.awaitTermination(180)
+    q2 = _sink_stream(spark, src2, root, str(tmp_path / "c2"), app_id="b")
+    with pytest.raises(Exception, match="schema mismatch"):
+        q2.awaitTermination(180)
+    log = SnapshotLog(root)
+    assert log.versions() == [0]  # the drifted batch never landed
+
+
+# ---- batch CDF through the reader API --------------------------------------------------------
+
+
+def test_snaplog_batch_cdf_options_and_refusals(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    log.commit_append(spark.range(4, 7), note="v1")
+    log.compact(spark, target_file_bytes=1 << 30)  # v2: a rewrite
+
+    def cdf(**opts):
+        r = (
+            spark.read.format("snaplog")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    # startingVersion required
+    with pytest.raises(Exception, match="startingVersion"):
+        cdf().collect()
+    # append-only range works, bounded by endingVersion
+    got = cdf(startingVersion="1", endingVersion="1")
+    rows = got.collect()
+    assert sorted(r.id for r in rows) == [4, 5, 6]
+    assert {(r._change_type, r._commit_version) for r in rows} == {("insert", 1)}
+    # a rewrite in range refuses loudly
+    with pytest.raises(Exception, match="not append-only"):
+        cdf(startingVersion="1").collect()
+    # CDF and time travel are exclusive
+    with pytest.raises(Exception, match="mutually exclusive"):
+        cdf(startingVersion="0", versionAsOf="1").collect()
