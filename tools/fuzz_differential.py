@@ -1372,6 +1372,9 @@ class MgSpec:
     upd_c: str | None
     ins_c: str | None
     nmbs_c: str | None = None  # not-matched-by-source DELETE condition
+    evolve: bool = False  # round 12: source carries an extra column (p3)
+    # that only exists on the source side; merge_into(evolve_schema=True)
+    # passes it through as ADD COLUMN — NULL on target-kept rows
 
 
 def gen_mgspec(rng: random.Random) -> MgSpec:
@@ -1387,6 +1390,7 @@ def gen_mgspec(rng: random.Random) -> MgSpec:
         upd_c=rng.choice(list(_MG_UPD)),
         ins_c=rng.choice(list(_MG_INS)),
         nmbs_c=rng.choice(list(_MG_NMBS)),
+        evolve=rng.random() < 0.35,
     )
 
 
@@ -1405,8 +1409,13 @@ def _mg_side_sql(spec: MgSpec, pre: bool) -> str:
         if spec.dedup == "latest"
         else "o_totalprice DESC, o_orderkey DESC"
     )
+    p3 = (
+        ", o_orderpriority AS p3"
+        if (not pre and spec.evolve and spec.op == "merge")
+        else ""
+    )
     return (
-        f"SELECT o_custkey % {spec.key_mod} AS k, {p1} AS p1, {p2} AS p2 "
+        f"SELECT o_custkey % {spec.key_mod} AS k, {p1} AS p1, {p2} AS p2{p3} "
         f"FROM orders WHERE o_orderdate {cmp} TIMESTAMP '{spec.cut}' "
         f"QUALIFY row_number() OVER (PARTITION BY o_custkey % {spec.key_mod} "
         f"ORDER BY {order}) = 1"
@@ -1418,20 +1427,33 @@ def mgspec_to_sql(spec: MgSpec) -> str:
     upd_sql = _MG_UPD[spec.upd_c][0] if spec.upd_c else "TRUE"
     ins_sql = _MG_INS[spec.ins_c][0] if spec.ins_c else "TRUE"
     nmbs_sql = _MG_NMBS[spec.nmbs_c][0] if spec.nmbs_c else "FALSE"
+    ev = spec.evolve and spec.op == "merge"
+    sp3 = ", s.p3 AS sp3" if ev else ""
     base = f"""
 WITH t AS ({_mg_side_sql(spec, pre=True)}),
 s AS ({_mg_side_sql(spec, pre=False)}),
 j AS (
   SELECT t.k AS tk, s.k AS sk, t.p1 AS tp1, t.p2 AS tp2,
-         s.p1 AS sp1, s.p2 AS sp2
+         s.p1 AS sp1, s.p2 AS sp2{sp3}
   FROM t FULL OUTER JOIN s ON t.k = s.k
 )"""
     if spec.op == "merge":
+        sp3_w = ", sp3" if ev else ""
+        p3_proj = (
+            """,
+       CASE WHEN (matched AND NOT del_c AND upd_c) OR (tk IS NULL AND ins_c)
+            THEN sp3 ELSE NULL END AS p3"""
+            if ev
+            else ""
+        )
         # the NULL-condition rule spelled independently: every WHEN
-        # condition coalesces to FALSE before composing
+        # condition coalesces to FALSE before composing (evolved column
+        # p3: source value where the source wins, NULL on kept rows —
+        # merge_into(evolve_schema=True)'s ADD COLUMN rule, spelled
+        # independently)
         return f"""{base},
 w AS (
-  SELECT tk, sk, tp1, tp2, sp1, sp2,
+  SELECT tk, sk, tp1, tp2, sp1, sp2{sp3_w},
          (tk IS NOT NULL AND sk IS NOT NULL) AS matched,
          coalesce({del_sql}, FALSE) AS del_c,
          coalesce({upd_sql}, FALSE) AS upd_c,
@@ -1443,7 +1465,7 @@ SELECT coalesce(sk, tk) AS k,
        CASE WHEN (matched AND NOT del_c AND upd_c) OR (tk IS NULL AND ins_c)
             THEN sp1 ELSE tp1 END AS p1,
        CASE WHEN (matched AND NOT del_c AND upd_c) OR (tk IS NULL AND ins_c)
-            THEN sp2 ELSE tp2 END AS p2
+            THEN sp2 ELSE tp2 END AS p2{p3_proj}
 FROM w
 WHERE CASE WHEN matched THEN NOT del_c
            WHEN tk IS NOT NULL THEN NOT nmbs_c
@@ -1491,12 +1513,18 @@ def _mg_side_spark(spec: MgSpec, orders, pre: bool):
         else [F.col("o_totalprice").desc(), F.col("o_orderkey").desc()]
     )
     w = Window.partitionBy(F.col("o_custkey") % spec.key_mod).orderBy(*order)
+    extra = (
+        [F.col("o_orderpriority").alias("p3")]
+        if (not pre and spec.evolve and spec.op == "merge")
+        else []
+    )
     return (
         orders.where(cond)
         .select(
             (F.col("o_custkey") % spec.key_mod).alias("k"),
             p1.alias("p1"),
             p2.alias("p2"),
+            *extra,
             F.row_number().over(w).alias("_rn"),
         )
         .where(F.col("_rn") == 1)
@@ -1524,6 +1552,7 @@ def mgspec_to_spark(spec: MgSpec, orders):
             not_matched_by_source_delete=(
                 _MG_NMBS[spec.nmbs_c][1] if spec.nmbs_c else None
             ),
+            evolve_schema=spec.evolve,
         )
     return changes_between(t, s, key="k", payload=["p1", "p2"])
 
