@@ -100,7 +100,7 @@ _PRIORITY = (
     # DataSource writer API)
     "table_log_batch_source", "table_log_stream_paced",
     "table_stream_skipchanges", "table_merge_evolve", "table_compact_zorder",
-    "table_log_stream_sink", "table_batch_cdf",
+    "table_log_stream_sink", "table_batch_cdf", "table_log_batch_evolved",
     # CHANGED keys re-verified fresh: append_once now publishes its txn
     # record atomically inside the commit entry (table_stream_ingest,
     # dedup_stream_minhash); the snaplog source was reworked (one-pass
@@ -134,10 +134,10 @@ _PRIORITY = (
     "graph_pagerank", "graph_triangles", "interval_coverage",
     "join_asof_nearest", "join_bucketed", "join_range_bands",
     "join_salted", "layout_zorder", "merge_upsert",
-    "mix_epochs_fractional", "mm_frame_sample", "mm_png_features",
-    # (pack_sequences/pivot_dynamic were next in LRV order; trimmed as the
-    # sink and batch-CDF keys took the last slots — they rotate in next
-    # round per the freshness policy)
+    "mix_epochs_fractional", "mm_frame_sample",
+    # (mm_png_features/pack_sequences/pivot_dynamic were next in LRV
+    # order; trimmed as the sink / batch-CDF / evolved-read keys took the
+    # last slots — they rotate in next round per the freshness policy)
 )
 
 

@@ -591,3 +591,76 @@ def table_batch_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return materialize_then_rmtree(out, root)
+
+
+# ---- evolved history through the reader API -------------------------------------------------
+
+_BE_CUT = "1994-11-05"  # distinct from table_schema_evolution's 1997-07-01
+
+
+@register(
+    "table_log_batch_evolved",
+    tags=("io", "maintenance", "aggregation"),
+    oracle=f"""
+SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS amount_sum,
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_BE_CUT}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_old_generation
+FROM orders
+GROUP BY o_orderkey % 7
+""",
+)
+def table_log_batch_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evolved history through the reader API (round 12): an EvolvingLog
+    walks v0 (k, status, price_c int) → metadata-only evolve (rename
+    price_c→amount_c, widen int→bigint, drop status) → v2 appends under
+    the new schema — and ``spark.read.format("snaplog")`` resolves BOTH
+    file generations to the live schema through the column-ID mapping,
+    executor-side in Arrow (rename by id, widening cast, dropped column
+    never read): the composition table_schema_evolution (the
+    ``read_evolved`` helper) and table_log_batch_source (the reader API)
+    could each only show half of.  ``n_old_generation`` pins that
+    pre-evolution files really flow through the id mapping (their rows
+    are identifiable by the date cut AND stamp ``_commit_version`` 0),
+    and the cross-generation totals are oracled against raw orders —
+    a wrong cast, a lost rename, or a leaked dropped column all shift
+    the aggregate."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    _register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tbe_")
+    log = EvolvingLog(root)
+    orders = table(spark, sf_dir, "orders")
+    log.commit_columns(
+        orders.where(F.col("o_orderdate") < _BE_CUT).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("int").alias("price_c"),
+        ),
+        [(1, "k", "bigint"), (2, "status", "string"), (3, "price_c", "int")],
+        note="v0 original schema",
+    )
+    log.evolve(
+        [(1, "k", "bigint"), (3, "amount_c", "bigint")],
+        note="rename price_c->amount_c, widen int->bigint, drop status",
+    )
+    log.append_columns(
+        orders.where(F.col("o_orderdate") >= _BE_CUT).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("amount_c"),
+        ),
+        note="v2 post-cut rows under the evolved schema",
+    )
+    got = spark.read.format("snaplog").option("path", root).load()
+    out = got.groupBy((F.col("k") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_c").cast("bigint").alias("amount_sum"),
+        F.sum(F.when(F.col("_commit_version") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_old_generation"),
+    )
+    return materialize_then_rmtree(out, root)

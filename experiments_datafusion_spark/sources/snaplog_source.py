@@ -146,11 +146,64 @@ class _LogView:
     def kind(self, v: int) -> str:
         return self.entries[v].get("kind", "data")
 
+    def file_projection(self, f: dict, live_cols) -> list | None:
+        """Per-file column-ID projection for EVOLVING logs (the Iceberg id
+        mapping, operators/table_format.EvolvingLog): a file written under
+        an older schema generation resolves to the LIVE schema through the
+        stable ids — ``[(live_name, physical_name | None, live_type)]``,
+        None physical = the column didn't exist yet (surfaces NULL).
+        Returns None when the file already matches the live schema (the
+        fast path — plain logs and post-evolution files)."""
+        sv = f.get("schema_v")
+        if sv is None or live_cols is None:
+            return None
+        written = self.entries[sv].get("columns")
+        if written is None or [list(c) for c in written] == [
+            list(c) for c in live_cols
+        ]:
+            return None
+        by_id = {int(i): (n, t) for i, n, t in written}
+        return [
+            (name, by_id[int(i)][0] if int(i) in by_id else None, typ)
+            for i, name, typ in live_cols
+        ]
+
+
+# live-schema type -> Arrow type, for the id-mapped evolved read (NULL
+# back-fill + widening casts happen executor-side in Arrow).  Only the
+# types the EvolvingLog surface uses; anything else refuses loudly rather
+# than guessing.
+_EVOLVED_ARROW_TYPES = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool_",
+}
+
+
+def _evolved_arrow_type(live_type: str):
+    import pyarrow as pa
+
+    name = _EVOLVED_ARROW_TYPES.get(live_type)
+    if name is None:
+        raise ValueError(
+            f"snaplog evolved read: unsupported live column type "
+            f"{live_type!r} (supported: {sorted(_EVOLVED_ARROW_TYPES)})"
+        )
+    return getattr(pa, name)()
+
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, version: int):
+    def __init__(self, path: str, version: int, proj=None):
         self.path = path
         self.version = version
+        # id-mapped projection for files written under an older schema
+        # generation (see _LogView.file_projection); None = live schema
+        self.proj = proj
 
 
 def _parse_common_options(options: dict) -> dict:
@@ -181,6 +234,48 @@ class _ArrowFileReadMixin:
 
         v = partition.version
         ct = self.change_type
+        proj = getattr(partition, "proj", None)
+        if proj is not None:
+            # id-mapped EVOLVED read: project the file's physical columns
+            # to the live schema — rename by id, widen by cast, NULL where
+            # the column didn't exist yet — executor-side, in Arrow
+            if not self.arrow:
+                raise ValueError(
+                    "snaplog: the legacy arrow=false row path does not "
+                    "support evolved (id-mapped) files"
+                )
+            import pyarrow.compute as pc
+
+            want = [
+                (ln, pn, t)
+                for ln, pn, t in proj
+                if self.columns is None or ln in self.columns
+            ]
+            phys = [pn for _ln, pn, _t in want if pn is not None]
+            pf = pq.ParquetFile(partition.path)
+            for batch in pf.iter_batches(columns=phys or None):
+                arrays, names = [], []
+                for ln, pn, t in want:
+                    at = _evolved_arrow_type(t)
+                    if pn is None:
+                        arr = pa.nulls(batch.num_rows, type=at)
+                    else:
+                        arr = batch.column(batch.schema.get_field_index(pn))
+                        if arr.type != at:
+                            arr = pc.cast(arr, at)
+                    arrays.append(arr)
+                    names.append(ln)
+                out = pa.RecordBatch.from_arrays(arrays, names=names)
+                if ct is not None:
+                    out = out.append_column(
+                        "_change_type",
+                        pa.array([ct] * out.num_rows, type=pa.string()),
+                    )
+                yield out.append_column(
+                    "_commit_version",
+                    pa.array([v] * out.num_rows, type=pa.int64()),
+                )
+            return
         if self.arrow:
             pf = pq.ParquetFile(partition.path)
             for batch in pf.iter_batches(columns=self.columns):
@@ -333,6 +428,24 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
                         "'skipChangeCommits', 'true') to skip the version"
                     )
             for f in added:
+                # EVOLVING logs: a file written under an OLDER schema
+                # generation cannot stream through a fixed-schema source —
+                # the Delta rule (streams fail on non-additive schema
+                # change).  The id-mapped BATCH reader handles it; the
+                # stream refuses loudly instead of emitting wrong columns.
+                sv = f.get("schema_v")
+                if sv is not None:
+                    written = view.entries.get(sv, {}).get("columns")
+                    head_cols = view.entries[view.published[-1]].get("columns")
+                    if written is not None and written != head_cols:
+                        raise ValueError(
+                            f"snaplog stream: version {v} adds files written "
+                            f"under schema generation v{sv}, which differs "
+                            "from the live schema — evolved history is "
+                            "batch-readable via the id mapping (spark.read."
+                            "format('snaplog')); restart the stream to pick "
+                            "up the evolved schema"
+                        )
                 out.append(_FilePartition(f["path"], v))
         return out
 
@@ -422,10 +535,18 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
                 break
             for f in view.delta[pv][0]:
                 added_in.setdefault(f["path"], pv)
-        files = [f["path"] for f in view.entries[v]["files"]]
-        if not files:
+        entry = view.entries[v]
+        live_cols = entry.get("columns")  # present on EvolvingLog entries
+        if not entry["files"]:
             raise ValueError(f"version {v} has no data files")
-        return [_FilePartition(p, added_in.get(p, v)) for p in files]
+        return [
+            _FilePartition(
+                f["path"],
+                added_in.get(f["path"], v),
+                proj=view.file_projection(f, live_cols),
+            )
+            for f in entry["files"]
+        ]
 
     def _cdf_partitions(self, view: _LogView) -> Sequence[InputPartition]:
         end = self.cdf_end
@@ -433,6 +554,7 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
             if not view.published:
                 raise ValueError(f"no published versions under {self.root}")
             end = view.published[-1]
+        live_cols = view.entries[end].get("columns")
         out: list[InputPartition] = []
         for v in view.published:
             if not self.cdf_start <= v <= end:
@@ -446,7 +568,11 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
                     "ranges"
                 )
             for f in added:
-                out.append(_FilePartition(f["path"], v))
+                out.append(
+                    _FilePartition(
+                        f["path"], v, proj=view.file_projection(f, live_cols)
+                    )
+                )
         if not out:
             raise ValueError(
                 f"snaplog readChangeFeed: no published changes in "
@@ -588,11 +714,19 @@ class SnapshotLogDataSource(DataSource):
         # old snapshot may predate an evolution)
         v_opt = self.options.get("versionasof")
         if v_opt is not None and int(v_opt) in view.entries:
-            cols = view.entries[int(v_opt)]["schema"]
+            entry = view.entries[int(v_opt)]
         else:
             if not view.published:
                 raise ValueError(f"no published versions under {root}")
-            cols = view.entries[view.published[-1]]["schema"]
+            entry = view.entries[view.published[-1]]
+        if "columns" in entry:
+            # EvolvingLog: the id-carrying live column list IS the schema
+            # (an evolve() entry has no physical "schema" — it rewrote no
+            # files); all live columns surface nullable (pre-evolution
+            # files back-fill NULL)
+            cols = [(name, typ, True) for _i, name, typ in entry["columns"]]
+        else:
+            cols = entry["schema"]
         want = (self.options.get("columns") or "").strip()
         if want:
             keep = [c.strip() for c in want.split(",") if c.strip()]

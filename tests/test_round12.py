@@ -800,3 +800,80 @@ def test_snaplog_batch_cdf_options_and_refusals(spark, tmp_path):
     # CDF and time travel are exclusive
     with pytest.raises(Exception, match="mutually exclusive"):
         cdf(startingVersion="0", versionAsOf="1").collect()
+
+
+# ---- evolved logs through the reader API -------------------------------------------------
+
+
+def _evolved_log(spark, root: str):
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(root)
+    log.commit_columns(
+        spark.createDataFrame(
+            [(1, "A", 10), (2, "B", 20)], "k bigint, status string, price_c int"
+        ),
+        [(1, "k", "bigint"), (2, "status", "string"), (3, "price_c", "int")],
+        note="v0 original",
+    )
+    log.evolve(
+        [(1, "k", "bigint"), (3, "amount_c", "bigint"), (4, "tag", "string")],
+        note="rename+widen+drop+add",
+    )
+    log.append_columns(
+        spark.createDataFrame(
+            [(3, 30, "x"), (4, 40, "y")], "k bigint, amount_c bigint, tag string"
+        ),
+        note="v2 under the evolved schema",
+    )
+    return log
+
+
+def test_snaplog_batch_reads_evolved_log_through_id_mapping(spark, tmp_path):
+    """spark.read.format('snaplog') over an EvolvingLog: old-generation
+    files rename by id (price_c -> amount_c), widen (int -> bigint), drop
+    (status never surfaces), and back-fill NULL for post-dating columns —
+    matching read_evolved exactly, plus the _commit_version stamp."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = _evolved_log(spark, root)
+    got = spark.read.format("snaplog").option("path", root).load()
+    assert got.columns == ["k", "amount_c", "tag", "_commit_version"]
+    rows = sorted((r.k, r.amount_c, r.tag, r._commit_version) for r in got.collect())
+    assert rows == [(1, 10, None, 0), (2, 20, None, 0), (3, 30, "x", 2), (4, 40, "y", 2)]
+    want = sorted(
+        (r.k, r.amount_c, r.tag) for r in log.read_evolved(spark).collect()
+    )
+    assert [(k, a, t) for k, a, t, _v in rows] == want
+    # column pruning against the LIVE names, spanning both generations
+    pruned = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("columns", "amount_c")
+        .load()
+    )
+    assert pruned.columns == ["amount_c", "_commit_version"]
+    assert sorted(r.amount_c for r in pruned.collect()) == [10, 20, 30, 40]
+    # versionAsOf an OLD generation surfaces ITS schema untouched
+    v0 = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("versionAsOf", "0")
+        .load()
+    )
+    assert v0.columns == ["k", "status", "price_c", "_commit_version"]
+    assert sorted((r.k, r.status, r.price_c) for r in v0.collect()) == [
+        (1, "A", 10),
+        (2, "B", 20),
+    ]
+
+
+def test_snaplog_stream_refuses_old_generation_files(spark, tmp_path):
+    """Streaming a log whose range includes files written under an OLDER
+    schema generation must fail loudly (the Delta schema-change rule) —
+    the batch reader is the sanctioned path for evolved history."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    _evolved_log(spark, root)
+    with pytest.raises(Exception, match="schema generation"):
+        _drain(spark, root, str(tmp_path / "o"), str(tmp_path / "c"))
