@@ -60,8 +60,11 @@ Options (Spark lowercases DataSource option keys):
   * ``path``     (required) — the log root;
   * ``columns``  — comma-separated projection; the pruning reaches the
     executor-side parquet reads (``iter_batches(columns=...)``);
-  * ``ignorechanges`` / ``skipchangecommits`` — change-commit admission
-    (see above; mutually exclusive);
+  * ``ignorechanges`` / ``ignoredeletes`` / ``skipchangecommits`` —
+    change-commit admission (see above; ignoreDeletes admits DELETE-ONLY
+    commits — files removed, none added, nothing to re-emit — while
+    rewrites still need ignoreChanges, which implies it; skipChangeCommits
+    is exclusive with both);
   * ``startingversion`` — where a NEW subscription begins (Delta's
     startingVersion): a version number, or ``latest``;
   * ``versionasof`` / ``timestampasof`` — BATCH reads only: time travel;
@@ -306,13 +309,24 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # Delta's third knob: admit commits that ONLY remove files (the
+        # retention/partition-delete shape — nothing to re-emit), while
+        # rewrites (remove AND add) still require ignoreChanges.
+        # ignoreChanges implies ignoreDeletes, as in Delta.
+        self.ignore_deletes = self.ignore_changes or (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
-        if self.ignore_changes and self.skip_change_commits:
+        if self.skip_change_commits and (
+            self.ignore_changes
+            or str(options.get("ignoredeletes", "false")).lower() == "true"
+        ):
             raise ValueError(
-                "snaplog source: ignoreChanges and skipChangeCommits are "
-                "mutually exclusive — pick one change-commit policy"
+                "snaplog source: skipChangeCommits is mutually exclusive "
+                "with ignoreChanges/ignoreDeletes — pick one change-commit "
+                "policy"
             )
         # Delta's startingVersion: where a NEW subscription begins.  A
         # number = emit that version onward; "latest" = only commits made
@@ -418,11 +432,19 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
             if removed:
                 if self.skip_change_commits:
                     continue  # Delta skipChangeCommits: the version emits nothing
+                if not added and self.ignore_deletes:
+                    continue  # delete-only commit: nothing to (re-)emit
                 if not self.ignore_changes:
+                    hint = (
+                        "a delete-only commit can be admitted with .option("
+                        "'ignoreDeletes', 'true'); "
+                        if not added
+                        else ""
+                    )
                     raise ValueError(
                         f"snaplog stream: version {v} (kind={kind!r}) removed "
                         f"{len(removed)} file(s) — a rewrite/compaction in the "
-                        "middle of a stream re-emits rows; set .option("
+                        f"middle of a stream re-emits rows; {hint}set .option("
                         "'ignoreChanges', 'true') to admit it (new files only, "
                         "rewritten rows may re-emit) or .option("
                         "'skipChangeCommits', 'true') to skip the version"
@@ -554,6 +576,12 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
             if not view.published:
                 raise ValueError(f"no published versions under {self.root}")
             end = view.published[-1]
+        if end not in view.entries:
+            raise ValueError(
+                f"snaplog readChangeFeed: endingVersion {end} does not "
+                f"exist (log has versions {view.versions[:1]}..."
+                f"{view.versions[-1:]})"
+            )
         live_cols = view.entries[end].get("columns")
         out: list[InputPartition] = []
         for v in view.published:

@@ -877,3 +877,48 @@ def test_snaplog_stream_refuses_old_generation_files(spark, tmp_path):
     _evolved_log(spark, root)
     with pytest.raises(Exception, match="schema generation"):
         _drain(spark, root, str(tmp_path / "o"), str(tmp_path / "c"))
+
+
+def test_snaplog_ignoredeletes_admits_delete_only_commits(spark, tmp_path):
+    """Delta's third change-commit knob: a commit that ONLY removes files
+    (retention/partition delete — nothing to re-emit) is admitted under
+    ignoreDeletes and emits nothing; rewrites still need ignoreChanges."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="a0")
+    log.commit_append(spark.range(4, 8), note="a1")
+    # a delete-only commit: v2 references v1's files minus the a1 batch
+    e = log.entry(1)
+    v0_paths = {f["path"] for f in log.entry(0)["files"]}
+    log._publish(
+        2,
+        {
+            "version": 2,
+            "note": "partition delete (files removed, none added)",
+            "kind": "data",
+            "schema": e["schema"],
+            "files": [f for f in e["files"] if f["path"] in v0_paths],
+        },
+    )
+    log.commit_append(spark.range(8, 10), note="a3")
+    # default: loud failure that NAMES the delete-only escape hatch
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        _drain(spark, root, str(tmp_path / "o1"), str(tmp_path / "c1"))
+    out = str(tmp_path / "out")
+    _drain(spark, root, out, str(tmp_path / "chk"), ignoreDeletes="true")
+    rows = spark.read.parquet(out).collect()
+    # the delete-only version emitted NOTHING; deletions are not applied
+    # retroactively to already-streamed rows (the documented semantics)
+    assert sorted(r.id for r in rows) == list(range(10))
+    assert {r._commit_version for r in rows} == {0, 1, 3}
+    # exclusivity: skipChangeCommits + ignoreDeletes refused
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain(
+            spark,
+            root,
+            str(tmp_path / "o2"),
+            str(tmp_path / "c2"),
+            ignoreDeletes="true",
+            skipChangeCommits="true",
+        )
