@@ -145,20 +145,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(idiv(F.col("rank_u"), F.col("outdeg"))).alias("s_u"))
         )
-        ranks = (
-            nodes.join(inc, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_u)
-                    + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100))
-                ).cast("long").alias("rank_u"),
-            )
-            # checkpointing each iteration pays one job's scheduling floor
-            # but beats re-optimizing/re-executing a 5-deep nested-join
-            # mega-plan (A/B at sf0.1: 3.1s checkpointed vs 5.1s lazy)
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(base_u)
+                + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100))
+            ).cast("long").alias("rank_u"),
         )
+        # NO per-iteration checkpoint (round 12): with edges/nodes/
+        # contrib_src already pinned, the 5-deep iteration plan optimizes
+        # and executes as ONE job, and the five eager checkpoint jobs it
+        # replaces were pure scheduling floor — interleaved A/B at sf0.1,
+        # 6 rounds: lazy median 2.89s vs 3.64-3.81s for every checkpoint
+        # cadence (1/2/5), outputs identical.  (An earlier round measured
+        # the opposite before the bases were checkpointed; at hundreds of
+        # iterations lineage depth would argue for periodic checkpoints —
+        # at PR_ITERS=5 it does not.)
     return (
         ranks.select(
             F.col("node").alias("user_id"),
