@@ -772,11 +772,25 @@ class SnapshotLog:
 
     # ---- maintenance --------------------------------------------------------
 
-    def vacuum(self, keep) -> list[str]:
+    def vacuum(self, keep, min_age_s: float = 0.0) -> list[str]:
         """Remove every data file not referenced by the kept versions'
         manifests; returns the removed paths.  A pure manifest diff plus
-        O(dead files) unlinks — never a data read."""
+        O(dead files) unlinks — never a data read.
+
+        ``min_age_s`` (round 12) is the in-flight-writer guard Delta gets
+        from its modification-time retention: an optimistic writer
+        (rebased append, checked rewrite, the streaming sink's task
+        files) writes data BEFORE its log entry publishes, so a vacuum
+        racing it would sweep the not-yet-referenced files and the commit
+        would publish dangling paths.  Files younger than ``min_age_s``
+        (by mtime) are left alone; pass a value comfortably above the
+        longest write-to-publish window when vacuuming a table with live
+        writers.  Default 0 keeps the single-writer maintenance shape
+        every existing key uses."""
+        import time
+
         live = self.live_files(sorted(keep))
+        cutoff = time.time() - min_age_s
         removed = []
         for dirpath, _dirs, files in os.walk(self.root):
             if os.path.basename(dirpath) == "_log":
@@ -784,6 +798,12 @@ class SnapshotLog:
             for f in files:
                 p = os.path.join(dirpath, f)
                 if f.endswith(".parquet") and p not in live:
+                    if min_age_s > 0:
+                        try:
+                            if os.path.getmtime(p) > cutoff:
+                                continue  # too young: possibly in-flight
+                        except FileNotFoundError:
+                            continue  # already gone (concurrent cleanup)
                     os.remove(p)
                     removed.append(p)
         return sorted(removed)

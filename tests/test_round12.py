@@ -922,3 +922,38 @@ def test_snaplog_ignoredeletes_admits_delete_only_commits(spark, tmp_path):
             ignoreDeletes="true",
             skipChangeCommits="true",
         )
+
+
+def test_vacuum_min_age_spares_inflight_writer_files(spark, tmp_path):
+    """vacuum(min_age_s=...) must leave young unreferenced files alone —
+    an optimistic writer's data lands BEFORE its log entry publishes, and
+    a racing vacuum must not sweep the about-to-be-referenced files."""
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    # simulate an in-flight rebased append: data written, entry not yet
+    # published (exactly commit_append_rebased's write-then-publish gap)
+    inflight_dir = os.path.join(root, "b-inflight")
+    spark.range(4, 8).write.parquet(inflight_dir)
+    inflight = [
+        os.path.join(inflight_dir, f)
+        for f in os.listdir(inflight_dir)
+        if f.endswith(".parquet")
+    ]
+    # an OLD orphan (a crashed writer from long ago): backdate its mtime
+    old_orphan = os.path.join(root, "b-dead", "part-dead.parquet")
+    os.makedirs(os.path.dirname(old_orphan))
+    shutil.copy(inflight[0], old_orphan)
+    os.utime(old_orphan, (1, 1))
+    removed = log.vacuum(keep=log.versions(), min_age_s=3600)
+    assert removed == [old_orphan]  # the stale orphan goes...
+    assert all(os.path.exists(p) for p in inflight)  # ...the in-flight stays
+    # and the in-flight commit can still publish and read back
+    files = [{"path": p, "size": os.path.getsize(p)} for p in sorted(inflight)]
+    schema = [["id", "bigint", False]]  # spark.range: non-nullable
+    v = log.commit_append_files(files, schema, note="late publish")
+    assert sorted(r.id for r in log.read(spark, v).collect()) == list(range(8))
+    # min_age_s=0 keeps the historical sweep-everything behavior
+    spark.range(99).write.parquet(os.path.join(root, "b-young"))
+    got = log.vacuum(keep=log.versions())
+    assert any("b-young" in p for p in got)
