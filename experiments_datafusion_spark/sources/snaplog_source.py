@@ -334,6 +334,13 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
         # Spark hands partitions() the committed offset, exactly as the
         # real option behaves.
         self.starting = str(options.get("startingversion", "0")).lower()
+        # Delta's STREAMING change feed: .option("readChangeFeed", "true")
+        # emits the CDF row shape (_change_type + _commit_version) instead
+        # of bare rows — for this append-shaped source every admitted file
+        # is an 'insert' (the mixin stamps it), which is exactly what the
+        # retract/apply IVM consumers take as input without a withColumn
+        if str(options.get("readchangefeed", "false")).lower() == "true":
+            self.change_type = "insert"
 
         def _cap(key: str) -> int | None:
             raw = options.get(key)

@@ -957,3 +957,25 @@ def test_vacuum_min_age_spares_inflight_writer_files(spark, tmp_path):
     spark.range(99).write.parquet(os.path.join(root, "b-young"))
     got = log.vacuum(keep=log.versions())
     assert any("b-young" in p for p in got)
+
+
+def test_snaplog_stream_readchangefeed_emits_cdf_shape(spark, tmp_path):
+    """readStream readChangeFeed=true: the source itself emits the Delta
+    CDF row shape (_change_type='insert' + _commit_version) — the input
+    the retract/apply IVM consumers take without a manual withColumn."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(3), note="a0")
+    log.commit_append(spark.range(3, 5), note="a1")
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    _drain(spark, root, out, chk, readChangeFeed="true")
+    rows = spark.read.parquet(out).collect()
+    assert set(spark.read.parquet(out).columns) == {
+        "id", "_change_type", "_commit_version"
+    }
+    got = sorted((r.id, r._change_type, r._commit_version) for r in rows)
+    assert got == [
+        (0, "insert", 0), (1, "insert", 0), (2, "insert", 0),
+        (3, "insert", 1), (4, "insert", 1),
+    ]
