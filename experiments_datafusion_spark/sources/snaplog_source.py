@@ -702,13 +702,24 @@ class _SnapLogStreamWriter(DataSourceStreamArrowWriter):
         ]
         if not files:
             return  # an all-empty micro-batch commits nothing (Delta too)
+        log = SnapshotLog(self.root)
+        tip = log.latest_version()
+        if tip >= 0 and "columns" in log.entry(tip):
+            # an EvolvingLog table: sink commits don't stamp column ids /
+            # per-file schema_v, so they would silently break the id-mapped
+            # reader — refuse loudly instead (append through
+            # EvolvingLog.append_columns for id-schema tables)
+            raise ValueError(
+                "snaplog sink: target log carries an id-mapped (evolving) "
+                "schema; the sink only writes plain snapshot logs"
+            )
 
         def drop_orphans() -> None:
             for f in files:
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(f["path"])
 
-        SnapshotLog(self.root).commit_append_files(
+        log.commit_append_files(
             files,
             self.schema_list,
             note=f"{self.app_id} batch {batchId}",

@@ -979,3 +979,59 @@ def test_snaplog_stream_readchangefeed_emits_cdf_shape(spark, tmp_path):
         (0, "insert", 0), (1, "insert", 0), (2, "insert", 0),
         (3, "insert", 1), (4, "insert", 1),
     ]
+
+
+def test_snaplog_sink_refuses_evolving_target(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        _SnapLogStreamWriter,
+        _TaskFile,
+    )
+
+    root = str(tmp_path / "t")
+    EvolvingLog(root).commit_columns(spark.range(3), [(1, "id", "bigint")])
+    w = _SnapLogStreamWriter({"path": root}, spark.range(1).schema)
+    p = os.path.join(root, "ws")
+    os.makedirs(p, exist_ok=True)
+    f = os.path.join(p, "part-x.parquet")
+    spark.range(1).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+    shutil.copy(
+        next(
+            os.path.join(str(tmp_path / "w"), x)
+            for x in os.listdir(str(tmp_path / "w"))
+            if x.endswith(".parquet")
+        ),
+        f,
+    )
+    with pytest.raises(ValueError, match="id-mapped"):
+        w.commit([_TaskFile(f, os.path.getsize(f), 1)], batchId=0)
+
+
+def test_snaplog_sink_to_source_roundtrip_pipeline(spark, tmp_path):
+    """The full public-API medallion: a parquet stream lands through the
+    snaplog SINK (bronze), and the snaplog SOURCE streams the same log
+    into a drain — per-batch commits on the write side surface as
+    per-version micro-batches on the read side, end to end, no user
+    commit code anywhere."""
+    _register(spark)
+    src, root = str(tmp_path / "src"), str(tmp_path / "t")
+    spark.range(24).select("id").repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("snaplog")
+        .option("path", root)
+        .option("appId", "bronze")
+        .option("checkpointLocation", str(tmp_path / "c1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    out = str(tmp_path / "out")
+    _drain(spark, root, out, str(tmp_path / "c2"), readChangeFeed="true")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in rows) == list(range(24))
+    assert {r._commit_version for r in rows} == {0, 1, 2}  # 3 sink commits
+    assert {r._change_type for r in rows} == {"insert"}
