@@ -1035,3 +1035,83 @@ def test_snaplog_sink_to_source_roundtrip_pipeline(spark, tmp_path):
     assert sorted(r.id for r in rows) == list(range(24))
     assert {r._commit_version for r in rows} == {0, 1, 2}  # 3 sink commits
     assert {r._change_type for r in rows} == {"insert"}
+
+
+def test_snaplog_starting_timestamp(spark, tmp_path):
+    """startingTimestamp: a NEW subscription begins at the first commit
+    stamped at or after the timestamp (Delta's startingVersion twin)."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    for i in range(3):
+        v = log.commit_append(spark.range(i * 4, (i + 1) * 4), note=f"a{i}")
+        log.stamp_ts(v, 10.0 * (i + 1))  # ts = 10, 20, 30
+    out = str(tmp_path / "out")
+    _drain(spark, root, out, str(tmp_path / "chk"), startingTimestamp="15.0")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in rows) == list(range(4, 12))  # v1 + v2 only
+    assert {r._commit_version for r in rows} == {1, 2}
+    # after-all timestamp: nothing yet; a NEW commit then streams
+    out2, chk2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _drain(spark, root, out2, chk2, startingTimestamp="99.0")
+    assert not [
+        f for f in os.listdir(out2) if f.endswith(".parquet")
+    ] or spark.read.parquet(out2).count() == 0
+    v = log.commit_append(spark.range(100, 102), note="late")
+    log.stamp_ts(v, 100.0)
+    _drain(spark, root, out2, chk2, startingTimestamp="99.0")
+    assert sorted(r.id for r in spark.read.parquet(out2).collect()) == [100, 101]
+    # exclusivity with startingVersion
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain(
+            spark,
+            root,
+            str(tmp_path / "o3"),
+            str(tmp_path / "c3"),
+            startingTimestamp="15.0",
+            startingVersion="1",
+        )
+
+
+def test_snaplog_two_sinks_race_one_table(spark, tmp_path):
+    """Two sink pipelines (distinct appIds) drain into ONE table
+    concurrently: the rebased file-commit path must land every batch of
+    both exactly once, with both SetTransaction ledgers at the tip."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    srcs = {}
+    for app, lo in (("A", 0), ("B", 100)):
+        src = str(tmp_path / f"src{app}")
+        spark.range(lo, lo + 12).select("id").repartition(3).write.parquet(src)
+        srcs[app] = src
+    schema = spark.read.parquet(srcs["A"]).schema
+    # both streams START from the main thread (a python-registered data
+    # source is invisible to .start() calls from other Python threads —
+    # the JVM resolves it through the thread-local active session,
+    # observed on 4.1.2) and then RUN fully concurrently: availableNow
+    # queries execute on Spark's own streaming threads, so their
+    # micro-batch commits genuinely race on the one table.
+    queries = [
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcs[app])
+            .writeStream.format("snaplog")
+            .option("path", root)
+            .option("appId", app)
+            .option("checkpointLocation", str(tmp_path / f"chk{app}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        for app in ("A", "B")
+    ]
+    for q in queries:
+        assert q.awaitTermination(240)
+    log = SnapshotLog(root)
+    assert sorted(r.id for r in log.read(spark).collect()) == sorted(
+        list(range(12)) + list(range(100, 112))
+    )
+    txns = log.entry(log.latest_version())["txns"]
+    assert set(txns) == {"A", "B"}  # both ledgers carried at the tip
+    assert txns["A"][0] == 2 and txns["B"][0] == 2  # 3 batches each (0..2)
+    assert len(log.versions()) == 6  # every batch its own commit, none lost
