@@ -256,7 +256,76 @@ def main() -> None:
     )
     out["sequential_delete_plus_4_appends_s"] = time.perf_counter() - t0
 
+    # 6. STREAMING-SINK throughput (round 12): the same rows ingested
+    #    through the public writer API (executor Arrow-batch task files +
+    #    one put-if-absent commit per micro-batch) vs the foreachBatch +
+    #    append_once path it replaces — both 4 micro-batches, exactly-once
+    #    either way; the sink's edge is zero user code, the question here
+    #    is whether the writer-API plumbing costs throughput.
+    from experiments_datafusion_spark.operators.table_format import append_once
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+    sink_rows = rows // 10
+    src_dir = tempfile.mkdtemp(prefix="probe_sink_src_")
+    spark.range(sink_rows).select(
+        "id", (F.col("id") % 997).alias("k"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def drain_sink():
+        troot = tempfile.mkdtemp(prefix="probe_sinkt_")
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.format("snaplog")
+            .option("path", f"{troot}/t")
+            .option("appId", "probe")
+            .option("checkpointLocation", f"{troot}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        n = SnapshotLog(f"{troot}/t").read(spark).count()
+        assert n == sink_rows, n
+        return troot
+
+    def drain_foreachbatch():
+        troot = tempfile.mkdtemp(prefix="probe_fbt_")
+        log = SnapshotLog(f"{troot}/t")
+
+        def ingest(batch_df, batch_id):
+            append_once(log, batch_df, app_id="probe", txn_version=batch_id)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{troot}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        n = log.read(spark).count()
+        assert n == sink_rows, n
+        return troot
+
     import shutil
+
+    for name, fn in (("sink_api", drain_sink), ("foreachbatch", drain_foreachbatch)):
+        _warm = fn()  # one warm pass (codegen + stream machinery)
+        shutil.rmtree(_warm, ignore_errors=True)
+        t0 = time.perf_counter()
+        troot = fn()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(troot, ignore_errors=True)
+        out[f"ingest_{name}_s"] = round(dt, 3)
+        out[f"ingest_{name}_rows_per_s"] = int(sink_rows / dt)
+    shutil.rmtree(src_dir, ignore_errors=True)
 
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
