@@ -1115,3 +1115,53 @@ def test_snaplog_two_sinks_race_one_table(spark, tmp_path):
     assert set(txns) == {"A", "B"}  # both ledgers carried at the tip
     assert txns["A"][0] == 2 and txns["B"][0] == 2  # 3 batches each (0..2)
     assert len(log.versions()) == 6  # every batch its own commit, none lost
+
+
+def test_snaplog_paced_stream_with_live_writer(spark, tmp_path):
+    """Admission control under a LIVE writer: commits keep landing while
+    the paced stream drains — every batch stays within the cap (one
+    2-file version per batch at maxFilesPerTrigger=2) and the union is
+    exactly-once over everything committed."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    for i in range(2):
+        log.commit_append(
+            spark.range(i * 4, (i + 1) * 4).repartition(2), note=f"a{i}"
+        )
+    batches: list = []
+
+    def sink(df, bid):
+        rows = df.groupBy("_commit_version").count().collect()
+        batches.append(sorted((r["_commit_version"], r["count"]) for r in rows))
+
+    q = (
+        spark.readStream.format("snaplog")
+        .option("path", root)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        # the writer keeps committing WHILE the stream drains
+        for i in range(2, 6):
+            log.commit_append(
+                spark.range(i * 4, (i + 1) * 4).repartition(2), note=f"a{i}"
+            )
+            time.sleep(0.3)
+        t0 = time.time()
+        while time.time() - t0 < 120:
+            if sum(c for rows in batches for _v, c in rows) >= 24:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    non_empty = [rows for rows in batches if rows]
+    # cap respected: never more than ONE 2-file version per micro-batch
+    assert all(len(rows) == 1 for rows in non_empty), non_empty
+    # exactly-once over the full live history, in version order
+    assert [rows[0] for rows in non_empty] == [(v, 4) for v in range(6)]

@@ -327,6 +327,49 @@ def main() -> None:
         out[f"ingest_{name}_rows_per_s"] = int(sink_rows / dt)
     shutil.rmtree(src_dir, ignore_errors=True)
 
+    # 7. PACED long-log drain (round 12): a 16-commit log (rows//10 total)
+    #    drained under maxFilesPerTrigger=4 — the backfill shape the knob
+    #    exists for.  Evidence: the whole history arrives in bounded
+    #    4-file windows (per-batch row counts recorded) instead of one
+    #    16-file mega-batch, at what throughput.
+    paced_rows = rows // 10
+    proot = tempfile.mkdtemp(prefix="probe_paced_")
+    plog = SnapshotLog(f"{proot}/t")
+    per = paced_rows // 16
+    for i in range(16):
+        plog.commit_append(
+            spark.range(i * per, (i + 1) * per).select(
+                "id", (F.col("id") % 997).alias("k")
+            ).repartition(4),
+            note=f"a{i}",
+        )
+    batch_rows: list = []
+
+    def paced_sink(df, bid):
+        batch_rows.append(df.count())
+
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("snaplog")
+        .option("path", f"{proot}/t")
+        .option("maxFilesPerTrigger", "4")
+        .load()
+        .writeStream.foreachBatch(paced_sink)
+        .option("checkpointLocation", f"{proot}/chk")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    while time.perf_counter() - t0 < 600 and sum(batch_rows) < paced_rows:
+        time.sleep(0.2)
+    q.stop()
+    dt = time.perf_counter() - t0
+    assert sum(batch_rows) == paced_rows, (sum(batch_rows), paced_rows)
+    out["paced_drain_s"] = round(dt, 3)
+    out["paced_drain_rows_per_s"] = int(paced_rows / dt)
+    out["paced_drain_batches"] = len([b for b in batch_rows if b])
+    out["paced_drain_max_batch_rows"] = max(batch_rows)
+    shutil.rmtree(proot, ignore_errors=True)
+
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
 
