@@ -1165,3 +1165,26 @@ def test_snaplog_paced_stream_with_live_writer(spark, tmp_path):
     assert all(len(rows) == 1 for rows in non_empty), non_empty
     # exactly-once over the full live history, in version order
     assert [rows[0] for rows in non_empty] == [(v, 4) for v in range(6)]
+
+
+def test_snaplog_stream_reads_identically_across_log_checkpoint(spark, tmp_path):
+    """Consolidating the log into a checkpoint file mid-subscription must
+    be invisible to the stream: the next drain sees exactly the versions
+    committed since the last offset, with the same per-version deltas (a
+    raw tail-only listing would make the first post-checkpoint version
+    look parentless and re-emit its carried files)."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="a0")
+    log.commit_append(spark.range(4, 7), note="a1")
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    _drain(spark, root, out, chk)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(7))
+    # consolidate the log, then keep appending
+    log.checkpoint()
+    log.commit_append(spark.range(7, 9), note="a2 (post-checkpoint)")
+    _drain(spark, root, out, chk)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in rows) == list(range(9))  # no loss, no re-emit
+    assert {r._commit_version for r in rows} == {0, 1, 2}
