@@ -78,8 +78,10 @@ def table_log_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("snaplog")
         .option("path", f"{root}/bronze")
         .option("columns", "user_id,price_c")  # pruned at the parquet read
+        # round 12: the source emits the CDF row shape natively
+        # (_change_type='insert'), so the consumer takes the stream as-is
+        .option("readChangeFeed", "true")
         .load()
-        .withColumn("_change_type", F.lit("insert"))
     )
     q = stream_apply_changes(
         src, f"{root}/view", group_col="user_id", value_col="price_c"
