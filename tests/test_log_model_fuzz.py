@@ -277,10 +277,15 @@ def test_evolving_log_random_walk_matches_model(spark, tmp_path, seed):
     check(0, "init")
     for step in range(1, 15):
         op = rng.choices(
-            ["append", "rename", "add", "drop", "widen"],
-            weights=[45, 15, 15, 10, 15],
+            ["append", "rename", "add", "drop", "widen", "checkpoint"],
+            weights=[40, 15, 15, 10, 15, 5],
         )[0]
-        if op == "append":
+        if op == "checkpoint":
+            # consolidating the log must be invisible to the id mapping:
+            # read_evolved resolves schema generations through entries the
+            # checkpoint now serves from one file
+            log.checkpoint()
+        elif op == "append":
             append(rng.randint(1, 6))
         elif op == "rename":
             i = rng.randrange(len(live))

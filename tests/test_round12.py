@@ -1188,3 +1188,27 @@ def test_snaplog_stream_reads_identically_across_log_checkpoint(spark, tmp_path)
     rows = spark.read.parquet(out).collect()
     assert sorted(r.id for r in rows) == list(range(9))  # no loss, no re-emit
     assert {r._commit_version for r in rows} == {0, 1, 2}
+
+
+def test_snaplog_batch_evolved_read_survives_log_checkpoint(spark, tmp_path):
+    """Checkpointing an EvolvingLog consolidates the entries the id
+    mapping resolves schema generations THROUGH — the reader must
+    produce identical rows before and after."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = _evolved_log(spark, root)
+    before = sorted(
+        tuple(r)
+        for r in spark.read.format("snaplog").option("path", root).load().collect()
+    )
+    log.checkpoint()
+    after = sorted(
+        tuple(r)
+        for r in spark.read.format("snaplog").option("path", root).load().collect()
+    )
+    assert before == after
+    # read_evolved agrees too (the helper and the reader share the ids)
+    helper = sorted(
+        (r.k, r.amount_c, r.tag) for r in log.read_evolved(spark).collect()
+    )
+    assert [(k, a, t) for k, a, t, _v in after] == helper
