@@ -159,10 +159,30 @@ class SnapshotLog:
     def _parent_txns(self, parent: int) -> dict:
         """The SetTransaction map to carry into a child of ``parent`` —
         the parent entry's ``txns`` (every commit kind carries it, class
-        docstring), empty for a fresh table."""
+        docstring), empty for a fresh table.
+
+        LEGACY-LOG PROMOTION (round 13, ADVICE r12 #3): on a log written
+        before the carry-forward rule, the tip may LACK ``txns`` while an
+        older entry holds one (e.g. a pre-round-12 compaction interposed
+        after the last ``append_once``).  Seeding the child from the bare
+        parent would publish a map that SHADOWS those older records from
+        ``_latest_txns``'s first-entry-with-map walk-back — a replayed
+        batch from another app would then re-commit (duplicate rows).  So
+        when the parent carries no map, walk back to the newest entry
+        that does and PROMOTE it into the child; once promoted, every
+        descendant carries it and the walk-back is O(1) again."""
         if parent < 0:
             return {}
-        return dict(self.entry(parent).get("txns") or {})
+        pe = self.entry(parent)
+        if "txns" in pe:
+            return dict(pe["txns"])
+        for v in reversed(self.versions()):
+            if v >= parent:
+                continue
+            e = self.entry(v)
+            if "txns" in e:
+                return dict(e["txns"])
+        return {}
 
     @staticmethod
     def _set_txns(entry: dict, txns: dict) -> None:
@@ -456,7 +476,13 @@ class SnapshotLog:
                     )
                 if want is not None:
                     entry_schema = want  # the TABLE's schema (see commit_append)
-                txns = dict(pe.get("txns") or {})
+                # _parent_txns, not pe["txns"]: a legacy tip without the
+                # carry rule must promote older apps' records (ADVICE r12 #3)
+                txns = (
+                    dict(pe["txns"])
+                    if "txns" in pe
+                    else self._parent_txns(parent)
+                )
             if txn is not None:
                 rec = txns.get(txn[0])
                 if rec is not None and int(rec[0]) >= int(txn[1]):
@@ -720,10 +746,19 @@ class SnapshotLog:
         commit timestamp is <= ``ts`` (every publish stamps one).  Like
         the real thing, this is an O(versions) driver-side walk over log
         entries — catalog metadata, never data.  Raises if the timestamp
-        predates the table."""
+        predates the table.
+
+        STAGED entries are skipped (round 13, ADVICE r12 #1): a timestamp
+        landing between a WAP stage and its publish must resolve to the
+        newest PUBLISHED version at or before it — the staged snapshot's
+        file list is ONLY the unaudited batch, and surfacing it would
+        break the staged-versions-are-invisible invariant the versionAsOf
+        path already enforces (Delta resolves the same way)."""
         best = None
         for v in self.versions():
             e = self.entry(v)
+            if e.get("kind") == "staged":
+                continue
             if e.get("ts") is not None and e["ts"] <= ts:
                 best = v
         if best is None:

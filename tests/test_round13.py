@@ -1,0 +1,466 @@
+"""Round-13 tests — the five ADVICE r12 fixes, pinned:
+
+1. ``version_as_of_ts`` skips staged (WAP) entries, so a timestamp
+   landing between a stage and its publish resolves to the newest
+   PUBLISHED version (staged snapshots stay invisible on every path);
+2. the snaplog sink's default appId derives from the query's
+   checkpointLocation instead of a shared constant — two pipelines on
+   one table without explicit appIds no longer collide on batchId
+   (which silently dropped the later pipeline's batches);
+3. ``commit_append_files`` on a legacy log whose tip lacks ``txns``
+   promotes the newest recorded map instead of seeding from ``{}`` —
+   older apps' replay records survive a pre-carry-rule maintenance
+   commit interposed at the tip;
+4. batch readChangeFeed declares the schema of entries[endingVersion],
+   not the published head — an evolve AFTER the range's end no longer
+   makes the declared DDL disagree with the emitted batches;
+5. legitimately empty results (zero-file version; CDF range with no
+   published changes) return empty DataFrames instead of raising, the
+   Delta behavior orchestration over quiet tables relies on.
+
+Plus the two r12-verdict API-parity closures:
+
+6. batch ``readChangeFeed`` over a REWRITE-bearing range falls back from
+   the manifests-only fast path to a bounded single-task row diff —
+   compaction diffs empty, deletes emit ``delete`` rows, updates emit
+   ``update_preimage``/``update_postimage`` pairs under ``cdfKey`` —
+   refusing only past ``maxDiffBytes``;
+7. ``schemaTracking=true`` streams id-mapped OLD-generation files of an
+   EvolvingLog (rename/widen/NULL-backfill executor-side); a mid-stream
+   evolve still fails loudly and a restart re-declares.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from experiments_datafusion_spark.operators.table_format import (
+    SnapshotLog,
+    append_once,
+    commit_staged,
+    publish_staged,
+)
+
+
+def _register(spark):
+    from experiments_datafusion_spark.sources.sortbench_source import (
+        register_sources,
+    )
+
+    register_sources(spark)
+
+
+# ---- 1. timestampAsOf skips staged entries -------------------------------------------
+
+
+def test_version_as_of_ts_skips_staged(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit_append(spark.range(4), note="v0")
+    sv = commit_staged(log, spark.range(100, 104), note="staged v1")
+    pv = publish_staged(log, sv)
+    for v, ts in ((0, 10.0), (sv, 20.0), (pv, 30.0)):
+        log.stamp_ts(v, ts)
+    # between stage and publish: the staged snapshot must stay invisible
+    assert log.version_as_of_ts(25.0) == 0
+    assert log.version_as_of_ts(20.0) == 0  # exactly at the stage stamp
+    assert log.version_as_of_ts(30.0) == pv
+    with pytest.raises(ValueError, match="no version"):
+        log.version_as_of_ts(5.0)
+
+
+def test_batch_timestamp_as_of_skips_staged(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    sv = commit_staged(log, spark.range(100, 104), note="staged")
+    pv = publish_staged(log, sv)
+    for v, ts in ((0, 10.0), (sv, 20.0), (pv, 30.0)):
+        log.stamp_ts(v, ts)
+    got = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("timestampAsOf", "25.0")
+        .load()
+    )
+    # the published v0 snapshot, NOT the staged batch-only file list
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+
+
+# ---- 2. sink appId derived per-query --------------------------------------------------
+
+
+def test_sink_appid_derivation_rules(spark, tmp_path):
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        _SnapLogStreamWriter,
+    )
+
+    schema = spark.range(1).schema
+    root = str(tmp_path / "t")
+    # explicit appId wins
+    w = _SnapLogStreamWriter({"path": root, "appid": "mine"}, schema)
+    assert w.app_id == "mine"
+    # derived from checkpointLocation: stable per checkpoint, distinct
+    # across checkpoints
+    a1 = _SnapLogStreamWriter(
+        {"path": root, "checkpointlocation": "/ck/alpha"}, schema
+    ).app_id
+    a2 = _SnapLogStreamWriter(
+        {"path": root, "checkpointlocation": "/ck/alpha"}, schema
+    ).app_id
+    b = _SnapLogStreamWriter(
+        {"path": root, "checkpointlocation": "/ck/beta"}, schema
+    ).app_id
+    assert a1 == a2 and a1 != b and a1.startswith("snaplog-sink-")
+    # neither: loud refusal, never a shared constant
+    with pytest.raises(ValueError, match="appId"):
+        _SnapLogStreamWriter({"path": root}, schema)
+
+
+def test_two_default_appid_sinks_do_not_collide(spark, tmp_path):
+    """The ADVICE r12 #2 data-loss scenario: two pipelines, NO explicit
+    appId, one table.  With the derived default every batch of both
+    lands; with the old shared constant the later pipeline's batches
+    were silently treated as replays (and their files deleted)."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    srcs = {}
+    for app, lo in (("A", 0), ("B", 100)):
+        src = str(tmp_path / f"src{app}")
+        spark.range(lo, lo + 6).select("id").repartition(2).write.parquet(src)
+        srcs[app] = src
+    schema = spark.read.parquet(srcs["A"]).schema
+    queries = [
+        (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcs[app])
+            .writeStream.format("snaplog")
+            .option("path", root)  # NOTE: no appId on purpose
+            .option("checkpointLocation", str(tmp_path / f"chk{app}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        for app in ("A", "B")
+    ]
+    for q in queries:
+        assert q.awaitTermination(240)
+    log = SnapshotLog(root)
+    assert sorted(r.id for r in log.read(spark).collect()) == sorted(
+        list(range(6)) + list(range(100, 106))
+    )
+    txns = log.entry(log.latest_version())["txns"]
+    assert len(txns) == 2  # two distinct derived appIds, both ledgers live
+
+
+# ---- 3. legacy-log txn promotion ------------------------------------------------------
+
+
+def test_legacy_tip_without_txns_promotes_older_records(spark, tmp_path):
+    """A pre-round-12 log shape: append_once recorded a txn map, then a
+    legacy maintenance commit (no ``txns`` key) took the tip.  The next
+    txn commit must PROMOTE the old map into its entry — seeding from the
+    bare parent would shadow app A's record and let its replayed batch
+    re-commit (duplicate rows)."""
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    v0 = append_once(log, spark.range(4), app_id="A", txn_version=7)
+    assert log.entry(v0)["txns"] == {"A": [7, v0]}
+    # legacy maintenance commit: same files, NO txns key (written by hand
+    # the way a pre-carry-rule writer would have)
+    e = log.entry(v0)
+    log._publish(
+        v0 + 1,
+        {
+            "version": v0 + 1,
+            "note": "legacy compaction (no txns)",
+            "kind": "compacted",
+            "schema": e["schema"],
+            "files": e["files"],
+        },
+    )
+    assert "txns" not in log.entry(v0 + 1)
+    # a NEW app commits through the tip: A's record must be promoted
+    v2 = append_once(log, spark.range(10, 13), app_id="B", txn_version=0)
+    tip = log.entry(v2)["txns"]
+    assert tip == {"A": [7, v0], "B": [0, v2]}
+    # and A's replayed batch is still a no-op answered from the tip
+    assert append_once(log, spark.range(99), app_id="A", txn_version=7) == v0
+    assert log.latest_version() == v2
+
+
+def test_parent_txns_walkback_only_for_legacy_tips(spark, tmp_path):
+    """Post-carry-rule logs never pay the walk: the tip holds the map."""
+    log = SnapshotLog(str(tmp_path / "t"))
+    append_once(log, spark.range(3), app_id="A", txn_version=0)
+    log.compact(spark, target_file_bytes=1 << 30)
+    # tip (the compaction) carries txns -> _parent_txns is one entry read
+    assert log._parent_txns(log.latest_version()) == {"A": [0, 0]}
+
+
+# ---- 4. CDF schema resolves from endingVersion ----------------------------------------
+
+
+def test_cdf_schema_matches_ending_version_after_later_evolve(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = EvolvingLog(root)
+    log.commit_columns(
+        spark.createDataFrame([(1, 10), (2, 20)], "k bigint, price_c int"),
+        [(1, "k", "bigint"), (2, "price_c", "int")],
+        note="v0",
+    )
+    log.evolve(
+        [(1, "k", "bigint"), (2, "amount_c", "bigint")], note="v1 rename+widen"
+    )
+    log.append_columns(
+        spark.createDataFrame([(3, 30)], "k bigint, amount_c bigint"), note="v2"
+    )
+    got = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("endingVersion", "0")
+        .load()
+    )
+    # declared DDL = v0's columns (price_c int), NOT the evolved head's
+    assert got.columns == ["k", "price_c", "_change_type", "_commit_version"]
+    rows = sorted((r.k, r.price_c, r._change_type, r._commit_version) for r in got.collect())
+    assert rows == [(1, 10, "insert", 0), (2, 20, "insert", 0)]
+
+
+# ---- 5. empty results are empty, not errors -------------------------------------------
+
+
+def test_batch_read_of_emptied_table_returns_zero_rows(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    e = log.entry(0)
+    # a delete-only rewrite that emptied the table: zero-file manifest
+    log._publish(
+        1,
+        {
+            "version": 1,
+            "note": "delete * (table emptied)",
+            "kind": "data",
+            "schema": e["schema"],
+            "files": [],
+        },
+    )
+    got = spark.read.format("snaplog").option("path", root).load()
+    assert got.count() == 0
+    assert got.columns == ["id", "_commit_version"]  # schema still declared
+
+
+def test_cdf_empty_range_returns_zero_rows(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    log.commit_append(spark.range(4, 7), note="v1")
+    got = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")  # beyond the head: quiet table
+        .load()
+    )
+    assert got.count() == 0
+    assert got.columns == ["id", "_change_type", "_commit_version"]
+
+
+# ---- 6. reader-API CDF over rewrite-bearing ranges -------------------------------------
+
+
+def _cdf(spark, root, start=0, **options):
+    reader = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(start))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_cdf_compaction_version_emits_no_changes(spark, tmp_path):
+    """A compaction rewrites the layout, not the rows — its CDF is empty
+    (the old reader refused the whole range here)."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    log.commit_append(spark.range(4, 8), note="v1")
+    log.compact(spark, target_file_bytes=1 << 30)  # v2: removes + re-adds
+    got = _cdf(spark, root).collect()
+    rows = sorted((r.id, r._change_type, r._commit_version) for r in got)
+    assert rows == [(i, "insert", 0 if i < 4 else 1) for i in range(8)]
+
+
+def test_cdf_delete_rewrite_emits_delete_rows(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(8), note="v0")
+    kept = spark.range(8).where("id NOT IN (2, 5)")
+    log.commit_rewrite(kept, keep_files=[], note="delete 2,5")
+    got = _cdf(spark, root, start=1).collect()
+    rows = sorted((r.id, r._change_type, r._commit_version) for r in got)
+    assert rows == [(2, "delete", 1), (5, "delete", 1)]
+
+
+def test_cdf_update_rewrite_with_cdfkey_emits_image_pairs(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    base = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("val")
+    )
+    log.commit_append(base, note="v0")
+    updated = base.withColumn(
+        "val", F.when(F.col("k") == 3, F.lit(999)).otherwise(F.col("val"))
+    )
+    log.commit_rewrite(updated, keep_files=[], note="update k=3")
+    got = _cdf(spark, root, start=1, cdfKey="k").collect()
+    rows = sorted((r.k, r.val, r._change_type, r._commit_version) for r in got)
+    assert rows == [
+        (3, 30, "update_preimage", 1),
+        (3, 999, "update_postimage", 1),
+    ]
+    # without the key: same change, full-row multiset shape
+    got2 = _cdf(spark, root, start=1).collect()
+    rows2 = sorted((r.k, r.val, r._change_type) for r in got2)
+    assert rows2 == [(3, 30, "delete"), (3, 999, "insert")]
+
+
+def test_cdf_rewrite_past_maxdiffbytes_refuses(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(8), note="v0")
+    log.commit_rewrite(spark.range(4), keep_files=[], note="bulk rewrite")
+    with pytest.raises(Exception, match="maxDiffBytes"):
+        _cdf(spark, root, start=1, maxDiffBytes="1").collect()
+
+
+# ---- 7. schema-tracked evolved streaming ------------------------------------------------
+
+
+def _evolving_fixture(spark, root):
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(root)
+    log.commit_columns(
+        spark.createDataFrame([(1, 10), (2, 20)], "k bigint, price_c int"),
+        [(1, "k", "bigint"), (2, "price_c", "int")],
+        note="v0 old generation",
+    )
+    log.evolve(
+        [(1, "k", "bigint"), (2, "amount_c", "bigint")], note="v1 rename+widen"
+    )
+    log.append_columns(
+        spark.createDataFrame([(3, 30)], "k bigint, amount_c bigint"), note="v2"
+    )
+    return log
+
+
+def test_stream_schematracking_drains_evolved_history(spark, tmp_path):
+    """Opt-in id-mapped streaming over an EvolvingLog: old-generation
+    files surface renamed/widened to the declared (live) schema — the
+    batch reader's semantics, now reachable as a backfill stream."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = _evolving_fixture(spark, root)
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        spark.readStream.format("snaplog")
+        .option("path", root)
+        .option("schemaTracking", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"k", "amount_c", "_commit_version"}
+    rows = sorted((r.k, r.amount_c) for r in got.collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    # stream vs batch reader parity on the same evolved history
+    batch = spark.read.format("snaplog").option("path", root).load()
+    assert rows == sorted((r.k, r.amount_c) for r in batch.collect())
+
+
+def test_stream_default_still_refuses_old_generation(spark, tmp_path):
+    _register(spark)
+    root = str(tmp_path / "t")
+    _evolving_fixture(spark, root)
+    q = (
+        spark.readStream.format("snaplog")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="schemaTracking"):
+        q.awaitTermination(180)
+        raise RuntimeError(str(q.exception()))
+
+
+def test_stream_schematracking_mid_stream_evolve_fails_loudly(spark, tmp_path):
+    """The declared schema is fixed at stream start; an evolve landing
+    mid-stream must fail the NEXT microbatch plan, not emit wrong
+    columns (a restart re-declares — Delta's restart rule)."""
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        _SnapLogStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    log = _evolving_fixture(spark, root)
+    reader = _SnapLogStreamReader({"path": root, "schematracking": "true"})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    # both generations admitted: v0's old-generation files carry an
+    # id-mapped projection, v2's live-schema files don't
+    assert {p.version for p in parts} == {0, 2}
+    assert all(p.proj is not None for p in parts if p.version == 0)
+    log.evolve(
+        [(1, "k", "bigint"), (2, "amount_c", "bigint"), (3, "note_c", "string")],
+        note="mid-stream evolve",
+    )
+    log.append_columns(
+        spark.createDataFrame(
+            [(9, 90, "x")], "k bigint, amount_c bigint, note_c string"
+        ),
+        note="post-evolve append",
+    )
+    end2 = _SnapLogStreamReader({"path": root, "schematracking": "true"}).latestOffset()
+    with pytest.raises(ValueError, match="mid-stream"):
+        reader.partitions(start, end2)
+
+
+def test_stream_schematracking_needs_an_evolving_log(spark, tmp_path):
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        _SnapLogStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    SnapshotLog(root).commit_append(spark.range(4), note="plain table")
+    with pytest.raises(ValueError, match="id-mapped"):
+        _SnapLogStreamReader({"path": root, "schematracking": "true"})

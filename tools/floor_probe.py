@@ -24,6 +24,9 @@ from experiments_datafusion_spark.queries import all_queries  # noqa: E402
 from experiments_datafusion_spark.session import get_spark  # noqa: E402
 
 # The >4x sub-second entries the round-6 VERDICT called floor artifacts.
+# Round 13: keys may also be given on the command line (the six
+# unattributed >=8x headline keys from the r12 verdict get their probe
+# the same way).
 KEYS = ("dedup_exact", "tpch_q6", "topk", "ev_tumbling", "agg_stats")
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
@@ -33,16 +36,17 @@ def force(df) -> None:
 
 
 def main() -> None:
+    keys = tuple(sys.argv[1:]) or KEYS
     spark = get_spark("floor-probe")
     spark.sparkContext.setLogLevel("ERROR")
     reg = all_queries()
     # warmup every (key, sf) once: codegen + IO cache
-    for k in KEYS:
+    for k in keys:
         for sf in SF_DIRS:
             force(reg[k].fn(spark, sf))
     print("| key | sf0.001 s | sf0.01 s | sf0.1 s | 100x data -> time x |")
     print("|---|---|---|---|---|")
-    for k in KEYS:
+    for k in keys:
         t = {}
         for sf in SF_DIRS:
             best = min(
