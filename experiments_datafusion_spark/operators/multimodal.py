@@ -63,18 +63,20 @@ def decode_real(payload: bytes, media_type: str):
     """The real-codec dispatch.  As of round 5 every IMAGE and AUDIO
     format in the corpus decodes for real — WAV (stdlib wave), PNG
     (stdlib zlib/struct), BMP (struct), baseline JPEG (jpeg_codec.py:
-    DCT + Annex-K Huffman) — and round 7 adds BI_RLE8 run-length video
-    frames inside the AVI container walk, so the remaining video gate is
-    DCT/INTER-FRAME codecs only: H.264-class motion compensation + CABAC
-    is a genuinely different engineering tier and production would use
-    ffmpeg here."""
+    DCT + Annex-K Huffman) — round 7 adds BI_RLE8 run-length video
+    frames inside the AVI container walk, and round 13 adds MJPEG
+    (intra-frame DCT: each '00dc' chunk a full baseline-JPEG stream
+    through jpeg_codec.py), so the remaining video gate is INTER-FRAME
+    codecs only: H.264-class motion compensation + CABAC is a genuinely
+    different engineering tier and production would use ffmpeg here."""
     if media_type == "video":
         raise NotImplementedError(
-            "only DCT/inter-frame video codecs (H.264 class: motion "
+            "only INTER-FRAME video codecs (H.264 class: motion "
             "compensation + CABAC — the ffmpeg tier) remain gated; "
-            "uncompressed-DIB and BI_RLE8 AVI streams decode for real "
-            "(_decode_avi_gray8), as do all image/audio formats "
-            "(WAV/PNG/BMP/JPEG codecs in this module + jpeg_codec.py)."
+            "uncompressed-DIB, BI_RLE8 and MJPEG (intra-frame DCT) AVI "
+            "streams decode for real (_decode_avi_gray8), as do all "
+            "image/audio formats (WAV/PNG/BMP/JPEG codecs in this module "
+            "+ jpeg_codec.py)."
         )
     raise ValueError(
         f"decode_real dispatches video only; use the typed decoders for "
@@ -691,15 +693,23 @@ def _rle8_decode(data: bytes, w: int, h: int) -> np.ndarray:
     raise ValueError("RLE8 stream ended without end-of-bitmap")
 
 
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian, the biCompression value
+
+
 def _encode_avi_gray8(frames: np.ndarray, comp: int = 0) -> bytes:
     """frames: (n, h, w) uint8 -> RIFF/AVI bytes (avih + vids strl with a
     BITMAPINFOHEADER strf, movi list of frame chunks).  comp selects the
     stream codec: 0 = uncompressed DIB ('00db' chunks, 'DIB ' handler),
-    1 = BI_RLE8 ('00dc' chunks, 'MRLE' handler)."""
+    1 = BI_RLE8 ('00dc' chunks, 'MRLE' handler), 2 = MJPEG ('00dc'
+    chunks each a COMPLETE baseline-JPEG stream, 'MJPG' handler,
+    biCompression the 'MJPG' FOURCC — round 13, the intra-frame DCT
+    tier; jpeg_codec.py does the entropy coding)."""
     import struct
 
-    if comp not in (0, 1):
-        raise NotImplementedError("only BI_RGB (0) and BI_RLE8 (1) are written")
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(
+            "only BI_RGB (0), BI_RLE8 (1) and MJPG (2) are written"
+        )
     n, h, w = frames.shape
     stride = (w + 3) & ~3
 
@@ -712,18 +722,34 @@ def _encode_avi_gray8(frames: np.ndarray, comp: int = 0) -> bytes:
         1_000_000 // AVI_FPS, stride * h * AVI_FPS, 0, 0x10,  # HASINDEX off->0x10 flags kept minimal
         n, 0, 1, stride * h, w, h, 0, 0, 0, 0,
     )
-    handler = b"DIB " if comp == 0 else b"MRLE"
+    handler = {0: b"DIB ", 1: b"MRLE", 2: b"MJPG"}[comp]
     strh = struct.pack(
         "<4s4sIHHIIIIIIIi4H",
         b"vids", handler, 0, 0, 0, 0, 1, AVI_FPS, 0, n,
         stride * h, 0, -1, 0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, comp, stride * h, 0, 0, 256, 0)
-    strf += b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    bcomp = _MJPG_FOURCC if comp == 2 else comp
+    if comp == 2:
+        # MJPEG: no palette; colors live in the per-frame JPEG streams
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, bcomp, stride * h, 0, 0, 0, 0
+        )
+    else:
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, bcomp, stride * h, 0, 0, 256, 0
+        )
+        strf += b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
     strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
     hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
     frame_tag = b"00db" if comp == 0 else b"00dc"
-    enc = _dib_frame if comp == 0 else _rle8_frame
+    if comp == 0:
+        enc = _dib_frame
+    elif comp == 1:
+        enc = _rle8_frame
+    else:
+        from experiments_datafusion_spark.jpeg_codec import encode_gray
+
+        enc = encode_gray
     movi_body = b"movi" + b"".join(chunk(frame_tag, enc(f)) for f in frames)
     movi = chunk(b"LIST", movi_body)
     riff_body = b"AVI " + hdrl + movi
@@ -733,8 +759,10 @@ def _encode_avi_gray8(frames: np.ndarray, comp: int = 0) -> bytes:
 def _decode_avi_gray8(payload: bytes) -> np.ndarray:
     """Walk the RIFF grammar, read the stream headers, decode every frame
     chunk -> (n, h, w) uint8.  Streams: uncompressed DIB ('00db',
-    biCompression 0) and BI_RLE8 ('00dc', biCompression 1, round 7); any
-    other codec — the DCT/inter-frame tier — stays gated loudly."""
+    biCompression 0), BI_RLE8 ('00dc', biCompression 1, round 7), and
+    MJPEG ('00dc' full baseline-JPEG streams, biCompression 'MJPG',
+    round 13 — the intra-frame DCT tier, decoded by jpeg_codec.py); any
+    other codec — the INTER-FRAME tier — stays gated loudly."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -755,11 +783,11 @@ def _decode_avi_gray8(payload: bytes) -> np.ndarray:
                 (biSize, bw, bh, _pl, bpp, bcomp) = struct.unpack_from(
                     "<IiiHHI", body, 0
                 )
-                if bpp != 8 or bcomp not in (0, 1):
+                if bpp != 8 or bcomp not in (0, 1, _MJPG_FOURCC):
                     raise NotImplementedError(
-                        "DCT/inter-frame AVI streams are the video gate; "
-                        "this decoder handles uncompressed DIB (BI_RGB) "
-                        "and run-length BI_RLE8"
+                        "inter-frame AVI streams are the video gate; this "
+                        "decoder handles uncompressed DIB (BI_RGB), "
+                        "run-length BI_RLE8, and intra-frame MJPEG"
                     )
                 w, h, comp = bw, bh, bcomp
             elif tag == b"00db":
@@ -769,9 +797,22 @@ def _decode_avi_gray8(payload: bytes) -> np.ndarray:
             elif tag == b"00dc":
                 if w is None:
                     raise ValueError("frame before stream format")
-                if comp != 1:
+                if comp == _MJPG_FOURCC:
+                    from experiments_datafusion_spark.jpeg_codec import (
+                        decode_gray,
+                    )
+
+                    px = decode_gray(bytes(body))
+                    if px.shape != (h, w):
+                        raise ValueError(
+                            f"MJPEG frame is {px.shape}, stream header "
+                            f"says {(h, w)}"
+                        )
+                    frames.append(px)
+                elif comp == 1:
+                    frames.append(_rle8_decode(body, w, h))
+                else:
                     raise ValueError("compressed chunk in a non-RLE8 stream")
-                frames.append(_rle8_decode(body, w, h))
             pos += 8 + size + (size % 2)
 
     walk(payload[12:])
@@ -828,6 +869,45 @@ def attach_avi_rle_media(docs: DataFrame) -> DataFrame:
                 )
                 frames = _avi_rle_pixel(did, f, y, x).astype(np.uint8)
                 payloads.append(_encode_avi_gray8(frames, comp=1))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")
+
+
+def _mjpeg_shape(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, tiles_y, tiles_x) for the MJPEG corpus; frame is
+    8*tiles pixels on each side."""
+    return 2 + doc_id % 3, 2 + (doc_id // 4) % 3, 2 + doc_id % 4
+
+
+def _mjpeg_tile_value(doc_id: int, f, ty, tx):
+    """Even-valued 8x8-block-constant tile levels per FRAME — the same
+    quantization-lossless regime as attach_jpeg_media (DC = 8*(v-128)
+    divides the Annex-K quantum 16 exactly, AC all zero), varied per
+    frame so inter-frame motion is non-trivial."""
+    return 2 * ((doc_id * 31 + f * 17 + ty * 7 + tx * 13) % 128)
+
+
+def attach_mjpeg_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a REAL MJPEG-in-AVI payload per document (round 13,
+    VERDICT r12 stretch #9): every '00dc' chunk is a complete
+    baseline-JPEG stream (jpeg_codec.encode_gray — real DCT + canonical
+    Huffman entropy coding) inside the RIFF/AVI container walk, handler
+    'MJPG'.  Composes the two previously separate real codecs: the T.81
+    image codec and the AVI container grammar."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, nty, ntx = _mjpeg_shape(did)
+                f, ty, tx = np.meshgrid(
+                    np.arange(n), np.arange(nty), np.arange(ntx), indexing="ij"
+                )
+                tiles = _mjpeg_tile_value(did, f, ty, tx).astype(np.uint8)
+                frames = np.kron(tiles, np.ones((1, 8, 8), dtype=np.uint8))
+                payloads.append(_encode_avi_gray8(frames, comp=2))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(gen, "media_id bigint, payload binary")

@@ -200,6 +200,7 @@ class SnapshotLog:
         note: str = "",
         kind: str = "data",
         stats_cols=None,
+        cluster_tag=None,
     ) -> int:
         """Write ``df`` as the next immutable snapshot; returns its version.
 
@@ -216,7 +217,12 @@ class SnapshotLog:
         columns IN the manifest entry at WRITE time (one distributed
         aggregate over the files just written) — the add-file stats block
         of a real format, paid once per commit so later scans can prune
-        (and stats-only aggregates can answer) without touching data."""
+        (and stats-only aggregates can answer) without touching data.
+
+        ``cluster_tag`` (round 13) marks each written file as a member of
+        a clustering CUBE on those columns — the liquid-clustering ZCube
+        idea: ``compact_incremental`` later rewrites only files NOT in a
+        cube of the requested spec, leaving settled cubes untouched."""
         parent = self.latest_version()
         version = parent + 1
         data_dir = os.path.join(self.root, f"v{version}")
@@ -280,6 +286,9 @@ class SnapshotLog:
                         if getattr(r, f"{c}_lo") is not None
                         and getattr(r, f"{c}_hi") is not None
                     }
+            if cluster_tag:
+                for f in entry["files"]:
+                    f["cluster"] = list(cluster_tag)
             self._publish(version, entry)
         except BaseException:
             # anything failing AFTER the parquet write but BEFORE the
@@ -352,7 +361,11 @@ class SnapshotLog:
                 # files may hold NULLs a non-nullable batch doesn't
                 schema = want
         parent_files = (
-            [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
+            # carry the parent's file dicts VERBATIM (round 13): an append
+            # must not strip carried files' write-time stats / cluster
+            # tags — rebuilding {path, size} from the manifest silently
+            # un-clustered the table's metadata on every ingest
+            [dict(f) for f in self.entry(parent)["files"]]
             if parent >= 0
             else []
         )
@@ -493,7 +506,8 @@ class SnapshotLog:
                     return int(rec[1])
                 txns[txn[0]] = [int(txn[1]), parent + 1]
             parent_files = (
-                [{"path": fe.path, "size": fe.size} for fe in self.manifest(parent)]
+                # verbatim carry: keep stats/cluster blocks (round 13)
+                [dict(f) for f in self.entry(parent)["files"]]
                 if parent >= 0
                 else []
             )
@@ -530,6 +544,11 @@ class SnapshotLog:
         whole-table rewrite is the entire point of clustering + manifest
         stats (prune the affected set first, then rewrite just it)."""
         parent = self.latest_version()
+        by_path = (
+            {f["path"]: f for f in self.entry(parent)["files"]}
+            if parent >= 0
+            else {}
+        )
         version = parent + 1
         data_dir = os.path.join(self.root, f"v{version}")
         df_new.write.mode("error").parquet(data_dir)
@@ -547,9 +566,12 @@ class SnapshotLog:
                 for f in df_new.schema
             ],
             # keep_files may arrive as file: URIs (the _metadata.file_path
-            # form stats manifests carry); normalize to plain paths
+            # form stats manifests carry); normalize to plain paths, and
+            # carry the parent's dict verbatim when the path is known —
+            # a partial rewrite must not strip kept files' stats/cluster
+            # blocks (round 13)
             "files": [
-                {"path": p, "size": os.path.getsize(p)}
+                dict(by_path.get(p) or {"path": p, "size": os.path.getsize(p)})
                 for p in sorted(
                     k[len("file:"):] if k.startswith("file:") else k
                     for k in keep_files
@@ -637,7 +659,7 @@ class SnapshotLog:
                         f"cannot rewrite onto staged version {parent}; "
                         "publish_staged or vacuum it first"
                     )
-                live = {fe.path: fe.size for fe in self.manifest(parent)}
+                live = {f["path"]: f for f in pe["files"]}
                 gone = sorted(read_set - set(live))
                 if gone:
                     raise ConcurrentModification(
@@ -651,9 +673,10 @@ class SnapshotLog:
                     "schema": schema,
                     # rebase: everything live except what we rewrote — which
                     # carries concurrently APPENDED files forward — plus ours
+                    # (dicts verbatim: stats/cluster/schema_v survive, r13)
                     "files": [
-                        {"path": p, "size": s}
-                        for p, s in sorted(live.items())
+                        dict(f)
+                        for p, f in sorted(live.items())
                         if p not in removed
                     ]
                     + new_files,
@@ -909,6 +932,7 @@ class SnapshotLog:
                 df,
                 note=f"compact v{v} -> {n} files clustered on {list(sort_cols)}",
                 stats_cols=list(sort_cols),
+                cluster_tag=list(sort_cols),
             )
         if zorder_cols:
             df = (
@@ -921,8 +945,119 @@ class SnapshotLog:
                 df,
                 note=f"compact v{v} -> {n} files zordered on {list(zorder_cols)}",
                 stats_cols=list(zorder_cols),
+                cluster_tag=["z:" + c for c in zorder_cols],
             )
         return self.commit(df.repartition(n), note=f"compact v{v} -> {n} files")
+
+    def compact_incremental(
+        self,
+        spark: SparkSession,
+        sort_cols=None,
+        zorder_cols=None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Liquid-clustering-style INCREMENTAL OPTIMIZE (round 13, VERDICT
+        r12 stretch #8): rewrite only the files that are NOT already in a
+        clustering cube of the requested spec — the files appends landed
+        since the last OPTIMIZE — and carry every settled cube file
+        forward untouched, manifest reference only.  Cost is O(new data),
+        not O(table): the property that makes re-clustering affordable as
+        a RECURRING maintenance job at 100 TB, where a full
+        ``compact(sort_cols=...)`` rewrite of a petabyte table per ingest
+        cycle is a non-starter (Delta's liquid clustering / OPTIMIZE
+        incremental ZCube semantics).
+
+        The rewritten files form a NEW cube: range-cut + sorted on the
+        spec, write-time [lo, hi] stats recorded, tagged like
+        ``compact``'s.  Read-side pruning sees per-file stats exactly as
+        after a full OPTIMIZE; when appends arrive in fresh key territory
+        (time-ordered ingest, the common case) the new cube's ranges are
+        disjoint from the old cube's and band pruning is IDENTICAL to the
+        full rewrite (pinned in the registry key).  When appended keys
+        overlap settled cubes, a band may read one file per overlapping
+        cube — the bounded degradation liquid clustering accepts in
+        exchange for O(new data) writes; a periodic full ``compact``
+        resets it.  Returns the current version unchanged when every
+        file is already clustered (idempotent, like OPTIMIZE on a
+        settled table)."""
+        import math
+
+        if bool(sort_cols) == bool(zorder_cols):
+            raise ValueError(
+                "compact_incremental: exactly one of sort_cols/zorder_cols"
+            )
+        spec = list(sort_cols) if sort_cols else ["z:" + c for c in zorder_cols]
+        cols = list(sort_cols or zorder_cols)
+        v = self.latest_version()
+        entry = self.entry(v)
+        keep = [f for f in entry["files"] if f.get("cluster") == spec]
+        todo = [f for f in entry["files"] if f.get("cluster") != spec]
+        if not todo:
+            return v
+        total = sum(f["size"] for f in todo)
+        n = max(1, math.ceil(total / target_file_bytes))
+        df = self._read_manifest_files(spark, entry, todo)
+        if sort_cols:
+            df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            df = (
+                df.withColumn("_z", zorder_col([F.col(c) for c in cols]))
+                .repartitionByRange(n, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        version = v + 1
+        data_dir = os.path.join(self.root, f"v{version}")
+        df.write.mode("error").parquet(data_dir)
+        try:
+            paths = sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            )
+            new_files = [{"path": p, "size": os.path.getsize(p)} for p in paths]
+            stats = file_stats_nd(spark.read.parquet(*paths), cols)
+            by_path = {
+                r.file_path[len("file:"):]
+                if r.file_path.startswith("file:")
+                else r.file_path: r
+                for r in stats
+            }
+            for f in new_files:
+                r = by_path.get(f["path"])
+                f["cluster"] = spec
+                if r is None:
+                    f["n_rows"] = 0
+                    f["stats"] = {}
+                    continue
+                f["n_rows"] = r.n_rows
+                f["stats"] = {
+                    c: [getattr(r, f"{c}_lo"), getattr(r, f"{c}_hi")]
+                    for c in cols
+                    if getattr(r, f"{c}_lo") is not None
+                    and getattr(r, f"{c}_hi") is not None
+                }
+            new_entry = {
+                "version": version,
+                "note": (
+                    f"incremental compact: {len(todo)} unclustered file(s) "
+                    f"-> {len(new_files)} cube file(s) on {cols}; "
+                    f"{len(keep)} settled file(s) untouched"
+                ),
+                "kind": "compacted",
+                "schema": entry.get("schema"),
+                # settled cube files carried VERBATIM (stats + tag intact)
+                "files": [dict(f) for f in keep] + new_files,
+            }
+            self._set_txns(new_entry, self._parent_txns(v))
+            self._publish(version, new_entry)
+        except BaseException:
+            import shutil
+
+            with contextlib.suppress(FileNotFoundError):
+                shutil.rmtree(data_dir)
+            raise
+        return version
 
     def stats_manifest(self, spark: SparkSession, version: int, col: str):
         """Per-file [lo, hi, n_rows] stats for ``col`` — the add-file stats
@@ -939,6 +1074,13 @@ class SnapshotLog:
         intersects the predicate band (conservative — the residual filter
         must stay on the scan)."""
         return [r.file_path for r in stats if r.hi >= lo and r.lo <= hi]
+
+    def _read_manifest_files(self, spark: SparkSession, entry: dict, files) -> DataFrame:
+        """Read a subset of an entry's manifest files as TABLE rows.  A
+        plain parquet scan here; EvolvingLog overrides with the id-mapped
+        projection (mixed-generation files union by COLUMN ID, never by
+        name — see the round-13 compaction fix)."""
+        return self.read_files(spark, [f["path"] for f in files])
 
     def read_files(self, spark: SparkSession, files) -> DataFrame:
         """Scan an explicit (pruned) file list."""
@@ -1080,6 +1222,187 @@ class EvolvingLog(SnapshotLog):
                 continue  # rebase: somebody else won this version
         raise CommitConflict(f"evolve did not land after {attempts} attempts")
 
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """On an EvolvingLog the id-mapped scan IS the table view: a plain
+        mixed-generation parquet read unions files by NAME, silently
+        NULLing renamed/widened columns (found by the round-13 compaction
+        probe — a compact() of an evolved table corrupted the renamed
+        column through exactly this path).  ``read_evolved`` is the
+        implementation; every inherited operation that reads through
+        ``self.read`` (compaction included) now sees correct rows."""
+        return self.read_evolved(spark, version)
+
+    def _live_cols_at(self, version: int) -> list:
+        """The live column list governing ``version``: its own stamp, or
+        the nearest ancestor's (a staged parent may interpose)."""
+        for v in range(version, -1, -1):
+            e = self.entry(v)
+            if "columns" in e:
+                return [tuple(c) for c in e["columns"]]
+        raise ValueError(f"no column stamp at or below version {version}")
+
+    def _stamp_keep(self, version: int, cols) -> None:
+        """Stamp ``columns`` on an entry this writer just published,
+        PRESERVING every carried file's existing schema_v (the verbatim
+        dict carry keeps them); files without one — the files this commit
+        wrote — land at the new generation."""
+        entry = self.entry(version)
+        sv_of = {
+            f["path"]: f["schema_v"] for f in entry["files"] if "schema_v" in f
+        }
+        self._stamp(version, cols, schema_v_of=sv_of)
+
+    def _rewrite_cols_checked(self, df: DataFrame) -> list:
+        cols = self._live_cols_at(self.latest_version())
+        if [c[1] for c in cols] != list(df.columns):
+            raise ValueError(
+                f"rewrite schema mismatch: live columns {cols}, "
+                f"df {df.columns}"
+            )
+        return cols
+
+    def commit_rewrite(
+        self,
+        df_new: DataFrame,
+        keep_files,
+        note: str = "",
+        kind: str = "data",
+    ) -> int:
+        """Partial rewrite under the id mapping (round 13): the rewritten
+        files land at the LIVE generation, kept files keep their
+        schema_v, and the entry is re-stamped with the live columns —
+        without this the inherited path published an entry with neither,
+        breaking every subsequent evolved read (KeyError)."""
+        cols = self._rewrite_cols_checked(df_new)
+        v = super().commit_rewrite(df_new, keep_files, note=note, kind=kind)
+        self._stamp_keep(v, cols)
+        return v
+
+    def commit_rewrite_checked(
+        self,
+        df_new: DataFrame,
+        keep_files,
+        removed_files,
+        note: str = "",
+        kind: str = "data",
+        attempts: int = 10,
+        on_publish_attempt=None,
+    ) -> int:
+        """Concurrent-safe partial rewrite under the id mapping — same
+        stamping contract as ``commit_rewrite`` above; concurrently
+        appended files carried by the rebase keep their own schema_v
+        through the verbatim dict carry."""
+        cols = self._rewrite_cols_checked(df_new)
+
+        def guard(attempt: int) -> None:
+            # a concurrent EVOLVE does not commute with this rewrite: the
+            # new files were written under the pre-evolve names, so the
+            # stamp would regress the schema — abort loudly (the put-if-
+            # absent publish makes check-then-publish race-free: a commit
+            # landing in between forces a retry back through here)
+            live_now = self._live_cols_at(self.latest_version())
+            if live_now != cols:
+                raise ConcurrentModification(
+                    "concurrent schema change: live columns moved from "
+                    f"{cols} to {live_now} while this rewrite was derived "
+                    "— re-derive against the new schema"
+                )
+            if on_publish_attempt is not None:
+                on_publish_attempt(attempt)
+
+        v = super().commit_rewrite_checked(
+            df_new,
+            keep_files,
+            removed_files,
+            note=note,
+            kind=kind,
+            attempts=attempts,
+            on_publish_attempt=guard,
+        )
+        self._stamp_keep(v, cols)
+        return v
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        version: int | None = None,
+        sort_cols=None,
+        zorder_cols=None,
+    ) -> int:
+        """Compaction under the id mapping (round 13): the rewrite reads
+        through ``read_evolved`` (the ``read`` override above), and the
+        new entry is re-stamped with the live column list and
+        ``schema_v`` = the compact version itself — every rewritten file
+        is at the LIVE generation, so ``read_evolved`` and the snaplog
+        reader keep resolving the table after OPTIMIZE.  Without the
+        stamp the compacted entry lost ``columns`` entirely (KeyError on
+        the next evolved read) while the plain-read rewrite NULLed
+        renamed columns — the silent-corruption pair this override
+        closes."""
+        parent = self.latest_version() if version is None else version
+        cols = [tuple(c) for c in self.entry(parent)["columns"]]
+        v = super().compact(
+            spark,
+            target_file_bytes=target_file_bytes,
+            version=version,
+            sort_cols=sort_cols,
+            zorder_cols=zorder_cols,
+        )
+        self._stamp(v, cols)
+        return v
+
+    def compact_incremental(
+        self,
+        spark: SparkSession,
+        sort_cols=None,
+        zorder_cols=None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Incremental OPTIMIZE under the id mapping (round 13): the todo
+        files are read through the id-mapped ``_read_manifest_files``
+        override (they may span schema generations), the rewritten cube
+        lands at the LIVE generation, and carried cube files KEEP their
+        original ``schema_v``."""
+        parent = self.latest_version()
+        cols = [tuple(c) for c in self.entry(parent)["columns"]]
+        keep_sv = {
+            f["path"]: f["schema_v"] for f in self.entry(parent)["files"]
+        }
+        v = super().compact_incremental(
+            spark,
+            sort_cols=sort_cols,
+            zorder_cols=zorder_cols,
+            target_file_bytes=target_file_bytes,
+        )
+        if v == parent:
+            return v  # settled table: no new entry to stamp
+        self._stamp(v, cols, schema_v_of=keep_sv)
+        return v
+
+    def _read_manifest_files(self, spark: SparkSession, entry: dict, files) -> DataFrame:
+        """Id-mapped read of a manifest subset: group by schema generation,
+        project each group to the live schema through the column ids,
+        union — read_evolved's dataflow restricted to ``files``."""
+        live = [(int(i), n, t) for i, n, t in entry["columns"]]
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(int(f["schema_v"]), []).append(f["path"])
+        out = None
+        for sv, paths in sorted(by_schema.items()):
+            written = {int(i): (n, t) for i, n, t in self.entry(sv)["columns"]}
+            proj = [
+                F.col(written[i][0]).cast(t).alias(n)
+                if i in written
+                else F.lit(None).cast(t).alias(n)
+                for i, n, t in live
+            ]
+            part = spark.read.parquet(*sorted(paths)).select(*proj)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            raise ValueError("no files to read")
+        return out
+
     def read_evolved(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Scan a version through the id mapping (class docstring): one
         sub-scan per historical schema the live files were written under,
@@ -1218,6 +1541,16 @@ def append_once(log: SnapshotLog, df: DataFrame, app_id: str, txn_version: int) 
     rec = _latest_txns(log).get(app_id)
     if rec is not None and int(rec[0]) >= int(txn_version):
         return int(rec[1])  # replay fast-path: nothing written at all
+    if isinstance(log, EvolvingLog):
+        # id-mapped target (round 13): route through append_columns so
+        # the new entry re-stamps the live columns and the new files'
+        # generation — the plain rebased append published neither,
+        # breaking the next evolved read (the compaction-probe bug class)
+        return log.append_columns(
+            df,
+            note=f"{app_id} txn {txn_version}",
+            txn=(app_id, int(txn_version)),
+        )
     return log.commit_append_rebased(
         df, note=f"{app_id} txn {txn_version}", txn=(app_id, int(txn_version))
     )
@@ -1412,7 +1745,22 @@ def commit_staged(log: SnapshotLog, df: DataFrame, note: str = "") -> int:
     consumers, because the published head resolves past staged entries
     (``head_published``).  The Iceberg WAP / Delta-branch idea: data is
     written exactly once, at full parallelism, BEFORE anyone can read
-    it."""
+    it.
+
+    On an EvolvingLog (round 13) the staged entry is stamped with the
+    live columns and its files with the current generation — the batch
+    must match the live schema, and the audit read (AS OF the staged
+    version) resolves through the id mapping like any other."""
+    if isinstance(log, EvolvingLog):
+        cols = log._live_cols_at(log.latest_version())
+        if [c[1] for c in cols] != list(df.columns):
+            raise ValueError(
+                f"staged batch schema mismatch: live columns {cols}, "
+                f"df {df.columns}"
+            )
+        v = log.commit(df, note=note, kind="staged")
+        log._stamp(v, cols)
+        return v
     return log.commit(df, note=note, kind="staged")
 
 
@@ -1449,6 +1797,12 @@ def publish_staged(
         log._set_txns(entry, log._parent_txns(parent))
         try:
             log._publish(version, entry)
+            if isinstance(log, EvolvingLog):
+                # stamp the live columns; every carried file (head AND
+                # staged — both stamped at their own commits) keeps its
+                # schema_v, so a stage -> evolve -> publish interleaving
+                # still resolves each file through its own generation
+                log._stamp_keep(version, log._live_cols_at(version))
             return version
         except CommitConflict:
             continue  # rebase: re-resolve the head, retry
@@ -1474,11 +1828,47 @@ def clone_shallow(src: SnapshotLog, dst_root: str, note: str = "") -> SnapshotLo
     never touch the source); the standard caveat applies and is the
     test's business to pin: vacuuming the SOURCE can remove files the
     clone still references, exactly as documented for real shallow
-    clones."""
+    clones.
+
+    EvolvingLog sources (round 13): the squashed single-entry clone is a
+    NEW identity with no access to the source's historical column lists,
+    so a manifest whose files still span schema GENERATIONS cannot be
+    cloned shallow — the clone's reader could never resolve them; the
+    refusal is loud and actionable (``compact()`` lands every file at
+    the live generation, after which the clone is self-contained and
+    comes back as an EvolvingLog with its own v0 stamp).  Without this
+    the inherited path silently returned a PLAIN log whose name-keyed
+    read corrupted renamed columns — the compaction-probe bug class."""
+    e = src.entry(src.latest_version())
+    if isinstance(src, EvolvingLog):
+        live = src._live_cols_at(src.latest_version())
+        live_lists = [list(c) for c in live]
+        for f in e["files"]:
+            written = src.entry(int(f["schema_v"])).get("columns")
+            if [list(c) for c in (written or [])] != live_lists:
+                raise ValueError(
+                    "shallow clone of an id-mapped log with mixed schema "
+                    "generations: the squashed clone entry cannot resolve "
+                    "historical column lists — compact() first (all files "
+                    "land at the live generation) or materialize with "
+                    "read_evolved"
+                )
+        dst = EvolvingLog(dst_root)
+        if dst.latest_version() >= 0:
+            raise ValueError("clone target already has a log")
+        entry = {
+            "version": 0,
+            "note": note or f"shallow clone of {src.root} v{e['version']}",
+            "kind": "data",
+            "schema": e.get("schema"),
+            "files": [dict(f) for f in e["files"]],
+        }
+        dst._publish(0, entry)
+        dst._stamp(0, live)  # self-contained: every file at the clone's v0
+        return dst
     dst = SnapshotLog(dst_root)
     if dst.latest_version() >= 0:
         raise ValueError("clone target already has a log")
-    e = src.entry(src.latest_version())
     entry = {
         "version": 0,
         "note": note or f"shallow clone of {src.root} v{e['version']}",

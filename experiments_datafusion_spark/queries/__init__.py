@@ -90,55 +90,67 @@ _MODULES = (
 # Keys listed here surface FIRST (in this order) in queries()/
 # oracle_sql(); everything else follows in registration order.
 _PRIORITY = (
-    # round-12 NEW keys (table_log_batch_source = spark.read.format(
-    # "snaplog") with versionAsOf + column pruning; table_log_stream_paced
-    # = maxFilesPerTrigger admission control with pinned batch boundaries;
-    # table_stream_skipchanges = kind-aware change-commit streaming over a
-    # MoR log; table_merge_evolve = schema-evolving MERGE INTO;
-    # table_compact_zorder = OPTIMIZE ZORDER BY compaction with 2-D
-    # pruning asserted; table_log_stream_sink = writeStream.format(
-    # "snaplog"), the exactly-once streaming sink through the public
-    # DataSource writer API)
-    "table_log_batch_source", "table_log_stream_paced",
-    "table_stream_skipchanges", "table_merge_evolve", "table_compact_zorder",
-    "table_log_stream_sink", "table_batch_cdf", "table_log_batch_evolved",
-    # CHANGED keys re-verified fresh: append_once now publishes its txn
-    # record atomically inside the commit entry (table_stream_ingest,
-    # dedup_stream_minhash); the snaplog source was reworked (one-pass
-    # _LogView planning, pacing cursor, kind-aware policies) under
-    # table_log_stream_source / table_log_stream_ivm;
-    # changes_incremental skips staged WAP versions
-    # (table_changes_incremental); merge_into gained evolve_schema
-    # (table_merge_into); table_concurrent_rewrite moved off the
-    # _publish monkey-patch onto the on_publish_attempt hook;
-    # compact() gained zorder_cols next to sort_cols
-    # (table_compact_cluster, compact_small_files); sim_mmr_rerank's
-    # penalty coefficient now rounds identically in both engines; every
-    # commit kind carries the SetTransaction map forward
-    # (table_wap_publish, table_schema_evolution, table_restore)
-    "table_stream_ingest", "dedup_stream_minhash",
-    "table_log_stream_source", "table_log_stream_ivm",
-    "table_changes_incremental", "table_merge_into",
-    "table_concurrent_rewrite", "table_compact_cluster",
-    "compact_small_files", "sim_mmr_rerank", "table_wap_publish",
-    "table_schema_evolution", "table_restore",
-    # the least-recently-verified fill (tools/lrv_window.py output from
-    # the CORRECTNESS ledger: oldest driver round first, ties
-    # alphabetical — the r3 tail the r11 rotation trimmed, then the
-    # r4 head)
-    "topk_per_group", "win_range_time", "win_sessionize",
-    "agg_approx", "agg_corr_regr", "agg_decimal_exact",
-    "agg_mode_listagg", "agg_sketch_rollup", "agg_weighted_median",
-    "cdc_changelog", "dedup_semantic_canonical", "docs_ngram_freq",
-    "docs_ngram_novelty", "docs_paragraph_dedup", "docs_winnowing",
-    "embedding_pca_power", "ev_cep_pattern", "ev_interpolate",
-    "graph_pagerank", "graph_triangles", "interval_coverage",
-    "join_asof_nearest", "join_bucketed", "join_range_bands",
-    "join_salted", "layout_zorder", "merge_upsert",
-    "mix_epochs_fractional", "mm_frame_sample",
-    # (mm_png_features/pack_sequences/pivot_dynamic were next in LRV
-    # order; trimmed as the sink / batch-CDF / evolved-read keys took the
-    # last slots — they rotate in next round per the freshness policy)
+    # round-13 NEW keys (table_cdf_rewrite = reader-API CDF over a
+    # rewrite-bearing range via the bounded diff fallback;
+    # table_stream_tracking = schemaTracking id-mapped evolved streaming;
+    # table_sql_access = pure-SQL registration incl. the history view;
+    # table_compact_incremental = liquid-clustering-style O(new data)
+    # OPTIMIZE; mm_mjpeg_features = MJPEG-in-AVI intra-frame DCT decode),
+    # then the keys whose paths CHANGED this round (verbatim file-dict
+    # carry in append/rewrite commits; CDF planner rework + endingVersion
+    # schema; sink appId derivation; compact cluster tagging; staged-
+    # skipping timestampAsOf), then the LRV fill (tools/lrv_window.py:
+    # oldest driver round first, ties alphabetical — the r4/r5 tail).
+    "table_cdf_rewrite",  # new
+    "table_stream_tracking",  # new
+    "table_sql_access",  # new
+    "table_compact_incremental",  # new
+    "mm_mjpeg_features",  # new
+    "table_batch_cdf",  # new
+    "table_log_batch_evolved",  # new
+    "table_log_batch_source",  # new
+    "table_log_stream_sink",  # new
+    "table_stream_ingest",  # new
+    "table_changes_incremental",  # new
+    "table_compact_zorder",  # new
+    "table_compact_cluster",  # new
+    "compact_small_files",  # new
+    "table_wap_publish",  # new
+    "mm_png_features",  # r4
+    "pack_sequences",  # r4
+    "pivot_dynamic",  # r4
+    "resample_ohlc",  # r4
+    "scalar_binary_b64",  # r4
+    "scalar_bitwise",  # r4
+    "scalar_dates2",  # r4
+    "scalar_url",  # r4
+    "scalar_variant",  # r4
+    "scd2_snapshot",  # r4
+    "sim_topk_ivfpq",  # r4
+    "sim_topk_pq",  # r4
+    "skyline_pareto",  # r4
+    "sort_desc_nulls",  # r4
+    "source_python_ds",  # r4
+    "text_bm25",  # r4
+    "text_dup_spans",  # r4
+    "text_unigram_logprob",  # r4
+    "udf_map_in_arrow",  # r4
+    "udf_python_rowwise",  # r4
+    "udf_python_udtf",  # r4
+    "win_running_distinct",  # r4
+    "abc_pareto_class",  # r5
+    "anomaly_mad",  # r5
+    "assoc_rules",  # r5
+    "cohort_ltv",  # r5
+    "dedup_jaccard_capped",  # r5
+    "docs_tfidf_cosine",  # r5
+    "dq_expectations",  # r5
+    "drift_chi2",  # r5
+    "drift_ks",  # r5
+    "drift_psi",  # r5
+    "ev_cusum",  # r5
+    "ev_dau_wau_mau",  # r5
+    "ev_ewma",  # r5
 )
 
 

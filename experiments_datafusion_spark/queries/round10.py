@@ -1386,6 +1386,13 @@ def restore_version(log: SnapshotLog, version: int, note: str = "") -> int:
     }
     log._set_txns(entry, log._parent_txns(parent))
     log._publish(new_v, entry)
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    if isinstance(log, EvolvingLog):
+        # RESTORE of an id-mapped table restores its SCHEMA too (Delta
+        # RESTORE semantics): stamp the TARGET version's column list;
+        # carried files keep their own generations (round 13)
+        log._stamp_keep(new_v, log._live_cols_at(version))
     return new_v
 
 

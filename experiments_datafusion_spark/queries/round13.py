@@ -110,6 +110,194 @@ def table_cdf_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_then_rmtree(out, root)
 
 
+# ---- MJPEG-in-AVI: the intra-frame DCT video tier ------------------------------------------
+
+
+@register(
+    "mm_mjpeg_features",
+    tags=("llm", "multimodal", "video"),
+    oracle="""
+-- Closed-form replay of the MJPEG-in-AVI round trip (operators/
+-- multimodal.py attach_mjpeg_media: RIFF/AVI container, handler 'MJPG',
+-- every 00dc chunk a COMPLETE baseline-JPEG stream; per-frame
+-- 8x8-block-constant tiles tv(d,f,ty,tx) = 2*((d*31 + f*17 + ty*7 +
+-- tx*13) % 128) over a (2+d%3)-frame (2+(d//4)%3) x (2+d%4) tile grid.
+-- Even tile values make Annex-K DC quantization lossless and AC all
+-- zero, so the REAL decode chain — RIFF walk, per-frame marker parse,
+-- Huffman decode, dequantize, IDCT — returns the tiles bit-for-bit and
+-- this algebra predicts px_sum and inter-frame motion exactly; each
+-- tile contributes 64 identical pixels).
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf,
+         2 + (doc_id // 4) % 3 AS nty, 2 + doc_id % 4 AS ntx
+  FROM documents
+),
+tv AS (
+  SELECT d.doc_id, d.nf, d.nty, d.ntx, f.v AS f,
+         2 * ((d.doc_id * 31 + f.v * 17 + ty.v * 7 + tx.v * 13) % 128) AS p,
+         2 * ((d.doc_id * 31 + (f.v - 1) * 17 + ty.v * 7 + tx.v * 13) % 128) AS prev
+  FROM d,
+       UNNEST(generate_series(0, d.nf - 1)) AS f(v),
+       UNNEST(generate_series(0, d.nty - 1)) AS ty(v),
+       UNNEST(generate_series(0, d.ntx - 1)) AS tx(v)
+)
+SELECT doc_id AS media_id,
+       CAST(any_value(nf) AS INT) AS n_frames,
+       CAST(any_value(ntx) * 8 AS INT) AS width,
+       CAST(any_value(nty) * 8 AS INT) AS height,
+       CAST(sum(p) * 64 AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN f > 0 THEN abs(p - prev) ELSE 0 END) * 64 AS BIGINT)
+           AS motion_sum
+FROM tv GROUP BY doc_id
+""",
+)
+def mm_mjpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG video decode (round 13, VERDICT r12 stretch #9 — the last
+    multimodal gate short of inter-frame motion compensation): build
+    REAL MJPEG-in-AVI payloads (every '00dc' chunk a complete
+    baseline-JPEG stream entropy-coded by jpeg_codec.py, inside the
+    RIFF/AVI container grammar), then decode the ACTUAL bytes — RIFF
+    walk, 'MJPG' stream header, per-frame marker parse + canonical
+    Huffman + dequantize + IDCT — and emit per-video pixel-sum and
+    inter-frame motion features.  The tile pattern stays in the
+    quantization-lossless regime (see attach_mjpeg_media), so the SQL
+    oracle replays the full DCT round trip exactly; the remaining video
+    refusal narrows to inter-frame codecs (H.264-class), documented in
+    decode_real."""
+    from experiments_datafusion_spark.operators import multimodal as M
+
+    media = M.attach_mjpeg_media(table(spark, sf_dir, "documents"))
+    return M.decode_avi_features(media)
+
+
+# ---- liquid-clustering-style incremental OPTIMIZE -----------------------------------------
+
+_CI_DOM = 128  # key domain; base owns [0, 64), appends own [64, 128)
+_CI_OLD = (10, 20)  # probe band inside the settled cube's territory
+_CI_NEW = (70, 80)  # probe band inside the appended territory
+
+
+@register(
+    "table_compact_incremental",
+    tags=("io", "maintenance", "aggregation"),
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey % {_CI_DOM} AS b,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amount_c
+  FROM orders
+)
+SELECT CAST(count(CASE WHEN b BETWEEN {_CI_OLD[0]} AND {_CI_OLD[1]} THEN 1 END) AS BIGINT)
+           AS n_old_band,
+       CAST(sum(CASE WHEN b BETWEEN {_CI_OLD[0]} AND {_CI_OLD[1]} THEN amount_c END) AS BIGINT)
+           AS amount_old_band,
+       CAST(count(CASE WHEN b BETWEEN {_CI_NEW[0]} AND {_CI_NEW[1]} THEN 1 END) AS BIGINT)
+           AS n_new_band,
+       CAST(sum(CASE WHEN b BETWEEN {_CI_NEW[0]} AND {_CI_NEW[1]} THEN amount_c END) AS BIGINT)
+           AS amount_new_band
+FROM t
+""",
+)
+def table_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE (round 13, VERDICT r12 stretch #8; Delta's
+    liquid-clustering / incremental-ZCube semantics): after a clustered
+    table takes fresh appends, ``compact_incremental`` rewrites ONLY the
+    appended (un-cubed) files into a new cube and carries every settled
+    cube file forward verbatim — O(new data), not O(table), the property
+    that makes re-clustering a recurring job at 100 TB.  Pinned in-key:
+
+      * the settled cube's files survive by REFERENCE (same paths, stats
+        and tag intact) and the rewrite touches strictly fewer files
+        than the full-compact counterfactual run right after it;
+      * because the appends landed in fresh key territory (time-ordered
+        ingest), band pruning after the incremental pass selects exactly
+        as few files as after the FULL rewrite — equal per-band survivor
+        counts, both strictly pruning;
+      * both probe-band aggregates are oracled against raw orders, so a
+        row lost or duplicated by the manifest surgery hash-mismatches."""
+    import tempfile
+
+    from experiments_datafusion_spark.operators.table_format import prune_nd
+
+    _register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tci_")
+    log = SnapshotLog(root)
+    t = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % _CI_DOM).alias("b"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("amount_c"),
+    )
+    half = _CI_DOM // 2
+    base = t.where(F.col("b") < half)
+    log.commit(base.repartition(4), note="base landing", stats_cols=["b"])
+    total_bytes = sum(f["size"] for f in log.entry(0)["files"])
+    tgt = max(1024, total_bytes // 6)
+    log.compact(spark, target_file_bytes=tgt, sort_cols=["b"])  # v1: the cube
+    cube_paths = {f["path"] for f in log.entry(1)["files"]}
+    # two fresh-territory appends, round-robin landed (unclustered)
+    log.commit_append(
+        t.where((F.col("b") >= half) & (F.col("b") % 2 == 0)).repartition(2),
+        note="append even",
+    )
+    v_app = log.commit_append(
+        t.where((F.col("b") >= half) & (F.col("b") % 2 == 1)).repartition(2),
+        note="append odd",
+    )
+    n_unclustered = sum(
+        1 for f in log.entry(v_app)["files"] if f.get("cluster") != ["b"]
+    )
+    assert n_unclustered >= 4, n_unclustered
+    v_inc = log.compact_incremental(spark, sort_cols=["b"], target_file_bytes=tgt)
+    inc_files = log.entry(v_inc)["files"]
+    # settled cube carried by reference, stats + tag intact
+    carried = [f for f in inc_files if f["path"] in cube_paths]
+    assert len(carried) == len(cube_paths), (len(carried), len(cube_paths))
+    assert all(f.get("cluster") == ["b"] and f.get("stats") for f in inc_files if f["n_rows"] > 0)
+    # idempotent on a settled table
+    assert log.compact_incremental(spark, sort_cols=["b"]) == v_inc
+    # full-compact counterfactual: rewrites EVERY file; incremental wrote
+    # strictly fewer
+    v_full = log.compact(spark, target_file_bytes=tgt, sort_cols=["b"])
+    n_full_rewrote = len(log.entry(v_inc)["files"])
+    assert n_unclustered < n_full_rewrote, (n_unclustered, n_full_rewrote)
+
+    def survivors(version: int, band) -> tuple[list[str], int]:
+        files = [f for f in log.entry(version)["files"] if f["n_rows"] > 0]
+        rows = [
+            type(
+                "R",
+                (),
+                {
+                    "file_path": f["path"],
+                    "b_lo": f["stats"]["b"][0],
+                    "b_hi": f["stats"]["b"][1],
+                },
+            )()
+            for f in files
+        ]
+        return prune_nd(rows, {"b": band}), len(files)
+
+    for band in (_CI_OLD, _CI_NEW):
+        keep_inc, total_inc = survivors(v_inc, band)
+        keep_full, total_full = survivors(v_full, band)
+        assert 0 < len(keep_inc) < total_inc, (band, len(keep_inc), total_inc)
+        # fresh-territory appends: pruning quality EQUAL to the full rewrite
+        assert len(keep_inc) == len(keep_full), (band, len(keep_inc), len(keep_full))
+
+    read = log.read(spark, v_inc)
+    old_lo, old_hi = _CI_OLD
+    new_lo, new_hi = _CI_NEW
+    out = read.agg(
+        F.count(F.when(F.col("b").between(old_lo, old_hi), 1)).alias("n_old_band"),
+        F.sum(F.when(F.col("b").between(old_lo, old_hi), F.col("amount_c")))
+        .cast("bigint")
+        .alias("amount_old_band"),
+        F.count(F.when(F.col("b").between(new_lo, new_hi), 1)).alias("n_new_band"),
+        F.sum(F.when(F.col("b").between(new_lo, new_hi), F.col("amount_c")))
+        .cast("bigint")
+        .alias("amount_new_band"),
+    )
+    return materialize_then_rmtree(out, root)
+
+
 # ---- pure-SQL addressability -------------------------------------------------------------
 
 _SA_CUT = "1998-05-05"  # distinct from every other maintenance key cut

@@ -429,17 +429,77 @@ def test_evolving_log_random_walk_matches_model(spark, tmp_path, seed):
 
     check(0, "init")
     drains = 0
+    rewrote = False  # tracked drains need a change-commit-free log: the
+    # stream refuses rewrite/compaction versions by design (the policy
+    # knobs are the MAIN walk's paced-drain territory)
     for step in range(1, 15):
         op = rng.choices(
             ["append", "rename", "add", "drop", "widen", "checkpoint",
-             "tracked_drain"],
-            weights=[38, 15, 15, 10, 15, 5, 7],
+             "tracked_drain", "compact", "rewrite", "wap"],
+            weights=[27, 13, 13, 9, 13, 5, 7, 5, 5, 5],
         )[0]
         if op == "tracked_drain":
-            if drains >= 2:
+            if drains >= 2 or rewrote:
                 continue
             drains += 1
             tracked_drain(step)
+            continue
+        if op == "compact":
+            # round 13: OPTIMIZE under the id mapping — reads through
+            # read_evolved, re-stamps the live columns, all files land
+            # at the new generation; the model must be unchanged
+            log.compact(spark, target_file_bytes=16 * 1024)
+            rewrote = True
+            check(step, op)
+            continue
+        if op == "rewrite":
+            # round 13: copy-on-write DELETE under the id mapping — drop
+            # every row whose FIRST live column is a multiple of 3 (NULLs
+            # survive); rewritten files land at the live generation
+            if not rows:
+                continue
+            cid, name, _t = live[0]
+            df_new = log.read_evolved(spark).where(
+                F.col(name).isNull() | (F.col(name) % 3 != 0)
+            )
+            log.commit_rewrite(df_new, keep_files=[], note=f"rewrite {step}")
+            rewrote = True
+            rows = [
+                r for r in rows if r.get(cid) is None or r[cid] % 3 != 0
+            ]
+            check(step, op)
+            continue
+        if op == "wap":
+            # round 13: stage + publish under the id mapping — the staged
+            # entry stamps the live columns, the audit read resolves, the
+            # publish carries every generation's files forward
+            from experiments_datafusion_spark.operators.table_format import (
+                commit_staged,
+                publish_staged,
+            )
+
+            n = rng.randint(1, 4)
+            new = [dict() for _ in range(n)]
+            for cid, _name, _t in live:
+                for r, v in zip(new, vals(n)):
+                    r[cid] = v
+            ddl = ", ".join(f"{name} {t}" for _i, name, t in live)
+            data = [tuple(r[cid] for cid, _n, _t in live) for r in new]
+            sv = commit_staged(log, spark.createDataFrame(data, ddl))
+            # the audit read (AS OF the staged version) resolves the
+            # batch through the id mapping before anything publishes
+            audit = sorted(
+                tuple(r[name] for name in sorted(n for _i, n, _t in live))
+                for r in log.read_evolved(spark, sv).collect()
+            )
+            want_audit = sorted(
+                tuple(r[cid] for cid, _n, _t in sorted(live, key=lambda c: c[1]))
+                for r in new
+            )
+            assert audit == want_audit, f"seed={seed} step={step} wap audit"
+            publish_staged(log, sv)
+            rows = rows + new
+            check(step, op)
             continue
         if op == "checkpoint":
             # consolidating the log must be invisible to the id mapping:

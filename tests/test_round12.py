@@ -738,7 +738,9 @@ def test_snaplog_sink_abort_and_overwrite_refusal(spark, tmp_path):
     os.makedirs(os.path.join(root, "ws"), exist_ok=True)
     p = os.path.join(root, "ws", "part-x.parquet")
     open(p, "wb").write(b"junk")
-    w = _SnapLogStreamWriter({"path": root}, spark.range(1).schema)
+    w = _SnapLogStreamWriter(
+        {"path": root, "appid": "probe"}, spark.range(1).schema
+    )
     w.abort([_TaskFile(p, 4, 0), None], batchId=7)
     assert not os.path.exists(p)  # failed batch leaves no orphans
     ds = SnapshotLogDataSource({"path": root})
@@ -794,9 +796,14 @@ def test_snaplog_batch_cdf_options_and_refusals(spark, tmp_path):
     rows = got.collect()
     assert sorted(r.id for r in rows) == [4, 5, 6]
     assert {(r._change_type, r._commit_version) for r in rows} == {("insert", 1)}
-    # a rewrite in range refuses loudly
-    with pytest.raises(Exception, match="not append-only"):
-        cdf(startingVersion="1").collect()
+    # a rewrite in range: round 13 answers it through the bounded diff
+    # fallback — a pure compaction diffs to NOTHING, so the range reads
+    # as just v1's appends (tests/test_round13.py pins the delete/update
+    # shapes; the refusal now lives behind maxDiffBytes)
+    rows13 = cdf(startingVersion="1").collect()
+    assert sorted(r.id for r in rows13) == [4, 5, 6]
+    with pytest.raises(Exception, match="maxDiffBytes"):
+        cdf(startingVersion="1", maxDiffBytes="1").collect()
     # CDF and time travel are exclusive
     with pytest.raises(Exception, match="mutually exclusive"):
         cdf(startingVersion="0", versionAsOf="1").collect()
@@ -990,7 +997,9 @@ def test_snaplog_sink_refuses_evolving_target(spark, tmp_path):
 
     root = str(tmp_path / "t")
     EvolvingLog(root).commit_columns(spark.range(3), [(1, "id", "bigint")])
-    w = _SnapLogStreamWriter({"path": root}, spark.range(1).schema)
+    w = _SnapLogStreamWriter(
+        {"path": root, "appid": "probe"}, spark.range(1).schema
+    )
     p = os.path.join(root, "ws")
     os.makedirs(p, exist_ok=True)
     f = os.path.join(p, "part-x.parquet")

@@ -563,6 +563,351 @@ def test_fast_sink_requires_app_id(spark, tmp_path):
         snaplog_fast_sink(str(tmp_path / "t"), "")
 
 
+# ---- 9a. MJPEG-in-AVI ----------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_property():
+    """Any even-valued block-constant tile pattern round-trips bit-exactly
+    through encode(JPEG frames) -> AVI container -> walk -> per-frame JPEG
+    decode (the quantization-lossless regime), including single-frame and
+    non-square grids."""
+    import numpy as np
+
+    from experiments_datafusion_spark.operators.multimodal import (
+        _decode_avi_gray8,
+        _encode_avi_gray8,
+    )
+
+    rng = np.random.default_rng(20260816)
+    for _ in range(8):
+        n = int(rng.integers(1, 5))
+        nty = int(rng.integers(1, 5))
+        ntx = int(rng.integers(1, 5))
+        tiles = (2 * rng.integers(0, 128, size=(n, nty, ntx))).astype(np.uint8)
+        frames = np.kron(tiles, np.ones((1, 8, 8), dtype=np.uint8))
+        back = _decode_avi_gray8(_encode_avi_gray8(frames, comp=2))
+        assert back.shape == frames.shape
+        assert (back == frames).all()
+
+
+def test_avi_interframe_codecs_still_gated():
+    import struct
+
+    from experiments_datafusion_spark.operators.multimodal import (
+        _decode_avi_gray8,
+        _encode_avi_gray8,
+    )
+    import numpy as np
+
+    payload = _encode_avi_gray8(
+        np.zeros((1, 8, 8), dtype=np.uint8), comp=0
+    )
+    # rewrite the strf biCompression to an H.264 FOURCC: must refuse loudly
+    h264 = struct.pack("<I", int.from_bytes(b"H264", "little"))
+    idx = payload.index(struct.pack("<IiiHH", 40, 8, 8, 1, 8))
+    patched = payload[: idx + 16] + h264 + payload[idx + 20 :]
+    with pytest.raises(NotImplementedError, match="inter-frame"):
+        _decode_avi_gray8(patched)
+
+
+# ---- 9c. compaction under the id mapping ---------------------------------------------------
+
+
+def test_evolving_compact_preserves_rows_and_mapping(spark, tmp_path):
+    """compact() on an EvolvingLog must read THROUGH the id mapping and
+    re-stamp the live columns: the inherited plain-read path silently
+    NULLed renamed columns (union by NAME across generations) and
+    dropped the 'columns' stamp (KeyError on the next evolved read) —
+    the silent-corruption pair found by the round-13 probe."""
+    import pyspark.sql.functions as F
+
+    _register(spark)
+    root = str(tmp_path / "t")
+    log = _evolving_fixture(spark, root)  # v0 old gen, v1 evolve, v2 append
+    v = log.compact(spark, target_file_bytes=1 << 30)
+    assert "columns" in log.entry(v)
+    assert all(f["schema_v"] == v for f in log.entry(v)["files"])
+    rows = sorted((r.k, r.amount_c) for r in log.read_evolved(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]  # rename+widen survived
+    # the reader API agrees post-OPTIMIZE
+    got = spark.read.format("snaplog").option("path", root).load()
+    assert rows == sorted((r.k, r.amount_c) for r in got.collect())
+    # a FURTHER evolve + append + clustered compact still resolves
+    log.evolve(
+        [(1, "k", "bigint"), (2, "amount_c", "bigint"), (3, "tag_c", "string")],
+        note="add tag_c",
+    )
+    log.append_columns(
+        spark.createDataFrame([(4, 40, "x")], "k bigint, amount_c bigint, tag_c string"),
+        note="post-evolve append",
+    )
+    v2 = log.compact(spark, target_file_bytes=1 << 30, sort_cols=["k"])
+    rows2 = sorted(
+        (r.k, r.amount_c, r.tag_c) for r in log.read_evolved(spark).collect()
+    )
+    assert rows2 == [(1, 10, None), (2, 20, None), (3, 30, None), (4, 40, "x")]
+    assert all(f.get("cluster") == ["k"] for f in log.entry(v2)["files"])
+
+
+def test_evolving_incremental_compact_keeps_generations(spark, tmp_path):
+    """compact_incremental on an EvolvingLog: carried cube files KEEP
+    their original schema_v; the new cube lands at the live generation;
+    rows resolve identically before and after."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    # v0 cube on the old schema -> evolve -> append -> incremental
+    log = EvolvingLogFactory(spark, root)
+    want = sorted((r.k, r.amount_c) for r in log.read_evolved(spark).collect())
+    vi = log.compact_incremental(spark, sort_cols=["k"], target_file_bytes=1 << 30)
+    got = sorted((r.k, r.amount_c) for r in log.read_evolved(spark).collect())
+    assert got == want
+    entry = log.entry(vi)
+    assert "columns" in entry
+    gens = {f["schema_v"] for f in entry["files"]}
+    assert vi in gens  # the new cube is at the live generation
+
+
+def EvolvingLogFactory(spark, root):
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(root)
+    log.commit_columns(
+        spark.createDataFrame([(2, 20), (1, 10)], "k bigint, price_c int"),
+        [(1, "k", "bigint"), (2, "price_c", "int")],
+        note="v0",
+    )
+    log.compact(spark, target_file_bytes=1 << 30, sort_cols=["k"])
+    log.evolve([(1, "k", "bigint"), (2, "amount_c", "bigint")], note="evolve")
+    log.append_columns(
+        spark.createDataFrame([(3, 30)], "k bigint, amount_c bigint"), note="append"
+    )
+    return log
+
+
+# ---- 9d. the rest of the EvolvingLog composition surface -----------------------------------
+
+
+def test_evolving_rewrite_stamps_and_resolves(spark, tmp_path):
+    """commit_rewrite / commit_rewrite_checked on an EvolvingLog: the
+    rewritten files land at the live generation, kept files keep their
+    schema_v, the entry carries the live columns — the inherited path
+    published neither (KeyError on the next evolved read)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    log = EvolvingLogFactory(spark, root)  # cube at old gen + evolved append
+    post = log.read_evolved(spark).where("k != 2")
+    v = log.commit_rewrite(post, keep_files=[], note="delete k=2")
+    assert "columns" in log.entry(v)
+    assert all(f["schema_v"] == v for f in log.entry(v)["files"])
+    rows = sorted((r.k, r.amount_c) for r in log.read_evolved(spark).collect())
+    assert rows == [(1, 10), (3, 30)]
+    # schema-mismatched rewrite refused before any write
+    with pytest.raises(ValueError, match="mismatch"):
+        log.commit_rewrite(
+            spark.createDataFrame([(1, 1)], "k bigint, wrong_c bigint"),
+            keep_files=[],
+        )
+
+
+def test_evolving_wap_stage_publish_resolves(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    root = str(tmp_path / "t")
+    log = EvolvingLogFactory(spark, root)
+    sv = commit_staged(
+        log, spark.createDataFrame([(9, 90)], "k bigint, amount_c bigint")
+    )
+    # the staged snapshot resolves through the id mapping on the audit read
+    assert sorted((r.k, r.amount_c) for r in log.read_evolved(spark, sv).collect()) == [
+        (9, 90)
+    ]
+    pv = publish_staged(log, sv)
+    assert "columns" in log.entry(pv)
+    rows = sorted((r.k, r.amount_c) for r in log.read_evolved(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30), (9, 90)]
+    # published head must never surface the staged version's bare files
+    with pytest.raises(ValueError, match="mismatch"):
+        commit_staged(
+            log, spark.createDataFrame([(5, 50)], "k bigint, wrong_c bigint")
+        )
+
+
+def test_evolving_clone_refuses_mixed_then_clones_compacted(spark, tmp_path):
+    from experiments_datafusion_spark.operators.table_format import (
+        EvolvingLog,
+        clone_shallow,
+    )
+
+    root = str(tmp_path / "t")
+    log = EvolvingLogFactory(spark, root)
+    with pytest.raises(ValueError, match="mixed schema generations"):
+        clone_shallow(log, str(tmp_path / "c1"))
+    log.compact(spark, target_file_bytes=1 << 30)
+    dst = clone_shallow(log, str(tmp_path / "c2"))
+    assert isinstance(dst, EvolvingLog)
+    rows = sorted((r.k, r.amount_c) for r in dst.read(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    # the clone is self-contained: it can evolve + append independently
+    dst.evolve(
+        [(1, "k", "bigint"), (2, "amount_c", "bigint"), (3, "n_c", "int")],
+        note="clone diverges",
+    )
+    dst.append_columns(
+        spark.createDataFrame([(7, 70, 1)], "k bigint, amount_c bigint, n_c int")
+    )
+    got = sorted((r.k, r.amount_c, r.n_c) for r in dst.read(spark).collect())
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, None), (7, 70, 1)]
+    # source untouched
+    assert sorted((r.k, r.amount_c) for r in log.read(spark).collect()) == rows
+
+
+def test_evolving_checked_rewrite_aborts_on_concurrent_evolve(spark, tmp_path):
+    """A checked rewrite racing an EVOLVE must abort loudly: its files
+    were written under the pre-evolve names, so stamping would regress
+    the schema (the DDL/data race Delta also refuses)."""
+    from experiments_datafusion_spark.operators.table_format import (
+        ConcurrentModification,
+    )
+
+    root = str(tmp_path / "t")
+    log = EvolvingLogFactory(spark, root)
+    e = log.entry(log.latest_version())
+    all_paths = [f["path"] for f in e["files"]]
+    df_new = log.read_evolved(spark).where("k != 1")
+
+    def interpose(attempt):
+        if attempt == 0:
+            log.evolve(
+                [(1, "k_renamed", "bigint"), (2, "amount_c", "bigint")],
+                note="racing DDL",
+            )
+
+    with pytest.raises(ConcurrentModification, match="schema change"):
+        log.commit_rewrite_checked(
+            df_new,
+            keep_files=[],
+            removed_files=all_paths,
+            on_publish_attempt=interpose,
+        )
+
+
+def test_evolving_append_once_stamps_and_dedupes(spark, tmp_path):
+    """append_once on an EvolvingLog routes through append_columns: the
+    entry re-stamps live columns + generations, and the txn ledger still
+    dedupes replays."""
+    root = str(tmp_path / "t")
+    log = EvolvingLogFactory(spark, root)
+    v = append_once(
+        log,
+        spark.createDataFrame([(8, 80)], "k bigint, amount_c bigint"),
+        app_id="A",
+        txn_version=0,
+    )
+    assert "columns" in log.entry(v)
+    rows = sorted((r.k, r.amount_c) for r in log.read_evolved(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30), (8, 80)]
+    # replay: no-op, same rows
+    assert append_once(
+        log,
+        spark.createDataFrame([(99, 990)], "k bigint, amount_c bigint"),
+        app_id="A",
+        txn_version=0,
+    ) == v
+    assert log.latest_version() == v
+    assert sorted(
+        (r.k, r.amount_c) for r in log.read_evolved(spark).collect()
+    ) == rows
+
+
+def test_evolving_restore_restores_schema_too(spark, tmp_path):
+    """restore_version of an EvolvingLog restores the target's COLUMN
+    LIST along with its files (Delta RESTORE semantics) — a restore to a
+    pre-rename version surfaces the old name again."""
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+    from experiments_datafusion_spark.queries.round10 import restore_version
+
+    root = str(tmp_path / "t")
+    log = EvolvingLog(root)
+    log.commit_columns(
+        spark.createDataFrame([(1, 10)], "k bigint, price_c int"),
+        [(1, "k", "bigint"), (2, "price_c", "int")],
+        note="v0",
+    )
+    log.evolve([(1, "k", "bigint"), (2, "amount_c", "bigint")], note="v1")
+    log.append_columns(
+        spark.createDataFrame([(2, 20)], "k bigint, amount_c bigint"), note="v2"
+    )
+    v = restore_version(log, 0)
+    got = log.read_evolved(spark)
+    assert got.columns == ["k", "price_c"]  # the pre-evolve schema is back
+    assert sorted((r.k, r.price_c) for r in got.collect()) == [(1, 10)]
+
+
+# ---- 9b. incremental OPTIMIZE metadata plumbing -------------------------------------------
+
+
+def test_append_carries_stats_and_cluster_tags_verbatim(spark, tmp_path):
+    """Appends and partial rewrites must carry settled files' write-time
+    stats and cluster tags by reference — rebuilding {path, size} from
+    the manifest silently un-clustered the table's METADATA on every
+    ingest (found building compact_incremental)."""
+    import pyspark.sql.functions as F
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(
+        spark.range(64).select((F.col("id") % 8).alias("b"), "id"),
+        note="base",
+        stats_cols=["b"],
+    )
+    log.compact(spark, target_file_bytes=1024, sort_cols=["b"])  # v1 cube
+    cube = {f["path"]: f for f in log.entry(1)["files"]}
+    assert all(f.get("cluster") == ["b"] and "stats" in f for f in cube.values())
+    v2 = log.commit_append(
+        spark.range(100, 110).select((F.col("id") % 8).alias("b"), "id"),
+        note="append",
+    )
+    carried = {f["path"]: f for f in log.entry(v2)["files"] if f["path"] in cube}
+    assert carried == cube  # verbatim: stats + tag survive the append
+    # partial rewrite keeping the cube: survives too
+    new_df = spark.range(200, 204).select((F.col("id") % 8).alias("b"), "id")
+    v3 = log.commit_rewrite(new_df, keep_files=sorted(cube), note="rw")
+    carried3 = {f["path"]: f for f in log.entry(v3)["files"] if f["path"] in cube}
+    assert carried3 == cube
+
+
+def test_compact_incremental_argument_validation(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit_append(spark.range(4), note="v0")
+    with pytest.raises(ValueError, match="exactly one"):
+        log.compact_incremental(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        log.compact_incremental(spark, sort_cols=["id"], zorder_cols=["id"])
+
+
+def test_compact_incremental_zorder_spec_is_distinct(spark, tmp_path):
+    """A 1-D cube on [x] must NOT satisfy a z-order spec on [x, y] (and
+    vice versa): the specs are distinct cube identities."""
+    import pyspark.sql.functions as F
+
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.commit(
+        spark.range(64).select(
+            (F.col("id") % 8).alias("x"), (F.col("id") % 4).alias("y")
+        ),
+        note="base",
+    )
+    log.compact(spark, target_file_bytes=1024, sort_cols=["x"])
+    v = log.compact_incremental(
+        spark, zorder_cols=["x", "y"], target_file_bytes=1024
+    )
+    assert v == log.latest_version()
+    assert all(
+        f.get("cluster") == ["z:x", "z:y"] for f in log.entry(v)["files"]
+    )
+
+
 # ---- 9. pure-SQL registration ------------------------------------------------------------
 
 
