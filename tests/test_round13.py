@@ -845,6 +845,86 @@ def test_evolving_restore_restores_schema_too(spark, tmp_path):
     assert sorted((r.k, r.price_c) for r in got.collect()) == [(1, 10)]
 
 
+def _evolved_rewrite_log(spark, root):
+    import pyspark.sql.functions as F
+    from experiments_datafusion_spark.operators.table_format import EvolvingLog
+
+    log = EvolvingLog(root)
+    log.commit_columns(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k bigint, price_c int"),
+        [(1, "k", "bigint"), (2, "price_c", "int")],
+        note="v0 old generation",
+    )
+    log.evolve([(1, "k", "bigint"), (2, "amount_c", "bigint")], note="v1")
+    log.append_columns(
+        spark.createDataFrame([(4, 40)], "k bigint, amount_c bigint"), note="v2"
+    )
+    post = log.read_evolved(spark).withColumn(
+        "amount_c",
+        F.when(F.col("k") == 2, F.lit(999)).otherwise(F.col("amount_c")),
+    )
+    log.commit_rewrite(post, keep_files=[], note="v3 update k=2")
+    return log
+
+
+def test_evolved_batch_cdf_over_rewrite_id_maps_preimages(spark, tmp_path):
+    """Composition of the two round-13 reader features: a batch CDF range
+    crossing a REWRITE on an EVOLVED table — the pre-image rows live in
+    old-generation files (written as price_c int) and must surface in
+    the END version's column space (amount_c bigint) through the
+    id-mapped diff projection."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    _evolved_rewrite_log(spark, root)
+    got = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("cdfKey", "k")
+        .load()
+    )
+    rows = sorted(
+        (r.k, r.amount_c, r._change_type, r._commit_version) for r in got.collect()
+    )
+    assert rows == [
+        (2, 20, "update_preimage", 3),
+        (2, 999, "update_postimage", 3),
+        (4, 40, "insert", 2),
+    ]
+
+
+def test_cdf_stream_with_schema_tracking_drains_evolved_history(spark, tmp_path):
+    """readChangeFeed + schemaTracking + skipChangeCommits compose: a
+    backfill CDF stream over evolved history emits old-generation rows
+    id-mapped with the CDF row shape, and skips the rewrite version."""
+    _register(spark)
+    root = str(tmp_path / "t")
+    _evolved_rewrite_log(spark, root)
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        spark.readStream.format("snaplog")
+        .option("path", root)
+        .option("schemaTracking", "true")
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [
+        (1, 10, "insert", 0),
+        (2, 20, "insert", 0),
+        (3, 30, "insert", 0),
+        (4, 40, "insert", 2),
+    ]
+
+
 # ---- 9b. incremental OPTIMIZE metadata plumbing -------------------------------------------
 
 
