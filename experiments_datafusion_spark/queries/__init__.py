@@ -102,6 +102,7 @@ _PRIORITY = (
     # skipping timestampAsOf), then the LRV fill (tools/lrv_window.py:
     # oldest driver round first, ties alphabetical — the r4/r5 tail).
     "table_cdf_rewrite",  # new
+    "table_sql_changes",  # new (late round-13: pure-SQL change feed)
     "table_stream_tracking",  # new
     "table_sql_access",  # new
     "table_compact_incremental",  # new
@@ -150,7 +151,8 @@ _PRIORITY = (
     "drift_psi",  # r5
     "ev_cusum",  # r5
     "ev_dau_wau_mau",  # r5
-    "ev_ewma",  # r5
+    # (ev_ewma was next in LRV order; trimmed as table_sql_changes took
+    # the last slot — it rotates in next round per the freshness policy)
 )
 
 

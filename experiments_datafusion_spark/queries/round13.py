@@ -110,6 +110,82 @@ def table_cdf_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_then_rmtree(out, root)
 
 
+# ---- pure-SQL change feed -------------------------------------------------------------------
+
+_SC_CUT = "1999-09-10"  # distinct from every other maintenance key cut
+_SC_UPD, _SC_DEL = 89, 83  # update / delete key bands
+
+
+@register(
+    "table_sql_changes",
+    tags=("io", "maintenance", "sql"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amount_c
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_SC_CUT}'
+),
+feed AS (
+  SELECT 'delete' AS ct, amount_c FROM base WHERE k % {_SC_DEL} = 0
+  UNION ALL
+  SELECT 'update_preimage', amount_c
+  FROM base WHERE k % {_SC_UPD} = 0 AND k % {_SC_DEL} <> 0
+  UNION ALL
+  SELECT 'update_postimage', CAST(amount_c * 3 AS BIGINT)
+  FROM base WHERE k % {_SC_UPD} = 0 AND k % {_SC_DEL} <> 0
+)
+SELECT ct AS _change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(amount_c) AS BIGINT) AS amount_sum
+FROM feed GROUP BY ct
+""",
+)
+def table_sql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed through PURE SQL (round 13; the CDF companion of
+    ``table_sql_access``): ``register_snaplog_changes_sql`` pins the
+    rewrite-bearing range [1, head] as a temp view — Delta's
+    ``table_changes('t', v)`` TVF shape for SQL-only tools — and the
+    whole query below is one ``spark.sql`` aggregate over it.  The
+    fixture's v1 rewrite triples the %{_SC_UPD} band and deletes the
+    %{_SC_DEL} band, so the view must surface deletes plus keyed
+    update image pairs through the bounded diff fallback; the oracle
+    recomputes all three change-type groups from raw orders."""
+    import tempfile
+
+    from experiments_datafusion_spark.sources.snaplog_source import (
+        register_snaplog_changes_sql,
+    )
+
+    _register_sources(spark)
+    root = tempfile.mkdtemp(prefix="tsc_")
+    log = SnapshotLog(root)
+    base = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < _SC_CUT)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("amount_c"),
+        )
+    )
+    log.commit_append(base, note="v0 base")
+    post = base.where(F.col("k") % _SC_DEL != 0).withColumn(
+        "amount_c",
+        F.when(F.col("k") % _SC_UPD == 0, F.col("amount_c") * 3).otherwise(
+            F.col("amount_c")
+        ),
+    )
+    log.commit_rewrite(post, keep_files=[], note="v1 update+delete rewrite")
+    register_snaplog_changes_sql(spark, "sl_changes", root, 1, cdf_key="k")
+    out = spark.sql(
+        """
+SELECT _change_type, count(*) AS n, sum(amount_c) AS amount_sum
+FROM sl_changes GROUP BY _change_type
+"""
+    )
+    return materialize_then_rmtree(out, root)
+
+
 # ---- MJPEG-in-AVI: the intra-frame DCT video tier ------------------------------------------
 
 

@@ -1147,6 +1147,45 @@ def register_snaplog_sql(
     return v
 
 
+def register_snaplog_changes_sql(
+    spark,
+    name: str,
+    root: str,
+    starting_version: int,
+    ending_version: int | None = None,
+    cdf_key=None,
+    max_diff_bytes: int | None = None,
+) -> None:
+    """The change feed for SQL-only tools (round 13, the CDF companion of
+    ``register_snaplog_sql``): register ``name`` as a temp view over the
+    batch ``readChangeFeed`` read — Delta's ``table_changes('t', v)``
+    TVF shape, expressed as a registered view since a Python DataSource
+    cannot add SQL TVF syntax.  The range is pinned at registration
+    (endingVersion defaults to the published head NOW, so the view's
+    contents never shift under a later commit); rewrite-bearing ranges
+    resolve through the bounded diff fallback, with ``cdf_key`` naming
+    the row key for update pre/post image pairing."""
+    view = _LogView(root)
+    if ending_version is None:
+        if not view.published:
+            raise ValueError(f"no published versions under {root}")
+        ending_version = view.published[-1]
+    reader = (
+        spark.read.format("snaplog")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(int(starting_version)))
+        .option("endingVersion", str(int(ending_version)))
+    )
+    if cdf_key:
+        if isinstance(cdf_key, (list, tuple)):
+            cdf_key = ",".join(cdf_key)
+        reader = reader.option("cdfKey", cdf_key)
+    if max_diff_bytes is not None:
+        reader = reader.option("maxDiffBytes", str(int(max_diff_bytes)))
+    reader.load().createOrReplaceTempView(name)
+
+
 def snaplog_fast_sink(root: str, app_id: str):
     """The snaplog sink's JVM FAST PATH (round 13, VERDICT r12 missing
     #1): a ready-made ``foreachBatch`` function speaking the sink's EXACT
