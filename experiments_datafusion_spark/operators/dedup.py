@@ -216,7 +216,14 @@ def minhash_lsh_pairs(
     the bucket self-join shuffles on (band, band_hash) — high cardinality,
     no skew; verification joins candidates back to the posting lists."""
     sh = doc_shingles(df, id_col, text_col).localCheckpoint(eager=True)
-    sig = minhash_signatures_from_postings(sh).localCheckpoint(eager=True)
+    # sig is NOT pinned (round 13): its only consumer is the bands
+    # self-join, whose two sides are the same canonical subtree — the
+    # signature aggregate's exchange is computed once and read twice via
+    # exchange reuse, so an eager checkpoint here only added a blocking
+    # job.  A/B at sf0.1 (3 reps): pin-both best 2.11 s, pin-sh-only best
+    # 1.72 s, pin-none 2.01 s (sh has two real consumers — sig and the
+    # verify join — so ITS pin earns the md5 shingle scan once).
+    sig = minhash_signatures_from_postings(sh)
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[_band_hash(j) for j in range(BANDS)])).alias("band", "bh"),

@@ -136,31 +136,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # b (< 2^53), so the IEEE quotient is the exact integer
         return ((a - a % b) / b).cast("long")
 
-    ranks = nodes.withColumn("rank_u", F.lit(10**12 // n).cast("long"))
     base_u = 150_000_000_000 // n  # 0.15/n in picounits, floored like the SQL
     contrib_src = edges.join(deg, "src")  # static across iterations
-    for _ in range(PR_ITERS):
-        inc = (
-            contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(idiv(F.col("rank_u"), F.col("outdeg"))).alias("s_u"))
+    # Round 13 (optimization): iterate on the INCOMING-SUM relation only and
+    # join the full node set ONCE at the end, instead of rebuilding the
+    # nodes-keyed ranks table every iteration.  rank_i(v) = base_u +
+    # floor(0.85 * inc_i(v)) with inc(v) = 0 for nodes without in-edges, so
+    # the per-iteration nodes LEFT JOIN (an n_nodes-row sort-merge join +
+    # its exchange, 5x) is algebraically redundant: the next iteration only
+    # ever looks ranks up BY SRC, and a missing inc row means base_u —
+    # exactly what the left join + coalesce(0) below reconstructs.  A/B at
+    # sf0.1 (interleaved, 3 reps): old form best 4.47 s, this form best
+    # 2.68 s, outputs identical row-for-row (and the unchanged DuckDB
+    # oracle re-verifies exact equality).  Scale shape is unchanged: one
+    # edges-x-ranks join plus one dst-keyed aggregate per iteration; the
+    # dropped join removes an n_nodes shuffle per iteration at any scale.
+    rank0 = F.lit(10**12 // n).cast("long")
+    inc = (
+        contrib_src.select("dst", idiv(rank0, F.col("outdeg")).alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").alias("s_u"))
+    )
+    for _ in range(PR_ITERS - 1):
+        rsrc = contrib_src.join(
+            inc.withColumnRenamed("node", "src"), "src", "left"
+        ).select(
+            "dst",
+            idiv(
+                F.lit(base_u) + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100)),
+                F.col("outdeg"),
+            ).alias("c"),
         )
-        ranks = nodes.join(inc, "node", "left").select(
-            "node",
-            (
-                F.lit(base_u)
-                + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100))
-            ).cast("long").alias("rank_u"),
-        )
-        # NO per-iteration checkpoint (round 12): with edges/nodes/
-        # contrib_src already pinned, the 5-deep iteration plan optimizes
-        # and executes as ONE job, and the five eager checkpoint jobs it
-        # replaces were pure scheduling floor — interleaved A/B at sf0.1,
-        # 6 rounds: lazy median 2.89s vs 3.64-3.81s for every checkpoint
-        # cadence (1/2/5), outputs identical.  (An earlier round measured
-        # the opposite before the bases were checkpointed; at hundreds of
-        # iterations lineage depth would argue for periodic checkpoints —
-        # at PR_ITERS=5 it does not.)
+        inc = rsrc.groupBy(F.col("dst").alias("node")).agg(F.sum("c").alias("s_u"))
+        # NO per-iteration checkpoint (round 12): with edges/nodes pinned,
+        # the 5-deep iteration plan optimizes and executes as ONE job, and
+        # the five eager checkpoint jobs it replaces were pure scheduling
+        # floor — interleaved A/B at sf0.1, 6 rounds: lazy median 2.89s vs
+        # 3.64-3.81s for every checkpoint cadence (1/2/5), outputs
+        # identical.  (At hundreds of iterations lineage depth would argue
+        # for periodic checkpoints — at PR_ITERS=5 it does not.)
+    ranks = nodes.join(inc, "node", "left").select(
+        "node",
+        (F.lit(base_u) + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100)))
+        .cast("long")
+        .alias("rank_u"),
+    )
     return (
         ranks.select(
             F.col("node").alias("user_id"),

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from experiments_datafusion_spark.io import materialize_then_rmtree, table
+from experiments_datafusion_spark.io import materialize_then_rmtree, spread, table
 from experiments_datafusion_spark.queries import register
 
 
@@ -238,7 +238,9 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     term and no accumulation-order divergence can exist.  Shape: explode
     to (doc, char) -> one map-side-combined groupBy — the same dataflow
     as token counting; ~n_chars rows, embarrassingly parallel."""
-    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # spread() (round 13): one-file fixture scan -> the char explode ran
+    # as a single task (A/B at sf0.1: 0.71 s -> 0.49 s, identical rows).
+    docs = spread(table(spark, sf_dir, "documents").where(F.length("text") > 0))
     # split(text, '') is the LINEAR char explode (one array build per row);
     # the transform(sequence, substr(i,1)) formulation re-scans the string
     # per position — O(len^2) per doc, measured 9.2x slower at sf0.1
