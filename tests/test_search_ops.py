@@ -83,3 +83,19 @@ def test_ewma_envelope_and_row_conservation(spark, sf_dir):
     )
     assert out == 0
     ewma.unpersist()
+
+
+def test_ewma_state_survives_arrow_batch_boundaries(spark, sf_dir):
+    """The round-13 mapInPandas walk carries (user, acc, rn) ACROSS Arrow
+    batches; with a tiny maxRecordsPerBatch every partition splits into
+    many batches and any per-batch state reset would corrupt rn/ewma for
+    keys spanning a boundary.  Compare against the default-batch run."""
+    key = "ev_ewma"
+    base = q(key)(spark, sf_dir).toPandas().sort_values(["user_id", "rn"])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        tiny = q(key)(spark, sf_dir).toPandas().sort_values(["user_id", "rn"])
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base.reset_index(drop=True).equals(tiny.reset_index(drop=True))
