@@ -285,9 +285,15 @@ def table_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         and tag intact) and the rewrite touches strictly fewer files
         than the full-compact counterfactual run right after it;
       * because the appends landed in fresh key territory (time-ordered
-        ingest), band pruning after the incremental pass selects exactly
-        as few files as after the FULL rewrite — equal per-band survivor
-        counts, both strictly pruning;
+        ingest), band pruning after the incremental pass is GRANULARITY-
+        EQUIVALENT to the full rewrite: both layouts cluster the band's
+        rows into files of the same target size, so per-band survivor
+        counts match to within ONE boundary-straddling file (exact
+        equality was over-pinned by the interrupted build session — it
+        held at sf0.01 by boundary luck and failed at sf0.1, where the
+        incremental cube's file edges land at different b values than
+        the full rewrite's; both layouts are non-overlapping and both
+        strictly prune, which is the real invariant);
       * both probe-band aggregates are oracled against raw orders, so a
         row lost or duplicated by the manifest surgery hash-mismatches."""
     import tempfile
@@ -355,8 +361,14 @@ def table_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_inc, total_inc = survivors(v_inc, band)
         keep_full, total_full = survivors(v_full, band)
         assert 0 < len(keep_inc) < total_inc, (band, len(keep_inc), total_inc)
-        # fresh-territory appends: pruning quality EQUAL to the full rewrite
-        assert len(keep_inc) == len(keep_full), (band, len(keep_inc), len(keep_full))
+        assert 0 < len(keep_full) < total_full, (band, len(keep_full), total_full)
+        # fresh-territory appends: pruning GRANULARITY equal to the full
+        # rewrite — same target file size, so survivor counts agree to
+        # within one boundary-straddling file (see docstring; strict
+        # equality failed at sf0.1 on benign boundary placement)
+        assert abs(len(keep_inc) - len(keep_full)) <= 1, (
+            band, len(keep_inc), len(keep_full),
+        )
 
     read = log.read(spark, v_inc)
     old_lo, old_hi = _CI_OLD
