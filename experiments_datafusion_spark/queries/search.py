@@ -198,11 +198,20 @@ def freq_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the df-cap is the load-bearing knob — dropping terms in > 80% of
     docs (stop-word shaped) bounds both posting-list length and the O(k^2)
     per-doc pair fan-out of the self-join, exactly the hot-shingle cap the
-    jaccard posting-list join documents.  The join itself is hash-partitioned
-    on doc_id (co-located, no broadcast of the big side); only the term->df
-    table (vocab-sized AFTER the cap) and the 1-row n_docs stats broadcast.
-    All thresholds are relative to corpus size, so the same constants hold
-    at any scale factor."""
+    jaccard posting-list join documents.  The pair join itself is
+    hash-partitioned on doc_id (co-located, no broadcast of the big side);
+    only the 1-row n_docs stats relation broadcasts.  Document frequency is
+    a window count over partitionBy(term) on the distinct (doc, term) rows
+    (round 13) — this removed the vocab-sized dfreq broadcast the old form
+    built, at the cost of shuffling the posting list by the Zipfian term
+    key BEFORE the df-cap applies: a stop-word term's full posting list
+    lands in one WindowExec group (bounded by n_docs rows of (doc_id, term)
+    — distinct per doc — and spills rather than OOMs, but serially).  The
+    r14 skew probe (OPTIMIZATION_r14.md: one synthetic term in every doc)
+    measures that trade directly; a two-level (term, salt) pre-aggregate +
+    term-keyed join is the §2.3 escape hatch if a real corpus ever makes
+    the window group the wall.  All thresholds are relative to corpus
+    size, so the same constants hold at any scale factor."""
     docs = table(spark, sf_dir, "documents")
     # three consumers (corpus stats, df table, the kept posting list) would
     # each re-scan and re-explode the corpus; materialize the distinct

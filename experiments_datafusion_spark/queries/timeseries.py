@@ -310,6 +310,14 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # Null-key guard (r13 advisor): a null user_id becomes NaN in
+            # the pandas conversion and NaN != NaN would reset the state
+            # EVERY row — silently diverging from both the old
+            # applyInPandas semantics (nulls formed one group) and the
+            # oracle.  The fixture has no null users; fail loudly if a
+            # future fixture/schema change introduces one.
+            if pdf["user_id"].isna().any():
+                raise ValueError("ev_ewma: null user_id reached the walk")
             u = pdf["user_id"].to_numpy()
             v = np.floor(pdf["value"].to_numpy() * 1_000_000).astype("int64")
             s = np.empty_like(v)

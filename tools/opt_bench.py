@@ -25,7 +25,7 @@ import bench  # noqa: E402
 from experiments_datafusion_spark.queries import all_queries  # noqa: E402
 from experiments_datafusion_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = REPO / "plans" / "r13"
+PLANS_DIR = REPO / "plans" / "r14"
 
 
 def _explain_formatted(df) -> str:
@@ -66,8 +66,15 @@ def main() -> None:
             n_exchange = txt.count("Exchange")
             print(f"{name}: {len(txt.splitlines())} lines, {n_exchange} Exchange refs")
     elif cmd == "time":
-        names = [a for a in sys.argv[2:] if not a.isdigit()]
-        reps = int(next((a for a in sys.argv[2:] if a.isdigit()), "5"))
+        # explicit --reps flag (r13 advisor: an all-digit registry key
+        # would have been silently consumed as the rep count)
+        args = sys.argv[2:]
+        reps = 5
+        if "--reps" in args:
+            i = args.index("--reps")
+            reps = int(args[i + 1])
+            args = args[:i] + args[i + 2:]
+        names = args
         sc = spark.sparkContext
         for name in names:
             sc.setJobDescription(f"opt_bench warmup {name}")
