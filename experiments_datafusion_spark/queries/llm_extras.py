@@ -174,20 +174,9 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dup_spans(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"))
-    text = F.col("text")
-    positions = F.sequence(
-        F.lit(1), F.length(text) - F.lit(SPAN_W - 1), F.lit(SPAN_STRIDE)
-    )
     # explode the POSITIONS, not an array of substrings: substr/md5 then
     # run whole-stage-codegen'd per row, instead of interpreted inside a
-    # higher-order transform() (measured 4.0s -> ~1s at sf0.1)
-    spans = (
-        docs.where(F.length(text) >= SPAN_W)
-        .select("doc_id", "text", F.explode(positions).alias("p"))
-        .select("doc_id", hash_fn(text.substr(F.col("p"), F.lit(SPAN_W))).alias("s"))
-        .distinct()
-    )
+    # higher-order transform() (measured 4.0s -> ~1s at sf0.1).
     # Posting-list occupancy as ONE window pass over the hash-partitioned
     # spans (round 13), replacing the groupBy(s) + self-join-back pair: on
     # DISTINCT (doc_id, s) rows, count(*) over (partition by s) IS each
@@ -195,23 +184,33 @@ def dup_spans(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
     # the join would have used (high-cardinality, no skew change) and one
     # exchange less.  Interleaved A/B at sf0.1, 5 rounds: join form
     # 0.88-0.97 s, window form 0.63-0.80 s; rows identical.
-    from pyspark.sql import Window as _W
-
-    nd = F.count(F.lit(1)).over(_W.partitionBy("s"))
-    per_doc = (
-        spans.withColumn("nd", nd)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
-        )
+    # Round 14: the chain is ONE spark.sql() program (same tree, one
+    # analysis pass) instead of ~8 DataFrame ops — the hash knob arrives
+    # as a SQL expression fragment (md5-parity vs xxhash64).
+    hash_sql = {
+        T.hash64: "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)",
+        T.fast_hash64: "xxhash64({x})",
+    }[hash_fn].format(x=f"substring(text, p, {SPAN_W})")
+    spread(table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "dupspans_docs_sp"
     )
-    return per_doc.where(F.col("n_dup") > 0).select(
-        "doc_id",
-        "n_spans",
-        "n_dup",
-        F.round(F.col("n_dup") / F.col("n_spans"), 4).alias("dup_frac"),
-    )
+    return spark.sql(f"""
+WITH spans AS (
+  SELECT DISTINCT doc_id, {hash_sql} AS s FROM (
+    SELECT doc_id, text,
+           explode(sequence(1, length(text) - {SPAN_W - 1}, {SPAN_STRIDE})) AS p
+    FROM dupspans_docs_sp WHERE length(text) >= {SPAN_W}
+  )
+),
+wnd AS (SELECT doc_id, count(1) OVER (PARTITION BY s) AS nd FROM spans),
+per_doc AS (
+  SELECT doc_id, count(1) AS n_spans,
+         sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM wnd GROUP BY doc_id
+)
+SELECT doc_id, n_spans, n_dup, round(n_dup / n_spans, 4) AS dup_frac
+FROM per_doc WHERE n_dup > 0
+""")
 
 
 # ---- round 4: winnowing fingerprints, fractional-epoch mixing, novelty ----
@@ -823,56 +822,58 @@ def docs_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the posting-list self-join with the 50%-df cap is the
     jaccard_pairs shape — candidates are bounded by posting-list length,
     never all pairs; norms join back on doc_id (hash-partitioned).  A
-    100 TB run adds the hot-term frequency cap jaccard documents."""
-    docs = table(spark, sf_dir, "documents")
-    toks = spread(docs).select(
-        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-    # Document frequency as a window COUNT over hash(term) (round 13): on
-    # the per-(doc, term) tf rows, count(*) over (partition by term) IS df,
-    # replacing the dfreq aggregate + join-back — one exchange less, and no
-    # vocab-sized relation to build (at 100 TB the old dfreq side was the
-    # risky one).  Interleaved A/B at sf0.1: join 0.94-1.51 s, window
-    # 0.85-1.04 s; rows identical.
-    from pyspark.sql import Window as _W
+    100 TB run adds the hot-term frequency cap jaccard documents.
 
-    kept = (
-        tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
-        .crossJoin(F.broadcast(n))
-        .where((F.col("df") >= 2) & (F.col("df") * 2 <= F.col("n_docs")))
-        .select(
-            "doc_id", "term",
-            F.floor(F.col("tf") * idf * _TC_SCALE).cast("long").alias("w_u"),
-        )
-        .localCheckpoint(eager=True)  # feeds norms + both join sides
-    )
-    norms = kept.groupBy("doc_id").agg(F.sum(F.col("w_u") * F.col("w_u")).alias("n_u"))
-    a = kept.select("term", F.col("doc_id").alias("doc_a"), F.col("w_u").alias("wa"))
-    b = kept.select("term", F.col("doc_id").alias("doc_b"), F.col("w_u").alias("wb"))
-    pairs = (
-        a.join(b, "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
-    )
-    na, nb = (norms.select(F.col("doc_id").alias(f"doc_{s}"),
-                           F.col("n_u").alias(f"n_{s}")) for s in ("a", "b"))
-    num_d = F.col("num").cast("double")
-    return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(
-            F.lit(4.0) * (num_d * num_d)
-            >= F.col("n_a").cast("double") * F.col("n_b").cast("double")
-        )
-        .select(
-            "doc_a", "doc_b", F.col("num").cast("long").alias("num"),
-            F.round(
-                num_d / (F.sqrt(F.col("n_a").cast("double"))
-                         * F.sqrt(F.col("n_b").cast("double"))), 6
-            ).alias("cos_r"),
-        )
-    )
+    Round 14: the whole dataflow is ONE spark.sql() program over two temp
+    views instead of ~14 chained DataFrame ops — each PySpark op pays a
+    py4j round trip plus an eager re-analysis of the growing tree
+    (measured ~30-80 ms/op at sf0.1, ~0.7 s of pure driver time for this
+    key), while one SQL string parses and analyzes the identical tree
+    once (~0.2 s).  Rows proven identical at sf0.1 and the oracle is
+    unchanged.  The round-13 eager localCheckpoint on `kept` is gone with
+    the rewrite: its three consumers read the same canonical
+    exchange-rooted subtree, which runtime exchange reuse computes once
+    (the dedup_minhash_lsh r13 precedent) — and the checkpoint call
+    itself cost more driver time (plan->RDD conversion + a blocking job)
+    than the reuse saves."""
+    docs = table(spark, sf_dir, "documents")
+    spread(docs).createOrReplaceTempView("tfidf_docs_sp")
+    docs.createOrReplaceTempView("tfidf_docs")
+    # Expression-level replica of the former DataFrame chain: double
+    # literals carry an explicit DOUBLE cast (a bare 1.0 parses as
+    # DECIMAL in Spark SQL and would change the idf arithmetic), ln ==
+    # F.log, floor/round/sqrt map 1:1.
+    return spark.sql(f"""
+WITH toks AS (
+  SELECT doc_id, explode(filter(split(text, '\\\\s+'), w -> w != '')) AS term
+  FROM tfidf_docs_sp
+),
+tf AS (SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tfidf_docs),
+wdf AS (SELECT doc_id, term, tf, count(1) OVER (PARTITION BY term) AS df FROM tf),
+kept AS (
+  SELECT /*+ BROADCAST(n) */ doc_id, term,
+         CAST(floor(tf * ln((n_docs + CAST(1.0 AS DOUBLE))
+                            / (df + CAST(1.0 AS DOUBLE))) * {_TC_SCALE})
+              AS BIGINT) AS w_u
+  FROM wdf CROSS JOIN n
+  WHERE df >= 2 AND df * 2 <= n_docs
+),
+norms AS (SELECT doc_id, sum(w_u * w_u) AS n_u FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_a, b.doc_b, sum(a.wa * b.wb) AS num
+  FROM (SELECT term, doc_id AS doc_a, w_u AS wa FROM kept) a
+  JOIN (SELECT term, doc_id AS doc_b, w_u AS wb FROM kept) b ON a.term = b.term
+  WHERE a.doc_a < b.doc_b
+  GROUP BY a.doc_a, b.doc_b
+)
+SELECT p.doc_a, p.doc_b, CAST(p.num AS BIGINT) AS num,
+       round(CAST(p.num AS DOUBLE)
+             / (sqrt(CAST(na.n_u AS DOUBLE)) * sqrt(CAST(nb.n_u AS DOUBLE))),
+             6) AS cos_r
+FROM pairs p
+JOIN (SELECT doc_id AS doc_a, n_u FROM norms) na USING (doc_a)
+JOIN (SELECT doc_id AS doc_b, n_u FROM norms) nb USING (doc_b)
+WHERE CAST(4.0 AS DOUBLE) * (CAST(p.num AS DOUBLE) * CAST(p.num AS DOUBLE))
+      >= CAST(na.n_u AS DOUBLE) * CAST(nb.n_u AS DOUBLE)
+""")

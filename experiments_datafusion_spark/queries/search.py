@@ -93,68 +93,82 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored docs (rows = docs matching >= 1 term, not the corpus), and the
     fusion join collapses to a doc_id-keyed pivot over the two rank rows.
     Per-term scores are floor-quantized to integer micro-units before any
-    cross-row sum, so nothing can diverge from the two-pass oracle."""
+    cross-row sum, so nothing can diverge from the two-pass oracle.
+
+    Round 14: the dataflow is ONE spark.sql() program instead of ~12
+    chained DataFrame ops — each PySpark op pays a py4j round trip plus
+    an eager re-analysis of the growing tree (this key measured ~1.0 s of
+    pure construction at sf0.1); one SQL string analyzes the identical
+    tree once.  Expression-level replica of the former chain: double
+    literals carry the exact repr of the Python-folded constants (k1+1,
+    1-b) so the IEEE arithmetic is bit-identical, the list tag is a CASE
+    on the term index (the 8-row lst_map relation and its broadcast join
+    fold away — same rows by construction since list a is exactly the
+    first len(_BM25_TERMS) indices), and the r13 eager localCheckpoint on
+    the wide tf table is gone: its consumers read the same canonical
+    aggregate subtree, deduped at runtime by exchange reuse."""
     docs = table(spark, sf_dir, "documents")
     all_terms = list(_BM25_TERMS) + list(_TERMS_B)
-    lists = ["a"] * len(_BM25_TERMS) + ["b"] * len(_TERMS_B)
-    toks = spread(docs).select(
-        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    spread(docs).createOrReplaceTempView("rrf_docs_sp")
+    tf_cols = ",\n         ".join(
+        f"sum(CAST((term = '{t}') AS BIGINT)) AS tf_{i}"
+        for i, t in enumerate(all_terms)
     )
-    # one doc-keyed pass: dl + tf of each query term (conditional agg)
-    wide = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
-            for i, t in enumerate(all_terms)
-        ],
-    ).localCheckpoint(eager=True)  # ~n_docs rows; 3 consumers below
-    corpus = wide.agg(F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs"))
-    long = wide.select(
-        "doc_id",
-        "dl",
-        F.posexplode(F.array(*[F.col(f"tf_{i}") for i in range(len(all_terms))])).alias(
-            "ti", "tf"
-        ),
-    ).where(F.col("tf") > 0)
-    dfreq = long.groupBy("ti").agg(F.count(F.lit(1)).alias("df"))
-    lst_map = spark.createDataFrame(
-        [(i, lists[i]) for i in range(len(all_terms))], "ti int, lst string"
-    )
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    s = (
-        idf
-        * (F.col("tf") * (_BM25_K1 + 1))
-        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
-    )
-    per = (
-        long.join(F.broadcast(dfreq), "ti")
-        .crossJoin(F.broadcast(corpus))
-        .join(F.broadcast(lst_map), "ti")
-        .select("lst", "doc_id", F.floor(s * 1_000_000).cast("long").alias("s_u"))
-        .groupBy("lst", "doc_id")
-        .agg(F.sum("s_u").alias("score_u"))
-    )
-    w = Window.partitionBy("lst").orderBy(F.desc("score_u"), "doc_id")
-    rnk = per.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _RRF_TOPN)
-    fused = rnk.groupBy("doc_id").agg(
-        F.max(F.when(F.col("lst") == "a", F.col("rnk"))).alias("rnk_a"),
-        F.max(F.when(F.col("lst") == "b", F.col("rnk"))).alias("rnk_b"),
-    )
-    contrib_a = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk_a)")
-    contrib_b = F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rnk_b)")
-    return fused.select(
-        "doc_id",
-        (F.coalesce(contrib_a, F.lit(0)) + F.coalesce(contrib_b, F.lit(0)))
-        .cast("long")
-        .alias("rrf_u"),
-        (
-            F.col("rnk_a").isNotNull().cast("int")
-            + F.col("rnk_b").isNotNull().cast("int")
-        )
-        .cast("long")
-        .alias("n_lists"),
-    )
+    tf_arr = ", ".join(f"tf_{i}" for i in range(len(all_terms)))
+    k1p1 = repr(_BM25_K1 + 1)  # Python folds these before F.lit did too —
+    one_mb = repr(1 - _BM25_B)  # repr is the shortest exact double form
+    return spark.sql(f"""
+WITH toks AS (
+  SELECT doc_id, explode(filter(split(text, '\\\\s+'), w -> w != '')) AS term
+  FROM rrf_docs_sp
+),
+wide AS (
+  SELECT doc_id, count(1) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+corpus AS (SELECT sum(dl) AS total_dl, count(1) AS n_docs FROM wide),
+longx AS (
+  SELECT doc_id, dl, ti, tf FROM (
+    SELECT doc_id, dl, posexplode(array({tf_arr})) AS (ti, tf) FROM wide
+  ) WHERE tf > 0
+),
+dfreq AS (SELECT ti, count(1) AS df FROM longx GROUP BY ti),
+per AS (
+  SELECT /*+ BROADCAST(dfreq), BROADCAST(corpus) */
+         CASE WHEN l.ti < {len(_BM25_TERMS)} THEN 'a' ELSE 'b' END AS lst,
+         l.doc_id,
+         CAST(floor(
+           ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + 1)
+           * (l.tf * CAST({k1p1} AS DOUBLE))
+           / (l.tf + CAST({_BM25_K1!r} AS DOUBLE)
+              * (CAST({one_mb} AS DOUBLE)
+                 + CAST({_BM25_B!r} AS DOUBLE) * l.dl
+                   / (CAST(total_dl AS DOUBLE) / n_docs)))
+           * {_RRF_SCALE}) AS BIGINT) AS s_u
+  FROM longx l JOIN dfreq ON l.ti = dfreq.ti CROSS JOIN corpus
+),
+scored AS (SELECT lst, doc_id, sum(s_u) AS score_u FROM per GROUP BY lst, doc_id),
+rnk AS (
+  SELECT lst, doc_id, rnk FROM (
+    SELECT lst, doc_id,
+           row_number() OVER (PARTITION BY lst ORDER BY score_u DESC, doc_id) AS rnk
+    FROM scored)
+  WHERE rnk <= {_RRF_TOPN}
+),
+fused AS (
+  SELECT doc_id,
+         max(CASE WHEN lst = 'a' THEN rnk END) AS rnk_a,
+         max(CASE WHEN lst = 'b' THEN rnk END) AS rnk_b
+  FROM rnk GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(coalesce({_RRF_SCALE} div ({_RRF_K} + rnk_a), 0)
+            + coalesce({_RRF_SCALE} div ({_RRF_K} + rnk_b), 0) AS BIGINT) AS rrf_u,
+       CAST(CAST(rnk_a IS NOT NULL AS INT)
+            + CAST(rnk_b IS NOT NULL AS INT) AS BIGINT) AS n_lists
+FROM fused
+""")
 
 
 @register(
@@ -212,56 +226,52 @@ def freq_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-keyed join is the §2.3 escape hatch if a real corpus ever makes
     the window group the wall.  All thresholds are relative to corpus
     size, so the same constants hold at any scale factor."""
-    docs = table(spark, sf_dir, "documents")
-    # three consumers (corpus stats, df table, the kept posting list) would
-    # each re-scan and re-explode the corpus; materialize the distinct
-    # (doc, term) relation once
-    toks = spread(docs).select(
-        "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("term")
-    ).localCheckpoint(eager=True)
-    stats = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
-    # Document frequency as a window COUNT over hash(term) (round 13): on
-    # the distinct (doc, term) posting rows, count(*) over (partition by
-    # term) IS df — replaces the dfreq aggregate + broadcast join-back
-    # (which at 100 TB built a vocab-sized broadcast).  Interleaved A/B at
-    # sf0.1, 5 rounds: join form 0.96-1.09 s, window form 0.87-1.02 s;
-    # rows identical.
-    kept = (
-        toks.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(stats))
-        .where(
-            (F.col("df") >= _PAIR_MIN_DF)
-            & (F.col("df") * 100 <= F.col("n_docs") * _PAIR_MAX_DF_PCT)
-        )
-        .select("doc_id", "term", "df")
+    # Round 14: ONE spark.sql() program replaces the ~12-op DataFrame chain
+    # (one analysis pass instead of a py4j round trip + eager re-analysis
+    # per op).  Two structural notes, rows proven identical:
+    # - the round-12 eager localCheckpoint on toks is gone: corpus stats
+    #   (n_docs) now count distinct doc_ids over the WINDOWED relation
+    #   (same rows — the window only appends df), so the stats branch and
+    #   the kept branch share the term-keyed exchange as their canonical
+    #   subtree and runtime exchange reuse tokenizes the corpus ONCE —
+    #   the materialization the checkpoint bought, without its blocking
+    #   job + plan->RDD driver cost (and without pinning an n_tokens-row
+    #   relation in the block manager at 100 TB);
+    # - document frequency stays the round-13 window count over
+    #   partitionBy(term) (no vocab-sized broadcast; skew posture in the
+    #   docstring above).
+    spread(table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "ftp_docs_sp"
     )
-    a = kept.select(
-        F.col("doc_id"), F.col("term").alias("term_a"), F.col("df").alias("df_a")
-    )
-    b = kept.select(
-        F.col("doc_id"), F.col("term").alias("term_b"), F.col("df").alias("df_b")
-    )
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("term_a") < F.col("term_b"))
-        .groupBy("term_a", "term_b")
-        .agg(
-            F.any_value("df_a").alias("df_a"),
-            F.any_value("df_b").alias("df_b"),
-            F.count(F.lit(1)).alias("support"),
-        )
-    )
-    n_docs = F.col("n_docs")
-    return (
-        pairs.crossJoin(F.broadcast(stats))
-        .where(F.col("support") * 100 >= n_docs * _PAIR_MIN_SUPPORT_PCT)
-        .select(
-            "term_a",
-            "term_b",
-            F.col("support").cast("long").alias("support"),
-            F.expr("(support * 1000) div n_docs").cast("long").alias("support_milli"),
-            F.expr("(support * n_docs * 1000000) div (df_a * df_b)")
-            .cast("long")
-            .alias("lift_micro"),
-        )
-    )
+    return spark.sql(f"""
+WITH toks AS (
+  SELECT doc_id,
+         explode(array_distinct(filter(split(text, '\\\\s+'), w -> w != ''))) AS term
+  FROM ftp_docs_sp
+),
+wdf AS (
+  SELECT doc_id, term, count(1) OVER (PARTITION BY term) AS df FROM toks
+),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM wdf),
+kept AS (
+  SELECT /*+ BROADCAST(stats) */ doc_id, term, df
+  FROM wdf CROSS JOIN stats
+  WHERE df >= {_PAIR_MIN_DF} AND df * 100 <= n_docs * {_PAIR_MAX_DF_PCT}
+),
+pairs AS (
+  SELECT a.term_a, b.term_b,
+         any_value(a.df_a) AS df_a, any_value(b.df_b) AS df_b,
+         count(1) AS support
+  FROM (SELECT doc_id, term AS term_a, df AS df_a FROM kept) a
+  JOIN (SELECT doc_id, term AS term_b, df AS df_b FROM kept) b
+    ON a.doc_id = b.doc_id
+  WHERE a.term_a < b.term_b
+  GROUP BY a.term_a, b.term_b
+)
+SELECT /*+ BROADCAST(stats) */ term_a, term_b,
+       CAST(support AS BIGINT) AS support,
+       CAST((support * 1000) div n_docs AS BIGINT) AS support_milli,
+       CAST((support * n_docs * 1000000) div (df_a * df_b) AS BIGINT) AS lift_micro
+FROM pairs CROSS JOIN stats
+WHERE support * 100 >= n_docs * {_PAIR_MIN_SUPPORT_PCT}
+""")

@@ -44,6 +44,10 @@ ALLOW_SCALAR_BROADCAST = {
     "drift_chi2",                # 1-row time-range scalars for the period split
     "drift_ks",                  # 1-row sample-size totals for the D statistic
     "drift_psi",                 # 1-row time/value-range scalars for binning
+    "docs_tfidf_cosine",         # 1-row n_docs stats for the df cap (was
+                                 # hidden behind the r13 localCheckpoint's
+                                 # lineage truncation; the r14 single-SQL
+                                 # form exposes the whole plan)
     "stats_mann_whitney",        # 1-row time-range scalars for the period split
     "stats_welch_t",             # 1-row time-range scalars for the period split
     "kl_source_divergence",      # 1-row corpus token total for p_g
