@@ -61,3 +61,17 @@ def sql_exact_round(expr: str, unit_dp: int, out_dp: int) -> str:
         f" ELSE -(((-({expr})) * 2 + {den}) // (2 * {den})) END)"
         f" / {10 ** out_dp}.0"
     )
+
+
+def sparksql_exact_round(expr: str, unit_dp: int, out_dp: int) -> str:
+    """SPARK-SQL fragment replica of exact_round() (sql_exact_round above
+    is the DuckDB-dialect twin — `//` is not Spark syntax).  Same integer
+    arithmetic: q = (|x|*2 + den  -  (|x|*2 + den) % 2den) / 2den as an
+    exact IEEE quotient, sign restored, divided by the 10^out_dp double."""
+    den = 10 ** (unit_dp - out_dp)
+    num = f"(abs({expr}) * 2 + {den})"
+    q = f"CAST(({num} - {num} % {2 * den}) / {2 * den} AS BIGINT)"
+    return (
+        f"(CASE WHEN ({expr}) < 0 THEN -{q} ELSE {q} END)"
+        f" / CAST({float(10 ** out_dp)!r} AS DOUBLE)"
+    )

@@ -530,6 +530,68 @@ def _pq_sqdist(sub: Column, cent: Column) -> Column:
     return out
 
 
+def _pq_sqdist_sql(sub: str, cent: str) -> str:
+    """SQL fragment replica of _pq_sqdist: same left-associated 8-term sum,
+    same power(x, 2) (Column.__pow__ lowers to the same Pow expression),
+    same single-side DOUBLE cast, element_at 1-based in both APIs."""
+    terms = [
+        f"power(CAST(element_at({sub}, {j + 1}) AS DOUBLE)"
+        f" - element_at({cent}, {j + 1}), 2)"
+        for j in range(PQ_SUBDIM)
+    ]
+    return " + ".join(terms)
+
+
+def _pq_encode_agg_seed() -> str:
+    """Seed-tier argmin distance: round(d, 4) — pq_encode's contract."""
+    return f"round({_pq_sqdist_sql('s.subvec', 'cb.cent')}, 4)"
+
+
+def _pq_encode_agg_floor() -> str:
+    """Trained-tier argmin distance: floor(d * 2^14) as BIGINT —
+    _pq_floor_argmin's tie-free integer grid."""
+    return (
+        f"CAST(floor(({_pq_sqdist_sql('s.subvec', 'cb.cent')})"
+        f" * {PQ_DUNIT}) AS BIGINT)"
+    )
+
+
+def _pq_scan_sql(id_col: str, k: int, d_expr: str) -> str:
+    """One-analysis-pass SQL for subspace split -> argmin encode -> ADC
+    broadcast join -> integer sum -> windowed top-k, over the
+    pq_corpus_v / pq_cb_v / pq_qtab_v temp views (round 14 — replaces the
+    per-op DataFrame chain; expression-identical, proven row-identical)."""
+    slices = ", ".join(
+        f"slice(embedding, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})" for m in range(PQ_M)
+    )
+    return f"""
+WITH sub AS (
+  SELECT {id_col} AS vid, posexplode(array({slices})) AS (m, subvec)
+  FROM pq_corpus_v
+),
+codes AS (
+  SELECT vid, m, mn.k AS code FROM (
+    SELECT /*+ BROADCAST(cb) */ s.vid, s.m,
+           min(named_struct('d', {d_expr}, 'k', cb.k)) AS mn
+    FROM sub s JOIN pq_cb_v cb ON s.m = cb.m
+    GROUP BY s.vid, s.m)
+),
+scored AS (
+  SELECT /*+ BROADCAST(q) */ q.query_id, c.vid AS neighbor_id, sum(q.d_int) AS s
+  FROM codes c JOIN pq_qtab_v q ON c.m = q.m AND c.code = q.code
+  WHERE c.vid != q.query_id
+  GROUP BY q.query_id, c.vid
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(s / {PQ_SCALE}, 6) AS adc_dist
+FROM (SELECT query_id, neighbor_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s ASC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _pq_subspaces(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
     """(id, embedding) -> (out_id, m, subvec): one row per subspace."""
     slices = F.array(
@@ -673,40 +735,26 @@ def topk_pq(
     7-10x SLOWER and can OOM the driver — 4k-node literal trees break
     whole-stage codegen (janino's quadratic local-variable maps) and pay
     Catalyst re-optimization per run.  Broadcast-join the small side; do
-    not literal-fuse it."""
+    not literal-fuse it.
+
+    Round 14: encode + ADC scan + rank are ONE spark.sql() program over
+    the corpus / codebook / ADC-table views instead of ~10 chained
+    DataFrame ops — construction paid a py4j round trip plus an eager
+    re-analysis of the growing tree per op (~0.5 s of pure driver time at
+    sf0.1 for this key, the r13 'eager per-op analysis' floor item); one
+    SQL string analyzes the identical tree once.  The expressions are
+    1:1 replicas (power == **, element_at is 1-based in both, struct-min
+    argmin field order (d, k) unchanged), proven row-identical."""
     cb_rows, qtab_rows = _pq_local_setup(corpus, queries, id_col)
-    scored = _pq_scored_joined(corpus, cb_rows, qtab_rows, id_col)
-    w = Window.partitionBy("query_id").orderBy(F.col("s").asc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("bigint").alias("rank"),
-            F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
-        )
-    )
-
-
-def _pq_scored_joined(
-    corpus: DataFrame, cb_rows: list[tuple], qtab_rows: list[tuple], id_col: str
-) -> DataFrame:
-    """(query_id, neighbor_id, s): the broadcast-join ADC scan — exploded
-    codes equi-join the driver-local distance table on (m, code), then a
-    keyed exact-integer sum."""
     spark = corpus.sparkSession
-    codebook = spark.createDataFrame(cb_rows, "m int, k int, cent array<double>")
-    qtab = spark.createDataFrame(
+    spark.createDataFrame(
+        cb_rows, "m int, k int, cent array<double>"
+    ).createOrReplaceTempView("pq_cb_v")
+    spark.createDataFrame(
         qtab_rows, "query_id bigint, m int, code int, d_int bigint"
-    )
-    codes = pq_encode(corpus, codebook, id_col)
-    return (
-        codes.join(F.broadcast(qtab), ["m", "code"])
-        .where(F.col("vid") != F.col("query_id"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(F.sum("d_int").alias("s"))
-    )
+    ).createOrReplaceTempView("pq_qtab_v")
+    corpus.createOrReplaceTempView("pq_corpus_v")
+    return spark.sql(_pq_scan_sql(id_col, k, _pq_encode_agg_seed()))
 
 
 def topk_ivfpq(
@@ -973,28 +1021,16 @@ def topk_pq_trained(
             for j in range(1, PQ_SUBDIM):
                 d = d + (sub[j] - c[j]) ** 2
             qtab_rows.append((qid, m, kk, math.floor(d * PQ_SCALE)))
+    # Round 14: same one-analysis-pass SQL scan as topk_pq (identical
+    # dataflow; only the argmin grid differs — floor(d * 2^14), no round).
+    # The dropped any_value(subvec) of _pq_floor_argmin was dead here (the
+    # old .select pruned it); grouped rows are unchanged.
     spark = corpus.sparkSession
-    cb_df = spark.createDataFrame(cb, "m int, k int, cent array<double>")
-    qtab = spark.createDataFrame(
+    spark.createDataFrame(
+        cb, "m int, k int, cent array<double>"
+    ).createOrReplaceTempView("pq_cb_v")
+    spark.createDataFrame(
         qtab_rows, "query_id bigint, m int, code int, d_int bigint"
-    )
-    codes = _pq_floor_argmin(
-        _pq_subspaces(corpus, id_col, "vid"), cb_df
-    ).select("vid", "m", "code")
-    scored = (
-        codes.join(F.broadcast(qtab), ["m", "code"])
-        .where(F.col("vid") != F.col("query_id"))
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(F.sum("d_int").alias("s"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("s").asc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("bigint").alias("rank"),
-            F.round(F.col("s") / PQ_SCALE, 6).alias("adc_dist"),
-        )
-    )
+    ).createOrReplaceTempView("pq_qtab_v")
+    corpus.createOrReplaceTempView("pq_corpus_v")
+    return spark.sql(_pq_scan_sql(id_col, k, _pq_encode_agg_floor()))

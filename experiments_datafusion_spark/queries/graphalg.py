@@ -128,16 +128,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = nodes.count()  # one scalar — the documented codebook-style exception
 
-    def idiv(a, b):
-        # exact integer division on longs: a - a%b is an exact multiple of
-        # b (< 2^53), so the IEEE quotient is the exact integer
-        return ((a - a % b) / b).cast("long")
-
     base_u = 150_000_000_000 // n  # 0.15/n in picounits, floored like the SQL
-    contrib_src = edges.join(deg, "src")  # static across iterations
+    rank0 = 10**12 // n
     # Round 13 (optimization): iterate on the INCOMING-SUM relation only and
     # join the full node set ONCE at the end, instead of rebuilding the
     # nodes-keyed ranks table every iteration.  rank_i(v) = base_u +
@@ -151,43 +145,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle re-verifies exact equality).  Scale shape is unchanged: one
     # edges-x-ranks join plus one dst-keyed aggregate per iteration; the
     # dropped join removes an n_nodes shuffle per iteration at any scale.
-    rank0 = F.lit(10**12 // n).cast("long")
-    inc = (
-        contrib_src.select("dst", idiv(rank0, F.col("outdeg")).alias("c"))
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.sum("c").alias("s_u"))
-    )
-    for _ in range(PR_ITERS - 1):
-        rsrc = contrib_src.join(
-            inc.withColumnRenamed("node", "src"), "src", "left"
-        ).select(
-            "dst",
-            idiv(
-                F.lit(base_u) + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100)),
-                F.col("outdeg"),
-            ).alias("c"),
+    # NO per-iteration checkpoint (round 12): with edges/nodes pinned, the
+    # 5-deep iteration plan optimizes and executes as ONE job, and the five
+    # eager checkpoint jobs it replaces were pure scheduling floor.
+    # Round 14: the unrolled iterations build as ONE spark.sql() program
+    # over the pinned edge/node views instead of ~20 chained DataFrame ops
+    # (each op paid a py4j round trip + eager re-analysis of the growing
+    # 5-iteration tree); the arithmetic is the exact-integer-division
+    # replica of the old idiv() — ((a - a%b)/b) cast long — term for term.
+    edges.createOrReplaceTempView("pr_edges_v")
+    nodes.createOrReplaceTempView("pr_nodes_v")
+
+    def idiv_sql(a: str, b: str) -> str:
+        # exact integer division on longs: a - a%b is an exact multiple of
+        # b (< 2^53), so the IEEE quotient is the exact integer
+        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+    damped = idiv_sql("coalesce(i.s_u, CAST(0 AS BIGINT)) * 85", "100")
+    ctes = [
+        "deg AS (SELECT src, count(*) AS outdeg FROM pr_edges_v GROUP BY src)",
+        """cs AS (
+  SELECT e.src, e.dst, d.outdeg
+  FROM pr_edges_v e JOIN deg d ON e.src = d.src)""",
+        f"""inc0 AS (
+  SELECT dst AS node, sum(c) AS s_u FROM (
+    SELECT dst, {idiv_sql(f"CAST({rank0} AS BIGINT)", "outdeg")} AS c FROM cs)
+  GROUP BY dst)""",
+    ]
+    for i in range(PR_ITERS - 1):
+        contrib = idiv_sql(f"CAST({base_u} AS BIGINT) + {damped}", "cs.outdeg")
+        ctes.append(
+            f"""inc{i + 1} AS (
+  SELECT dst AS node, sum(c) AS s_u FROM (
+    SELECT cs.dst, {contrib} AS c
+    FROM cs LEFT JOIN inc{i} i ON cs.src = i.node)
+  GROUP BY dst)"""
         )
-        inc = rsrc.groupBy(F.col("dst").alias("node")).agg(F.sum("c").alias("s_u"))
-        # NO per-iteration checkpoint (round 12): with edges/nodes pinned,
-        # the 5-deep iteration plan optimizes and executes as ONE job, and
-        # the five eager checkpoint jobs it replaces were pure scheduling
-        # floor — interleaved A/B at sf0.1, 6 rounds: lazy median 2.89s vs
-        # 3.64-3.81s for every checkpoint cadence (1/2/5), outputs
-        # identical.  (At hundreds of iterations lineage depth would argue
-        # for periodic checkpoints — at PR_ITERS=5 it does not.)
-    ranks = nodes.join(inc, "node", "left").select(
-        "node",
-        (F.lit(base_u) + idiv(F.coalesce("s_u", F.lit(0)) * 85, F.lit(100)))
-        .cast("long")
-        .alias("rank_u"),
-    )
-    return (
-        ranks.select(
-            F.col("node").alias("user_id"),
-            _X.exact_round(F.col("rank_u"), 12, 6).alias("pagerank"),
-        )
-        .orderBy(F.desc("pagerank"), F.asc("user_id"))
-        .limit(20)
+    fin = f"inc{PR_ITERS - 1}"
+    rank_u = f"CAST(CAST({base_u} AS BIGINT) + {damped} AS BIGINT)"
+    return spark.sql(
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nd.node AS user_id,
+       {_X.sparksql_exact_round(rank_u, 12, 6)} AS pagerank
+FROM pr_nodes_v nd LEFT JOIN {fin} i ON nd.node = i.node
+ORDER BY pagerank DESC, user_id ASC
+LIMIT 20"""
     )
 
 
