@@ -464,9 +464,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
     """docs_ngram_novelty's dataflow with the shingle hash as a knob —
     T.hash64 (md5, oracled key below) or T.fast_hash64 (xxhash64, the
     production twin registered in round6.py)."""
-    sh = D.doc_shingles(
-        table(spark, sf_dir, "documents"), hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+    # No checkpoint (round 14): the r13 window rewrite below left the
+    # shingle relation with ONE consumer, so the eager pin's blocking job
+    # + plan->RDD conversion bought zero reuse — pure construction floor.
+    # (The multi-consumer dedup pins in operators/dedup.py stay eager.)
+    sh = D.doc_shingles(table(spark, sf_dir, "documents"), hash_fn=hash_fn)
     # First-seen doc per shingle as a window MIN over the hash(shingle)
     # partitioning (round 13) instead of groupBy + join-back: one exchange
     # and no aggregate branch, same high-cardinality key.  Interleaved A/B

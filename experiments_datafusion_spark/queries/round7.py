@@ -154,7 +154,7 @@ def _bpe_apply_batch(
         )
         .withColumn("pos", F.row_number().over(Window.partitionBy("w").orderBy("pos")))
     )
-    return out.localCheckpoint(eager=True)
+    return out
 
 
 def _bpe_train_merges(sym: DataFrame) -> tuple[DataFrame, list[tuple[str, str, int]]]:
@@ -165,14 +165,22 @@ def _bpe_train_merges(sym: DataFrame) -> tuple[DataFrame, list[tuple[str, str, i
     program the oracle unrolls as _BPE_ROUNDS idempotent iterations."""
     merges: list[tuple[str, str, int]] = []
     for _ in range(_BPE_ROUNDS):
-        if len(merges) >= _BPE_ROUNDS:
-            break
         cand = _bpe_rank_candidates(sym)
         if not cand:
             break
         batch = _bpe_select_batch(cand, _BPE_ROUNDS - len(merges))
         merges.extend(batch)
         sym = _bpe_apply_batch(sym, batch)
+        if len(merges) >= _BPE_ROUNDS:
+            # done training: the applied table flows lazily into the ONE
+            # downstream consumer (vocab / wtok aggregate), so the final
+            # round's eager checkpoint was a pure blocking job (round 14)
+            break
+        # mid-loop: the applied table feeds two SEQUENTIAL jobs (the next
+        # round's candidate collect, then the next apply) — pin it so the
+        # window chain isn't recomputed per round (eager, not lazy: the
+        # dedup.py zombie-race note)
+        sym = sym.localCheckpoint(eager=True)
     return sym, merges
 
 
