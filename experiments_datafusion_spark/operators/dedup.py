@@ -124,23 +124,28 @@ def jaccard_pairs(
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
             eager=True
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))
-    return (
-        common.join(sa, F.col("x") == F.col("sa.doc_id"))
-        .join(sb, F.col("y") == F.col("sb.doc_id"))
-        .where(jac >= threshold)
-        .select("x", "y", F.round(jac, 4).alias("jaccard"))
-    )
+    # Round 14: the post-pin chain (sizes + posting self-join + verify) is
+    # ONE spark.sql() program over a view of the pinned postings — one
+    # parse+analysis pass instead of ~10 chained ops (the py4j +
+    # eager-re-analysis construction floor).  Threshold is cast to DOUBLE
+    # explicitly (a bare SQL 0.5 is DECIMAL); the long/long division is
+    # double in both forms.  Rows proven identical.
+    sh.createOrReplaceTempView("jac_sh_v")
+    jac = "common / (sa.n_sh + sb.n_sh - common)"
+    return df.sparkSession.sql(f"""
+WITH sizes AS (SELECT doc_id, count(1) AS n_sh FROM jac_sh_v GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(1) AS common
+  FROM jac_sh_v a JOIN jac_sh_v b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT x, y, round({jac}, 4) AS jaccard
+FROM common
+JOIN sizes sa ON x = sa.doc_id
+JOIN sizes sb ON y = sb.doc_id
+WHERE {jac} >= CAST({threshold!r} AS DOUBLE)
+""")
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -223,24 +228,56 @@ def minhash_lsh_pairs(
     # job.  A/B at sf0.1 (3 reps): pin-both best 2.11 s, pin-sh-only best
     # 1.72 s, pin-none 2.01 s (sh has two real consumers — sig and the
     # verify join — so ITS pin earns the md5 shingle scan once).
-    sig = minhash_signatures_from_postings(sh)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[_band_hash(j) for j in range(BANDS)])).alias("band", "bh"),
+    # Round 14: the whole post-pin pipeline (signatures -> bands ->
+    # candidate bucket join -> exact-Jaccard verify) is ONE spark.sql()
+    # program over a view of the pinned postings — one parse+analysis pass
+    # instead of the ~20-op chain whose 32 min-expressions and 8 md5 band
+    # hashes dominated this key's Python-side construction (~1.3-1.7 s at
+    # sf0.1).  Expression replicas: the flat SQL concat equals the nested
+    # DF concat on strings; integer minhash arithmetic is term-identical.
+    sh.createOrReplaceTempView("mh_sh_v")
+    mins = ",\n         ".join(
+        f"min(({MINHASH_A[i]} * (shingle % {MINHASH_P}) + {MINHASH_B[i]})"
+        f" % {MINHASH_P}) AS mh{i}"
+        for i in range(NUM_HASHES)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    band_exprs = ", ".join(
+        "md5(concat("
+        + ", ',', ".join(
+            f"CAST(mh{j * ROWS_PER_BAND + r} AS STRING)" for r in range(ROWS_PER_BAND)
         )
-        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
-        .distinct()
+        + "))"
+        for j in range(BANDS)
     )
-    return _verify_candidates(candidates, sh, threshold)
+    jac = "common / (sa.n_sh + sb.n_sh - common)"
+    return df.sparkSession.sql(f"""
+WITH sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM mh_sh_v GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, posexplode(array({band_exprs})) AS (band, bh) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(1) AS n_sh FROM mh_sh_v GROUP BY doc_id),
+common AS (
+  SELECT x, y, count(1) AS common
+  FROM cand c
+  JOIN mh_sh_v a ON c.x = a.doc_id
+  JOIN mh_sh_v b ON c.y = b.doc_id AND a.shingle = b.shingle
+  GROUP BY x, y
+)
+SELECT x, y, round({jac}, 4) AS jaccard
+FROM common
+JOIN sizes sa ON x = sa.doc_id
+JOIN sizes sb ON y = sb.doc_id
+WHERE {jac} >= CAST({threshold!r} AS DOUBLE)
+""")
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -711,38 +711,31 @@ def containment_pairs(spark: SparkSession, sf_dir: str, hash_fn) -> DataFrame:
     """text_containment's dataflow with the shingle hash as a knob —
     T.hash64 (md5, oracled key below) or T.fast_hash64 (xxhash64, the
     production twin registered in round6.py)."""
-    sh = D.doc_shingles(
-        table(spark, sf_dir, "documents"), hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        common.join(sa, F.col("x") == F.col("sa.doc_id"))
-        .join(sb, F.col("y") == F.col("sb.doc_id"))
-        .select(
-            "x",
-            "y",
-            F.col("c").cast("long").alias("n_common"),
-            F.col("sa.n_sh").cast("long").alias("n_x"),
-            F.col("sb.n_sh").cast("long").alias("n_y"),
-        )
-        .withColumn("cont_x_milli", F.expr("(n_common * 1000) div n_x").cast("long"))
-        .withColumn("cont_y_milli", F.expr("(n_common * 1000) div n_y").cast("long"))
-        .where(
-            (F.col("cont_x_milli") >= _CONT_MILLI)
-            | (F.col("cont_y_milli") >= _CONT_MILLI)
-        )
-    )
+    # Round 14: post-pin chain as ONE spark.sql() program (same
+    # construction-floor fix as jaccard_pairs; integer div arithmetic is
+    # term-identical).  Rows proven identical.
+    sh = D.doc_shingles(table(spark, sf_dir, "documents"), hash_fn=hash_fn)
+    sh.localCheckpoint(eager=True).createOrReplaceTempView("cont_sh_v")
+    return spark.sql(f"""
+WITH sizes AS (SELECT doc_id, count(1) AS n_sh FROM cont_sh_v GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(1) AS c
+  FROM cont_sh_v a JOIN cont_sh_v b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT x, y,
+       CAST(c AS BIGINT) AS n_common,
+       CAST(sa.n_sh AS BIGINT) AS n_x,
+       CAST(sb.n_sh AS BIGINT) AS n_y,
+       CAST((c * 1000) div sa.n_sh AS BIGINT) AS cont_x_milli,
+       CAST((c * 1000) div sb.n_sh AS BIGINT) AS cont_y_milli
+FROM common
+JOIN sizes sa ON x = sa.doc_id
+JOIN sizes sb ON y = sb.doc_id
+WHERE ((c * 1000) div sa.n_sh) >= {_CONT_MILLI}
+   OR ((c * 1000) div sb.n_sh) >= {_CONT_MILLI}
+""")
 
 
 @register(

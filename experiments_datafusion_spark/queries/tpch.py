@@ -86,28 +86,30 @@ LIMIT 10
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority (Q3 shape): 3-way join with pushed-down filters,
-    agg, deterministic top-10 (Spark plans TakeOrderedAndProject)."""
-    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
-    li = table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-    )
+    agg, deterministic top-10 (Spark plans TakeOrderedAndProject).
+
+    Round 14: one spark.sql() program (same tree, one analysis pass)
+    instead of the ~9-op DataFrame chain; the broadcast hint and the
+    syntactic join order are preserved, predicates push down identically."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch_lineitem_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("tpch_orders_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("tpch_customer_v")
+    return spark.sql("""
+SELECT /*+ BROADCAST(c) */
+       l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       date_format(o_orderdate, 'yyyy-MM-dd')            AS orderdate,
+       o_orderpriority
+FROM tpch_lineitem_v l
+JOIN tpch_orders_v o   ON l.l_orderkey = o.o_orderkey
+JOIN tpch_customer_v c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
 
 
 @register(
@@ -163,28 +165,33 @@ GROUP BY n_name
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume (Q5 shape): 6-way join; region/nation/supplier
-    broadcast (small dims), fact-fact join shuffles on the key."""
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    li = table(spark, sf_dir, "lineitem")
-    supp = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-    )
+    broadcast (small dims), fact-fact join shuffles on the key.
+
+    Round 14: one spark.sql() program (same tree, one analysis pass)
+    instead of the ~10-op DataFrame chain; broadcast hints and syntactic
+    join order preserved."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch_lineitem_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("tpch_orders_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("tpch_customer_v")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("tpch_supplier_v")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("tpch_nation_v")
+    table(spark, sf_dir, "region").createOrReplaceTempView("tpch_region_v")
+    return spark.sql("""
+SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+       n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM tpch_lineitem_v l
+JOIN tpch_orders_v o   ON l.l_orderkey = o.o_orderkey
+JOIN tpch_customer_v c ON o.o_custkey = c.c_custkey
+JOIN tpch_supplier_v s ON l.l_suppkey = s.s_suppkey
+                      AND c.c_nationkey = s.s_nationkey
+JOIN tpch_nation_v n   ON s.s_nationkey = n.n_nationkey
+JOIN tpch_region_v r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""")
 
 
 @register(
@@ -238,30 +245,33 @@ LIMIT 20
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (Q10 shape): join + agg + deterministic
-    top-20."""
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
-    )
-    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    nation = table(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            _r(F.col("c_acctbal")).alias("acctbal"),
-            "n_name",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
+    top-20.
+
+    Round 14: one spark.sql() program (same tree, one analysis pass)
+    instead of the ~9-op DataFrame chain; broadcast hint and syntactic
+    join order preserved."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch_lineitem_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("tpch_orders_v")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("tpch_customer_v")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("tpch_nation_v")
+    return spark.sql("""
+SELECT /*+ BROADCAST(n) */
+       c_custkey,
+       c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2)                               AS acctbal,
+       n_name
+FROM tpch_lineitem_v l
+JOIN tpch_orders_v o   ON l.l_orderkey = o.o_orderkey
+JOIN tpch_customer_v c ON o.o_custkey = c.c_custkey
+JOIN tpch_nation_v n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
 
 
 @register(
