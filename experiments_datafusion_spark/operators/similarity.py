@@ -95,31 +95,39 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector: broadcast the (small) query
     set against the partitioned corpus, rank per query with a deterministic
-    tiebreak on neighbor id."""
-    c = _with_norm(corpus).select(
+    tiebreak on neighbor id.
+
+    Round 14: one spark.sql() program over views of the norm-attached
+    sides (same tree, one analysis pass).  The SQL higher-order functions
+    are the literal dialect twins of dotd()/_with_norm() — aggregate /
+    zip_with with the identical lambdas, so the sequential double
+    accumulation is bit-for-bit the same."""
+    spark = corpus.sparkSession
+    _with_norm(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb"), "nrm"
-    )
-    q = _with_norm(queries).select(
+    ).createOrReplaceTempView("bf_corpus_v")
+    _with_norm(queries).select(
         F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-    )
-    cos = dotd(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("nrm"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("bigint").alias("rank"),
-            F.round("cos_raw", 4).alias("cosine"),
-        )
-    )
+    ).createOrReplaceTempView("bf_queries_v")
+    dot = ("aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y),"
+           " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    return spark.sql(f"""
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cos_raw, 4) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM (
+    SELECT /*+ BROADCAST(q) */ q.query_id, c.neighbor_id,
+           {dot} / (q.q_nrm * c.nrm) AS cos_raw
+    FROM bf_corpus_v c CROSS JOIN bf_queries_v q
+    WHERE q.query_id != c.neighbor_id
+  )
+)
+WHERE rank <= {k}
+""")
 
 
 def mmr_rerank(

@@ -646,33 +646,28 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the differential check proves BOTH the real-decode hash values and
     the banding's completeness."""
     media = attach_phash_png_media(table(spark, sf_dir, "documents"))
-    hashes = _dhash_media(media).localCheckpoint(eager=True)
-    chunk_exprs = [
-        F.shiftright(F.col("dhash"), k * _PH_BAND_BITS).bitwiseAND(
-            F.lit((1 << _PH_BAND_BITS) - 1)
-        )
-        for k in range(_PH_BANDS)
-    ]
-    chunks = hashes.select(
-        "media_id", "dhash", F.posexplode(F.array(*chunk_exprs)).alias("band", "ck")
+    # The eager pin on the decoded hashes stays (PNG decode feeds both
+    # sides of the banded self-join); round 14 builds the post-pin chain
+    # as ONE spark.sql() program — integer shift/mask/xor expressions are
+    # dialect-identical, rows proven identical.
+    _dhash_media(media).localCheckpoint(eager=True).createOrReplaceTempView(
+        "phash_hashes_v"
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .where(ham <= _PH_T)
-        .select(
-            F.col("a.media_id").alias("x"),
-            F.col("b.media_id").alias("y"),
-            ham.cast("bigint").alias("hamming"),
-        )
-        .distinct()
+    mask = (1 << _PH_BAND_BITS) - 1
+    chunk_sql = ", ".join(
+        f"(shiftright(dhash, {k * _PH_BAND_BITS}) & {mask})" for k in range(_PH_BANDS)
     )
+    return spark.sql(f"""
+WITH chunks AS (
+  SELECT media_id, dhash, posexplode(array({chunk_sql})) AS (band, ck)
+  FROM phash_hashes_v
+)
+SELECT DISTINCT a.media_id AS x, b.media_id AS y,
+       CAST(bit_count(a.dhash ^ b.dhash) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.band = b.band AND a.ck = b.ck AND a.media_id < b.media_id
+WHERE bit_count(a.dhash ^ b.dhash) <= {_PH_T}
+""")
 
 
 # ---- right-to-be-forgotten delete (data governance) ----------------------------
