@@ -63,22 +63,22 @@ _BPE_CAND = 16  # ranked-candidate window per counting round (both engines)
 
 def _bpe_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(w, freq, pos, sym): each distinct word exploded to dense 1-based
-    character positions, carrying its corpus frequency."""
-    docs = table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("w")
-    )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    return wf.select(
-        "w",
-        "freq",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w")),
-                lambda i: F.substring("w", i, F.lit(1)),
-            )
-        ).alias("p0", "sym"),
-    ).select("w", "freq", (F.col("p0") + 1).alias("pos"), "sym")
+    character positions, carrying its corpus frequency.  Round 14: one
+    spark.sql() program (identical tree, one analysis pass)."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("bpe_docs_v")
+    return spark.sql("""
+SELECT w, freq, p0 + 1 AS pos, sym FROM (
+  SELECT w, freq,
+         posexplode(transform(sequence(1, length(w)),
+                              i -> substring(w, i, 1))) AS (p0, sym)
+  FROM (
+    SELECT w, count(1) AS freq FROM (
+      SELECT explode(filter(split(text, '\\\\s+'), x -> x != '')) AS w
+      FROM bpe_docs_v
+    ) GROUP BY w
+  )
+)
+""")
 
 
 def _bpe_rank_candidates(sym: DataFrame) -> list[tuple[str, str, int]]:
@@ -86,17 +86,21 @@ def _bpe_rank_candidates(sym: DataFrame) -> list[tuple[str, str, int]]:
     then pair asc) — one shuffle + an O(1) driver collect.  Empty when the
     corpus has no adjacent pairs at all (degenerate all-1-char input):
     the caller stops training instead of raising (VERDICT r8 defect #4 —
-    the old argmax IndexError'd where the oracle degraded gracefully)."""
-    win = Window.partitionBy("w").orderBy("pos")
-    rows = (
-        sym.withColumn("nxt", F.lead("sym").over(win))
-        .where(F.col("nxt").isNotNull())
-        .groupBy("sym", "nxt")
-        .agg(F.sum("freq").alias("cnt"))
-        .orderBy(F.desc("cnt"), "sym", "nxt")
-        .limit(_BPE_CAND)
-        .collect()
-    )
+    the old argmax IndexError'd where the oracle degraded gracefully).
+    Round 14: one spark.sql() program per counting round (the merge APPLY
+    stays a DataFrame chain — its pair literals come from corpus text and
+    belong in Column objects, not interpolated SQL)."""
+    sym.createOrReplaceTempView("bpe_sym_v")
+    rows = sym.sparkSession.sql(f"""
+SELECT sym, nxt, cnt FROM (
+  SELECT sym, nxt, sum(freq) AS cnt FROM (
+    SELECT freq, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+    FROM bpe_sym_v
+  ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+)
+ORDER BY cnt DESC, sym, nxt
+LIMIT {_BPE_CAND}
+""").collect()
     return [(r["sym"], r["nxt"], int(r["cnt"])) for r in rows]
 
 
