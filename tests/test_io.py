@@ -284,3 +284,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "tag", "score", "p"}
     rows = {r["id"]: (r["tag"], r["score"]) for r in merged.collect()}
     assert rows[0] == ("old", None) and rows[5] == ("new", 50)
+
+
+def test_schema_memo_matches_inference(spark, sf_dir):
+    """The round-14 catalog-style schema memo must be invisible: the
+    memoized read path returns the SAME schema the footer inference
+    returns (metadata only — the scan itself always reads the parquet)."""
+    path = f"{sf_dir}/documents.parquet"
+    io._SCHEMA_MEMO.pop(path, None)
+    first = io.table(spark, sf_dir, "documents")  # real inference, memoizes
+    assert path in io._SCHEMA_MEMO
+    second = io.table(spark, sf_dir, "documents")  # memo path
+    assert second.schema == first.schema == spark.read.parquet(path).schema
+    assert second.count() == first.count()
+
+
+def test_schema_memo_events_ts_fixup_survives(spark, sf_dir):
+    """events.ts takes the conditional nanos->micros fixup branch in
+    table() (whenever the footer yields bigint under nanosAsLong); the
+    memoized read must land in the SAME branch as the inferring read —
+    identical dtype and identical min/max values, whichever branch the
+    fixture's physical type selects."""
+    path = f"{sf_dir}/events.parquet"
+    io._SCHEMA_MEMO.pop(path, None)
+    first = io.table(spark, sf_dir, "events")
+    second = io.table(spark, sf_dir, "events")
+    assert dict(first.dtypes)["ts"] == dict(second.dtypes)["ts"]
+    a = first.agg(F.min("ts"), F.max("ts")).collect()[0]
+    b = second.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert a == b
